@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver-generated parquet tables (schemas in
+  * FIXTURES.md). One method per table; every operator reads through here so
+  * column pruning / predicate pushdown reach the parquet scan untouched.
+  *
+  * Data model mirrors the reference's corpus/vector-index abstractions
+  * (reference: airflow/dags/parser_pinecone_storage.py:24,41-46 — S3 PDF corpus;
+  * :147-154 — Pinecone vector records) re-expressed as columnar Parquet tables.
+  */
+object Tables {
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = p(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = p(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = p(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = p(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = p(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = p(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = p(s, d, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as nanos-since-epoch (legacy conf, runtime-settable)
+    * and truncate to a microsecond TIMESTAMP — exactly what DuckDB's
+    * `cast(ts as timestamp)` does to TIMESTAMP_NS, so oracle parity holds. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros(cast(ts div 1000 as bigint))"))
+  }
+  /** Corpus analog of the reference's extracted-document store. */
+  def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
+  /** Vector-index analog of the reference's Pinecone index (dim 64 here). */
+  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+}

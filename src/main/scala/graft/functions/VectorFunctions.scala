@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns.
+  *
+  * The reference delegates cosine similarity to Pinecone
+  * (parser_pinecone_storage.py:31 `metric="cosine"`; ra/agent.py:115-119
+  * `index.query(vector, top_k=100)`). Here it is a native column expression:
+  * the hot path uses the codegen'd Catalyst expression
+  * [[graft.plans.CosineSimExpr]]; the compositional fallback uses Spark's
+  * higher-order functions (also codegen'd, but allocates intermediates).
+  *
+  * All arithmetic is double-precision with strictly sequential
+  * accumulation so DuckDB (`list_cosine_similarity`, or an explicit
+  * list_sum form) reproduces the value bit-for-bit; queries additionally
+  * round similarities before emitting them (SURVEY.md §7.4).
+  */
+object VectorFunctions {
+
+  /** Dot product via higher-order functions: sequential left-to-right fold. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm, sequential fold. */
+  def norm2Hof(a: Column): Column = dotHof(a, a)
+
+  /** Cosine similarity via HOFs; null when either norm is zero. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val dot = dotHof(a, b)
+    val na  = sqrt(norm2Hof(a))
+    val nb  = sqrt(norm2Hof(b))
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dot / (na * nb))
+  }
+
+  /** Cosine similarity — codegen'd single-pass Catalyst expression
+    * (one loop, no intermediate arrays). Preferred in query plans. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimExpr.cosine_sim(a, b)
+
+  /** Pseudo-random hyperplane weights for signed random projection,
+    * derived from md5 so DuckDB can regenerate the identical planes:
+    * w(p, i) = (hash60("srp#p#i") % 2000001) / 1e6 - 1.0  ∈ [-1, 1].
+    * Computed once on the driver and inlined as array literals. */
+  def srpWeights(dim: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { i =>
+        (CrossHash.md5Hash60(s"srp#$p#$i") % 2000001L).toDouble / 1e6 - 1.0
+      }
+    }
+
+  /** Signed-random-projection signature: bit p of the result is 1 iff
+    * dot(v, plane_p) > 0, packed into a BIGINT. Vectors that collide on the
+    * signature are near-neighbour candidates: this buckets an O(n²)
+    * similarity self-join into per-bucket joins, the scale path for
+    * approximate nearest-neighbour search (brute force stays as the
+    * correctness baseline). Deterministic and DuckDB-reproducible. */
+  def srpSignature(v: Column, dim: Int, planes: Int): Column = {
+    val w = srpWeights(dim, planes)
+    val bits = (0 until planes).map { p =>
+      val plane = array(w(p).map(x => lit(x)): _*)
+      when(dotHof(v, plane) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

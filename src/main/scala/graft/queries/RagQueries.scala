@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{CrossHash, Embedder, TextFunctions, VectorFunctions}
+
+/** The reference's own query surface, re-expressed Spark-first
+  * (SURVEY.md §2, §3): cosine top-k retrieval (ra/agent.py:108-133),
+  * document listing/dedup (ra/server.py:30-50), keyword search analog
+  * (ra/agent.py:97-106), regex field extraction (ra/agent.py:84-89),
+  * chunking + vector-id synthesis (parser_pinecone_storage.py:133,146-154),
+  * deterministic embedding (parser_pinecone_storage.py:33,148), and
+  * report-row assembly (ra/agent.py:135-191).
+  *
+  * Scale shape: top-k retrieval is scan → codegen'd cosine →
+  * TakeOrderedAndProject (partial top-k per partition, k rows to the
+  * driver — never a full sort/collect); the query vector joins in via a
+  * 1-row broadcast, so the index scan is embarrassingly parallel.
+  */
+object RagQueries extends QueryPack {
+
+  /** Brute-force cosine top-k against the stored index, query = vector 0.
+    * Mirrors ra/agent.py:115-119 (top_k retrieval) with the reference's
+    * zero-vector-scan hack (ra/server.py:34) replaced by an honest scan. */
+  private def topkSim(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("qv")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_topk_sim" -> ((s, d) => topkSim(s, d, 100)),
+
+    // Flagship RAG search: top-10 vectors joined back to their documents,
+    // with the reference's metadata truncations title[:50] / content[:200]
+    // (parser_pinecone_storage.py:149-153) and "No title" default
+    // (ra/agent.py:124).
+    "r02_rag_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      topkSim(s, d, 10)
+        .join(broadcast(docs), col("vec_id") === col("doc_id"), "inner")
+        .select(
+          col("vec_id"),
+          col("sim"),
+          substring(
+            coalesce(concat_ws("#", col("source"), col("doc_id")),
+              lit("No title")), 1, 50).as("title"),
+          substring(col("text"), 1, 200).as("content"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // Document catalog: distinct sources with first-doc-per-source dedup —
+    // the deterministic form of ra/server.py:36-43's first-seen-wins.
+    "r03_doc_listing" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // Keyword search analog of the web_search tool (ra/agent.py:97-106):
+    // term-occurrence scoring over the corpus, top-5 (reference "num": 5).
+    "r04_keyword_search" -> ((s, d) => {
+      val t = TextFunctions.tokens(col("text"))
+      val score = (size(filter(t, x => x === "spark")) +
+        size(filter(t, x => x === "join")) +
+        size(filter(t, x => x === "stream"))).as("score")
+      Tables.documents(s, d)
+        .select(col("doc_id"), score)
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(5)
+    }),
+
+    // Regex field extraction — the fetch_arxiv abstract regex
+    // (ra/agent.py:84-89) as a columnar regexp_extract.
+    "r05_regex_extract" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "spark ([a-z]+)", 1).as("next_word"))
+        .filter(col("next_word") =!= "")
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-size chunking with overlap (parser_pinecone_storage.py:133's
+    // chunk_size/chunk_overlap semantics; size scaled to fixture texts).
+    "r06_chunks" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.chunks(col("text"), 120, 20))
+            .as(Seq("chunk_idx", "chunk")))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Vector-id synthesis (parser_pinecone_storage.py:147) with the
+    // wall-clock salt replaced by a content hash (SURVEY.md §1).
+    "r07_vector_ids" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("source"),
+          posexplode(TextFunctions.chunks(col("text"), 120, 20))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          concat_ws("_", col("source"), lit("text"), col("chunk_idx"))
+            .as("vec_key"),
+          CrossHash.hash60(
+            concat_ws("_", col("doc_id"), col("chunk_idx"), col("chunk")))
+            .as("vec_uid"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic query embedding (ra/agent.py:111's embed_query without
+    // the HTTP call): one row per dimension, exact double parity.
+    "r08_embed_query" -> ((s, d) => {
+      val q = "spark window join"
+      s.range(0, 8).toDF("dim")
+        .select(
+          col("dim"),
+          ((CrossHash.hash60(
+            concat(lit(q), lit("#emb#"), col("dim").cast("string")))
+            % 2000001L).cast("double") / 1e6 - 1.0).as("component"))
+        .orderBy("dim")
+    }),
+
+    // Report-row assembly: the oracle_sequential_search pipeline
+    // (ra/agent.py:151-191) as a UNION ALL of tool-output sections, numeric
+    // fields emitted as integers (basis points) for exact parity.
+    "r09_report" -> ((s, d) => {
+      val intro = s.range(1).select(
+        lit("introduction").as("section"),
+        lit("Research report for query: spark window join").as("content"))
+      val t = TextFunctions.tokens(col("text"))
+      val score = (size(filter(t, x => x === "spark")) +
+        size(filter(t, x => x === "join")) +
+        size(filter(t, x => x === "stream"))).as("score")
+      val kw = Tables.documents(s, d)
+        .select(col("doc_id"), score)
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(3)
+        .select(lit("keyword_search").as("section"),
+          format_string("doc %d score %d", col("doc_id"), col("score"))
+            .as("content"))
+      val sim = topkSim(s, d, 3)
+        .select(lit("similarity_search").as("section"),
+          format_string("vec %d sim_bp %d", col("vec_id"),
+            round(col("sim") * 10000).cast("bigint")).as("content"))
+      intro.union(kw).union(sim).orderBy("section", "content")
+    })
+  )
+
+  private val duckTopk =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |topk AS (
+      |  SELECT vec_id,
+      |    round(list_cosine_similarity(cast(embedding as double[]), cast(qv as double[])), 6) AS sim
+      |  FROM embeddings, q WHERE vec_id <> 0
+      |  ORDER BY sim DESC, vec_id LIMIT %K%)""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "r01_topk_sim" ->
+      (duckTopk.replace("%K%", "100") +
+        "\nSELECT vec_id, sim FROM topk ORDER BY sim DESC, vec_id"),
+
+    "r02_rag_search" ->
+      (duckTopk.replace("%K%", "10") +
+        """
+          |SELECT vec_id, sim,
+          |  substring(coalesce(concat_ws('#', source, doc_id), 'No title'), 1, 50) AS title,
+          |  substring(text, 1, 200) AS content
+          |FROM topk JOIN documents ON vec_id = doc_id
+          |ORDER BY sim DESC, vec_id""".stripMargin),
+
+    "r03_doc_listing" ->
+      """SELECT source, min(doc_id) AS first_doc, count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "r04_keyword_search" ->
+      """SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'join'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'stream')) as int) AS score
+        |  FROM documents)
+        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+
+    "r05_regex_extract" ->
+      """SELECT doc_id, regexp_extract(text, 'spark ([a-z]+)', 1) AS next_word
+        |FROM documents
+        |WHERE regexp_extract(text, 'spark ([a-z]+)', 1) <> ''
+        |ORDER BY doc_id""".stripMargin,
+
+    "r06_chunks" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+        |  FROM documents)
+        |SELECT doc_id, cast(r.range as int) AS chunk_idx,
+        |  substring(text, cast(r.range as int) * 100 + 1, 120) AS chunk
+        |FROM t, range(0, 64) r WHERE r.range < t.nc
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "r07_vector_ids" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, cast(r.range as int) AS chunk_idx,
+        |    substring(text, cast(r.range as int) * 100 + 1, 120) AS chunk
+        |  FROM t, range(0, 64) r WHERE r.range < t.nc)
+        |SELECT doc_id, chunk_idx,
+        |  concat_ws('_', source, 'text', chunk_idx) AS vec_key,
+        |  cast('0x' || substring(md5(concat_ws('_', doc_id, chunk_idx, chunk)), 2, 15) as bigint) AS vec_uid
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "r08_embed_query" ->
+      """SELECT cast(r.range as bigint) AS dim,
+        |  (cast('0x' || substring(md5('spark window join' || '#emb#' || cast(r.range as varchar)), 2, 15) as bigint)
+        |   % 2000001) / 1000000.0 - 1.0 AS component
+        |FROM range(0, 8) r ORDER BY dim""".stripMargin,
+
+    "r09_report" ->
+      (duckTopk.replace("%K%", "3") +
+        """,
+          |kw AS (SELECT doc_id, score FROM (
+          |  SELECT doc_id,
+          |    cast(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+          |       + len(list_filter(string_split(text, ' '), x -> x = 'join'))
+          |       + len(list_filter(string_split(text, ' '), x -> x = 'stream')) as int) AS score
+          |  FROM documents)
+          |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 3)
+          |SELECT section, content FROM (
+          |  SELECT 'introduction' AS section,
+          |    'Research report for query: spark window join' AS content
+          |  UNION ALL
+          |  SELECT 'keyword_search' AS section,
+          |    printf('doc %d score %d', doc_id, score) AS content FROM kw
+          |  UNION ALL
+          |  SELECT 'similarity_search' AS section,
+          |    printf('vec %d sim_bp %d', vec_id, cast(round(sim * 10000) as bigint)) AS content
+          |  FROM topk)
+          |ORDER BY section, content""".stripMargin)
+  )
+}

@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics over the star schema — the coverage the reference
+  * lacks entirely (SURVEY.md §2.3–§2.8 gaps: joins, aggregations, windows,
+  * set ops, sorts, date/JSON functions), expressed declaratively so Catalyst
+  * plans pushdown/pruning/join-selection itself.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - fact-to-dim joins broadcast the dim side explicitly (`broadcast()`),
+  *    so no shuffle of the fact table happens for q03/q04/q18;
+  *  - fact-to-fact joins (q05/q06) are shuffle hash/sort-merge joins on the
+  *    join key — the natural partitioning; AQE handles skew at runtime;
+  *  - aggregates are partial (map-side combine) by construction — groupBy
+  *    over codegen'd exact-decimal sums;
+  *  - top-k (q13) is `TakeOrderedAndProject`, never a full sort.
+  *
+  * Float policy: every SUM over a double column casts the addend to an exact
+  * DECIMAL first — decimal addition is associative, so the result is
+  * independent of partitioning/merge order and matches DuckDB bit-for-bit.
+  * AVG is emitted as cast(exact-decimal sum AS double) / count, which both
+  * engines evaluate identically (single IEEE division of identical inputs).
+  */
+object Relational extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private val one2: Column = lit(1).cast("decimal(3,2)")
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: scan → partial agg → final agg.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)")
+            .as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Selective filter + narrow projection: predicate + column pruning
+    // must reach the parquet scan (verified via .explain PushedFilters).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Broadcast equi-join fact→dim: revenue by market segment.
+    "q03_join_broadcast" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Multiway join through the whole snowflake (TPC-H Q5 shape):
+    // lineitem ⋈ orders (shuffle on orderkey) ⋈ broadcast dims.
+    "q04_join_multiway" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
+          .cast("decimal(18,4)").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Left-semi join: orders having a deep-discount line (EXISTS).
+    "q05_semi_join" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_discount") > 0.06)
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // Left-anti join: customers with no orders (NOT EXISTS).
+    "q06_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Window rank: top-3 orders per customer (partitioned row_number with
+    // a total-order tie-break so the result is deterministic).
+    "q07_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running-frame window: cumulative quantity per supplier over time.
+    // (l_orderkey, l_linenumber) is not unique in the fixture, so both the
+    // window order and the final order include l_quantity/running_qty to
+    // stay total — otherwise the prefix sums are nondeterministic.
+    "q08_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("running_qty",
+          sum(dec2(col("l_quantity"))).over(w).cast("decimal(18,2)"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }),
+
+    // ROLLUP hierarchy totals (subtotal rows surfaced via coalesce so the
+    // output needs no grouping-id function on either engine).
+    "q09_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // CUBE over order status × priority.
+    "q10_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("total"), col("n"))
+        .orderBy("status", "priority")
+    }),
+
+    // Set operations: customers-of-segment sets combined three ways,
+    // tagged and unioned into one deterministic result.
+    "q11_setops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val highBal = c.filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("custkey"))
+      val u = building.union(highBal).distinct()
+        .withColumn("op", lit("union"))
+      val i = building.intersect(highBal).withColumn("op", lit("intersect"))
+      val e = building.except(highBal).withColumn("op", lit("except"))
+      u.union(i).union(e).select("op", "custkey").orderBy("op", "custkey")
+    }),
+
+    // Exact + distinct aggregation in one pass.
+    "q12_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Top-k by value: plans as TakeOrderedAndProject (no full sort).
+    "q13_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // Calendar aggregation: revenue by month.
+    "q14_monthly_revenue" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("month_start"))
+        .agg(
+          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("month_start")
+    }),
+
+    // JSON field extraction from events.props (SURVEY §2.8 JSON access).
+    "q15_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        .orderBy("k")
+    }),
+
+    // String scalar functions over part (upper/substring/concat/length).
+    "q16_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          substring(col("p_type"), 1, 3).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    }),
+
+    // GROUP BY ... HAVING: busy customers only.
+    "q17_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    }),
+
+    // Broadcast dim join + exact-decimal AVG by nation.
+    "q18_avg_by_nation" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          (sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // lag() window over the event stream: per-user inter-event gap in
+    // exact microseconds (unix_micros ↔ DuckDB epoch_us, no rounding).
+    "q19_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .filter(col("prev_ts").isNotNull)
+        .select("user_id", "event_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Tumbling-hour event aggregation — the batch twin of the Structured
+    // Streaming query in graft.streaming.EventStream (same grouping, so the
+    // oracle checks the streaming semantics too).
+    "q20_hourly_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2))) as decimal(18,2)) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as decimal(18,4)) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_join_multiway" ->
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as decimal(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.06)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as int) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(18,2)) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q10_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q11_setops" ->
+      """WITH building AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |  highbal AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0)
+        |SELECT 'union' AS op, custkey FROM (SELECT custkey FROM building UNION SELECT custkey FROM highbal)
+        |UNION ALL
+        |SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM highbal)
+        |UNION ALL
+        |SELECT 'except' AS op, custkey FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM highbal)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q12_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q14_monthly_revenue" ->
+      """SELECT cast(year(o_orderdate) as int) AS yr,
+        |  cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
+        |  count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_type, 1, 3) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  cast(length(p_name) as int) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q17_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q18_avg_by_nation" ->
+      """SELECT n_name,
+        |  cast(sum(cast(c_acctbal as decimal(12,2))) as double) / count(*) AS avg_bal,
+        |  count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q19_event_gaps" ->
+      """SELECT user_id, event_id, gap_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(cast(ts as timestamp)) - epoch_us(lag(cast(ts as timestamp), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q20_hourly_events" ->
+      """SELECT cast(date_trunc('hour', cast(ts as timestamp)) as timestamp) AS hour_start, event_type,
+        |  count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+  )
+}
