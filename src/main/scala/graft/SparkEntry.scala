@@ -13,7 +13,11 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Relational,
-    RagQueries
+    RagQueries,
+    DedupQueries,
+    TextAnalysis,
+    Similarity,
+    Pipeline
   )
 
   /** Flagship query (SURVEY.md §7.2): RAG search — cosine top-k joined back

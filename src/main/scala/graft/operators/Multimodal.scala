@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata (the reference's figure-extraction path,
+  * parser_pinecone_storage.py:106-117, generalised per the north star).
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-local decode —
+  * is real; the codec itself is STUBBED (this container has no image/audio
+  * libraries) behind [[FakeCodec]], a deterministic stand-in with the same
+  * signature a real decoder (e.g. javax.imageio / ffmpeg via
+  * mapPartitions, or a Pandas UDF in PySpark) would have.
+  *
+  * Scale shape: decode runs inside `mapPartitions`, one codec
+  * initialisation per partition (not per row), map-only, no shuffle; the
+  * output is narrow typed metadata so downstream scans prune the heavy
+  * binary column away.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Decoded-feature schema produced by [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("feature", ArrayType(DoubleType), nullable = false)))
+
+  /** Deterministic stand-in for a real media codec: "dimensions" derive
+    * from the payload hash, the "feature vector" from byte statistics.
+    * Replace with a real decoder per media_type in production. */
+  object FakeCodec {
+    def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Array[Double]) = {
+      val n = if (payload == null) 0 else payload.length
+      val h = java.util.Arrays.hashCode(payload)
+      val width  = math.abs(h % 1920) + 1
+      val height = math.abs((h / 1920) % 1080) + 1
+      // 8-bucket byte histogram, normalised — a feature a real extractor
+      // would replace with model embeddings.
+      val hist = new Array[Double](8)
+      if (payload != null) payload.foreach { b =>
+        hist(((b & 0xff) >> 5)) += 1.0
+      }
+      val total = math.max(1.0, n.toDouble)
+      (width, height, hist.map(_ / total))
+    }
+  }
+
+  /** Build a media DataFrame from the documents fixture (text bytes as the
+    * opaque payload — schema-faithful stand-in for image/audio blobs). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  /** Partition-local decode → typed features. One codec init per
+    * partition; rows stream through without materialising the partition. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(featureSchema)
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        // (real codecs would be initialised here, once per partition)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, feat) = FakeCodec.decode(r.getString(1), payload)
+          Row(r.getLong(0), r.getString(1),
+            if (payload == null) 0 else payload.length, w, h, feat)
+        }
+      }(enc)
+  }
+}

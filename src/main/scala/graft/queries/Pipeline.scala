@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.IngestionPipeline
+
+/** End-to-end ingestion pipeline + multimodal plumbing as checkable
+  * queries. */
+object Pipeline extends QueryPack {
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Whole ingestion DAG in one plan: chunk → id synthesis → embed.
+    // First 4 embedding components emitted as scalar columns (exact-parity
+    // doubles); chunk geometry scaled to the fixture texts.
+    "i01_ingest_index" -> ((s, d) => {
+      IngestionPipeline.buildIndex(s, d, chunkSize = 120, overlap = 20,
+          dim = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("vec_key"),
+          col("vec_uid"), col("title"), col("content"),
+          element_at(col("embedding"), 1).as("e0"),
+          element_at(col("embedding"), 2).as("e1"),
+          element_at(col("embedding"), 3).as("e2"),
+          element_at(col("embedding"), 4).as("e3"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Multimodal column plumbing: text treated as an opaque binary blob
+    // with typed metadata — the schema/partitioning shape used for
+    // image/audio payloads (decode itself is stubbed; see
+    // graft.operators.Multimodal).
+    "m01_media_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lit("text/plain").as("media_type"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          substring(hex(encode(col("text"), "UTF-8")), 1, 8)
+            .as("header_hex"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def embComponent(i: Int): String =
+    s"(${graft.functions.CrossHash.duckHash60(s"chunk || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
+
+  override val oracles: Map[String, String] = Map(
+    "i01_ingest_index" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, cast(r.range as int) AS chunk_idx,
+         |    substring(text, cast(r.range as int) * 100 + 1, 120) AS chunk
+         |  FROM t, range(0, 64) r WHERE r.range < t.nc)
+         |SELECT doc_id, chunk_idx,
+         |  concat_ws('_', source, 'text', chunk_idx) AS vec_key,
+         |  ${graft.functions.CrossHash.duckHash60("concat_ws('_', doc_id, chunk_idx, chunk)")} AS vec_uid,
+         |  substring(source, 1, 50) AS title,
+         |  substring(chunk, 1, 200) AS content,
+         |  ${embComponent(0)} AS e0,
+         |  ${embComponent(1)} AS e1,
+         |  ${embComponent(2)} AS e2,
+         |  ${embComponent(3)} AS e3
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  cast(octet_length(encode(text)) as int) AS n_bytes,
+        |  substring(hex(encode(text)), 1, 8) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

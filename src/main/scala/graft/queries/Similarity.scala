@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{CrossHash, VectorFunctions}
+
+/** Approximate-nearest-neighbour search over the embedding column.
+  *
+  * Two tiers (SURVEY.md north star):
+  *  - brute-force cosine top-k (r01/s02) — the correctness baseline;
+  *    scan → codegen'd cosine → TakeOrderedAndProject;
+  *  - SRP-LSH bucketed ANN (s01) — the scale path: vectors hash to a
+  *    signed-random-projection bucket; candidate generation is an
+  *    equi-join on the bucket id, so the quadratic part is confined to
+  *    one bucket. At 100 TB the bucket id is also the natural partition /
+  *    bucketing key for the stored index, making candidate lookup a
+  *    partition-pruned scan rather than a shuffle.
+  *
+  * Hyperplanes derive from md5 (VectorFunctions.srpWeights), so DuckDB
+  * regenerates them exactly — the bucketing itself is oracle-checked.
+  */
+object Similarity extends QueryPack {
+
+  private val Dim = 64
+  private val Planes = 4
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SRP-LSH ANN: top-3 in-bucket neighbours for query vectors 0..4.
+    "s01_ann_srp" -> ((s, d) => {
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.srpSignature(col("embedding"), Dim, Planes)
+            .as("sig"))
+      val q = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sig"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      q.join(sigs, Seq("sig"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+            .as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    // Brute-force similarity self-join: exact top-3 neighbours for query
+    // vectors 0..9 (cross-join against a broadcast query set + windowed
+    // rank — the SURVEY §2.3 similarity-join composition).
+    "s02_sim_join_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+            .as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  private val srpCtes = {
+    val h = CrossHash.duckHash60(
+      "'srp#' || cast(p.range as varchar) || '#' || cast(i.range as varchar)")
+    s"""WITH w AS (SELECT p.range AS p, i.range AS i,
+       |  ($h % 2000001) / 1000000.0 - 1.0 AS wt
+       |  FROM range(0, $Planes) p, range(0, $Dim) i),
+       |pd AS (SELECT e.vec_id, w.p, sum(cast(e.embedding[w.i + 1] as double) * w.wt) AS dot
+       |  FROM embeddings e, w GROUP BY 1, 2),
+       |sigs AS (SELECT vec_id, cast(sum(CASE WHEN dot > 0.0 THEN 1 << p ELSE 0 END) as bigint) AS sig
+       |  FROM pd GROUP BY 1),
+       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
+  }
+
+  override val oracles: Map[String, String] = Map(
+    "s01_ann_srp" ->
+      (srpCtes + """,
+        |cand AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) AS sim
+        |  FROM esig q JOIN esig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+
+    "s02_sim_join_topk" ->
+      """WITH cand AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) AS sim
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin
+  )
+}

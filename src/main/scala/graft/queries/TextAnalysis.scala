@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operator family (LLM-pipeline north star): language ID,
+  * quality scoring, token counting, fingerprinting. All map-only —
+  * embarrassingly parallel scans with codegen'd expressions, no shuffle
+  * except the final presentation sort.
+  */
+object TextAnalysis extends QueryPack {
+
+  private def markerScore(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(w => w: Any): _*)))
+
+  private val enWords = Seq("the", "and", "of", "is")
+  private val deWords = Seq("der", "die", "das", "und")
+  private val esWords = Seq("el", "la", "los", "de")
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // n-gram/marker-word language ID heuristic; deterministic argmax with
+    // fixed precedence en > de > es on ties.
+    "t01_langid" -> ((s, d) => {
+      val t  = TextFunctions.tokens(col("text"))
+      val en = markerScore(t, enWords)
+      val de = markerScore(t, deWords)
+      val es = markerScore(t, esWords)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          en.as("en_score"), de.as("de_score"), es.as("es_score"))
+        .withColumn("predicted",
+          when(col("en_score") >= col("de_score") &&
+            col("en_score") >= col("es_score"), "en")
+            .when(col("de_score") >= col("es_score"), "de")
+            .otherwise("es"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/stopword/punctuation signals combined into
+    // one score. All arithmetic is exact-parity double (int ratios).
+    "t02_quality" -> ((s, d) => {
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val stop = TextFunctions.stopwordRatio(col("text"))
+      val punct = TextFunctions.punctRatio(col("text"))
+      val lenTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          round(stop, 6).as("stopword_ratio"),
+          round(punct, 6).as("punct_ratio"),
+          round(stop * 0.5 + (lit(1.0) - punct) * 0.3 + lenTerm * 0.2, 6)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex tokenizer, plus
+    // mean token length.
+    "t03_token_stats" -> ((s, d) => {
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val chars = length(regexp_replace(col("text"), " ", ""))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          nTok.as("ws_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).cast("int")
+            .as("bpe_tokens"),
+          round(chars.cast("double") /
+            greatest(nTok, lit(1)).cast("double"), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-hash document fingerprint (min 60-bit hash over char
+    // 8-grams): one value per doc, robust to small edits.
+    "t04_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def duckMarker(words: Seq[String]): String =
+    s"cast(len(list_filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")}))) as int)"
+
+  override val oracles: Map[String, String] = Map(
+    "t01_langid" ->
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |scored AS (SELECT doc_id, lang AS declared_lang,
+         |  ${duckMarker(enWords)} AS en_score,
+         |  ${duckMarker(deWords)} AS de_score,
+         |  ${duckMarker(esWords)} AS es_score
+         |  FROM tok)
+         |SELECT doc_id, declared_lang, en_score, de_score, es_score,
+         |  CASE WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+         |       WHEN de_score >= es_score THEN 'de' ELSE 'es' END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t02_quality" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  cast(len(t) as int) AS n_tokens,
+         |  cast(len(list_filter(t, x -> x in ('the','a','an','of','and','or','to','in','is','it'))) as double)
+         |    / cast(greatest(len(t), 1) as double) AS stop,
+         |  cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double)
+         |    / cast(greatest(length(text), 1) as double) AS punct,
+         |  least(cast(len(t) as double) / 100.0, 1.0) AS len_term
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, round(stop, 6) AS stopword_ratio,
+         |  round(punct, 6) AS punct_ratio,
+         |  round(stop * 0.5 + (1.0 - punct) * 0.3 + len_term * 0.2, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t03_token_stats" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id, cast(len(t) as int) AS ws_tokens,
+         |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) as int) AS bpe_tokens,
+         |  round(cast(length(replace(text, ' ', '')) as double)
+         |      / cast(greatest(len(t), 1) as double), 6) AS avg_token_len
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |    i -> ${graft.functions.CrossHash.duckHash60("substring(text, cast(i as int), 8)")})) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

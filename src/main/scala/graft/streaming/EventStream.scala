@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has no streaming at all (its DAG is a manually-triggered
+  * batch, schedule_interval=None at parser_pinecone_storage.py:189 —
+  * SURVEY.md §2.9 gap). This module provides the idiomatic-Spark streaming
+  * analog: file-source → event-time watermark → tumbling-window aggregate,
+  * with `Trigger.AvailableNow` so a static directory drains exactly once —
+  * the same code shape that tails a 100 TB/day event feed on a cluster.
+  *
+  * The aggregation is the streaming twin of batch query q20_hourly_events;
+  * `GraftSpec` asserts both produce identical rows, which is what makes the
+  * DuckDB oracle meaningful for the streaming path too.
+  */
+object EventStream {
+
+  /** events.parquet schema with ts as raw INT64 nanos (the fixture's
+    * parquet TIMESTAMP(NANOS) read under nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded source over the events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // file source requires a directory: point at the fixture dir and
+      // glob-filter to the events file (at scale: the event-log directory)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        expr("timestamp_micros(cast(ts div 1000 as bigint))"))
+  }
+
+  /** Tumbling 1-hour counts/sums per event type with a 1-hour watermark:
+    * late events beyond the watermark are dropped, state is bounded. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Run the streaming aggregation to completion against a static fixture
+    * (AvailableNow drains all files then stops) into an in-memory table;
+    * returns the result as a DataFrame. */
+  def runOnce(spark: SparkSession, dir: String,
+      queryName: String = "graft_events"): DataFrame = {
+    val q: StreamingQuery = hourlyCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

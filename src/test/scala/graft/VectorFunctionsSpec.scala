@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.plans.CosineSimExpr
+
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Option[Double] =
+    Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Option[Double]].head()
+
+  test("cosine of a vector with itself is 1") {
+    assert(math.abs(cos(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)).get - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    assert(cos(Seq(1.0, 0.0), Seq(0.0, 1.0)).get === 0.0)
+  }
+
+  test("cosine of opposite vectors is -1") {
+    assert(math.abs(cos(Seq(1.0, 2.0), Seq(-1.0, -2.0)).get + 1.0) < 1e-12)
+  }
+
+  test("zero-norm input gives null, not NaN") {
+    assert(cos(Seq(0.0, 0.0), Seq(1.0, 2.0)).isEmpty)
+  }
+
+  test("cosine is symmetric") {
+    val a = Seq(0.3, -1.2, 4.5, 0.01)
+    val b = Seq(-2.0, 0.7, 1.1, 3.3)
+    assert(cos(a, b) === cos(b, a))
+  }
+
+  test("codegen expression agrees with the HOF formulation on real data") {
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+    val q = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q)).select(
+      VectorFunctions.cosine(col("embedding"), col("qv")).as("expr"),
+      VectorFunctions.cosineHof(col("embedding"), col("qv")).as("hof"))
+    val mismatches = both
+      .filter(abs(col("expr") - col("hof")) > 1e-12).count()
+    assert(mismatches === 0L)
+  }
+
+  test("cosine_sim is registered for SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("mismatched array types are rejected at analysis time") {
+    val err = intercept[Exception] {
+      Seq(("x", Seq(1.0))).toDF("s", "v")
+        .select(CosineSimExpr.cosine_sim(col("s"), col("v"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+
+  test("srp signature lands in [0, 2^planes) and is deterministic") {
+    val sigs = Tables.embeddings(spark, sf0001).limit(50)
+      .select(VectorFunctions.srpSignature(col("embedding"), 64, 4).as("s"))
+      .as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < 16))
+    val again = Tables.embeddings(spark, sf0001).limit(50)
+      .select(VectorFunctions.srpSignature(col("embedding"), 64, 4).as("s"))
+      .as[Long].collect()
+    assert(sigs.toSeq === again.toSeq)
+  }
+
+  test("srp weights are reproducible from the seeded hash") {
+    val w = VectorFunctions.srpWeights(4, 2)
+    assert(w.length === 2 && w(0).length === 4)
+    assert(w.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    assert(w(0)(0) ===
+      (graft.functions.CrossHash.md5Hash60("srp#0#0") % 2000001L).toDouble / 1e6 - 1.0)
+  }
+}
