@@ -42,15 +42,25 @@ object TextFunctions {
   /** Whitespace tokens. DuckDB: `string_split(text, ' ')`. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Let-binding for column expressions: evaluates `v` once per row and
+    * exposes it to `f` as a lambda variable. Catalyst inlines a plain
+    * expression at every reference site — for an expression used inside a
+    * per-element lambda that turns O(n) work into O(n·cost(v)) (measured:
+    * shingling re-ran split(text) per element_at, 150 cpu-seconds for
+    * 260k shingles). `transform` binds its lambda variable to the
+    * evaluated value, so wrapping v in a 1-element array buys a real let. */
+  private def bound(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Word n-gram shingles; whole text if fewer than n tokens.
     * DuckDB: list_transform(range(0, len(t)-n+1), i -> t[i+1]||' '||...). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array(text)).otherwise(
-      transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*)))
-  }
+  def shingles(text: Column, n: Int): Column =
+    bound(tokens(text)) { t =>
+      when(size(t) < n, array(text)).otherwise(
+        transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*)))
+    }
 
   /** MinHash signature: `k` independent 60-bit md5-derived hash functions
     * over a shingle array; element j = min over shingles of hash60(s#j).

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CrossHash, TextFunctions}
+
+/** MinHash + LSH near-duplicate detection, in the flat formulation that
+  * survives scale.
+  *
+  * Why flat: Spark's higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback — every lambda element evaluates interpreted. A
+  * signature built as k array-level HOF passes costs k interpreted md5
+  * walks per document (measured: 17 s for 5000 docs at k=12). Instead:
+  *
+  *   1. explode shingles to rows — `md5` runs once per shingle inside
+  *      whole-stage codegen;
+  *   2. derive the k hash family from ONE base hash with affine
+  *      permutations h_j = (a_j·h + b_j) mod p  (p = 2^31−1, the classic
+  *      MinHash construction) — k multiply-adds, not k digests;
+  *   3. `groupBy(doc).agg(min(h_0)…min(h_{k-1}))` — partial aggregation
+  *      map-side, one shuffle of (doc_id, k longs).
+  *
+  * At 100 TB this is scan → map → partial-agg → exchange on doc_id →
+  * final agg; the band self-join is then an equi-join on (band, key).
+  * Constants a_j, b_j derive from md5 (CrossHash) so DuckDB reproduces the
+  * identical signatures.
+  */
+object MinHashLSH {
+
+  val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  def aCoef(j: Int): Long = CrossHash.md5Hash60(s"mh_a#$j") % (P - 1) + 1
+  def bCoef(j: Int): Long = CrossHash.md5Hash60(s"mh_b#$j") % P
+
+  /** (doc_id, m0…m{k−1}) MinHash signature columns via flat aggregation. */
+  def signatures(docs: DataFrame, k: Int): DataFrame = {
+    val flat = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), (CrossHash.hash60(col("s")) % P).as("h"))
+    val mins = (0 until k).map(j =>
+      min((col("h") * aCoef(j) + bCoef(j)) % P).as(s"m$j"))
+    flat.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, key) LSH bucket assignments: k = bands·rowsPerBand. */
+  def bandAssignments(docs: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val sig = signatures(docs, bands * rowsPerBand)
+    sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws(",",
+          (0 until rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*)
+      }: _*)).as(Seq("band", "key")))
+  }
+
+  /** Candidate pairs (a_id < b_id) sharing at least one band. */
+  def candidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val ba = bandAssignments(docs, bands, rowsPerBand)
+    ba.as("a").join(ba.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact 3-gram
+    * Jaccard ≥ threshold (the array-HOF Jaccard runs only on the few
+    * surviving candidate pairs). */
+  def nearDuplicates(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+    candidatePairs(docs, bands, rowsPerBand)
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** Oracle-side CTEs reproducing [[signatures]] in DuckDB SQL. */
+  def duckSignatureCtes(k: Int): String = {
+    val mins = (0 until k)
+      .map(j => s"min((h * ${aCoef(j)} + ${bCoef(j)}) % $P) AS m$j")
+      .mkString(",\n  ")
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [text]
+       |  ELSE list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END AS sh
+       |  FROM tok),
+       |flat AS (SELECT doc_id, ${CrossHash.duckHash60("s.s")} % $P AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl) s),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM flat GROUP BY doc_id)""".stripMargin
+  }
+}

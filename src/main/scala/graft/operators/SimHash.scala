@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** 32-bit SimHash in the flat (codegen-friendly) formulation.
+  *
+  * Same reasoning as [[MinHashLSH]]: the array-HOF form folds the token
+  * array 32 times interpreted; here tokens explode to rows, bit votes are
+  * 32 codegen'd SUM aggregates with map-side partial aggregation, and the
+  * signature reassembles from the vote signs. One shuffle of
+  * (doc_id, 32 longs); scan → map → partial agg → final agg at any scale.
+  */
+object SimHash {
+
+  val Bits = 32
+
+  /** (doc_id, simhash): majority-vote signature over token hashes. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val flat = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), CrossHash.hash60(col("tok")).as("h"))
+    val votes = (0 until Bits).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    flat.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until Bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup candidate pairs via 8-bit band equi-join + exact Hamming
+    * filter; recall is exact for radius ≤ bands−1 by pigeonhole. */
+  def nearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = signatures(docs)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "key")))
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle-side CTEs reproducing [[signatures]] in DuckDB SQL. */
+  def duckSignatureCtes: String = {
+    val votes = (0 until Bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val bits = (0 until Bits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH flat AS (SELECT doc_id, ${CrossHash.duckHash60("u.tok")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |  FROM flat GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, cast($bits as bigint) AS simhash FROM votes)""".stripMargin
+  }
+}

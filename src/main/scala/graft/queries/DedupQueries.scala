@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CrossHash, TextFunctions, VectorFunctions}
+import graft.functions.VectorFunctions
+import graft.operators.{MinHashLSH, SimHash}
 
 /** Deduplication operator family over the document corpus — the
   * LLM-training-data-pipeline extension (BASELINE.json north star; the
@@ -14,30 +15,15 @@ import graft.functions.{CrossHash, TextFunctions, VectorFunctions}
   *
   * Scale design: nothing here is O(n²) on the corpus. Exact dedup is a
   * hash-partitioned window; MinHash near-dup turns the pairwise similarity
-  * join into an equi-join on LSH band keys (shuffle on band key, pairwise
-  * work only inside a bucket); SimHash near-dup equi-joins on 8-bit bands
-  * (pigeonhole: any pair within Hamming distance 3 of a 32-bit signature
-  * shares at least one of 4 bands, so recall at the threshold is exact).
-  * At 1000 executors each of these is shuffle → per-bucket local work, no
+  * join into an equi-join on LSH band keys (see
+  * [[graft.operators.MinHashLSH]] for the codegen-flat formulation);
+  * SimHash near-dup equi-joins on 8-bit bands (pigeonhole: any pair within
+  * Hamming distance 3 of a 32-bit signature shares one of 4 bands, so
+  * recall at the threshold is exact); embedding near-dup blocks on the
+  * label column. Everything is shuffle → per-bucket local work: no
   * broadcast of the corpus, no driver collect.
   */
 object DedupQueries extends QueryPack {
-
-  /** doc_id + 3-gram shingle array, the shared input of the MinHash path. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        TextFunctions.shingles(col("text"), 3).as("sh"))
-
-  /** (doc_id, band, key) — LSH bucket assignments, 4 bands × 3 rows. */
-  private def bandAssignments(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
-      .select(col("doc_id"),
-        TextFunctions.minhashSignature(col("sh"), 12).as("sig"))
-      .select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          TextFunctions.bandKey(col("sig"), b, 3)): _*))
-          .as(Seq("band", "key")))
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical = min doc_id per content hash. Hash-partitioned
@@ -52,58 +38,21 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // MinHash + LSH near-dup: signature k=12, 4 bands × 3 rows; candidate
-    // pairs = equi-join on (band, key); exact 3-gram Jaccard filter ≥ 0.2.
+    // MinHash + LSH near-dup: 12-hash signature, 4 bands × 3 rows;
+    // candidates from the band equi-join, exact 3-gram Jaccard ≥ 0.2.
     "d02_minhash_lsh" -> ((s, d) => {
-      val bands = bandAssignments(s, d)
-      val cand = bands.as("a")
-        .join(bands.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val sh = shingled(s, d)
-      cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6)
-            .as("jacc"))
-        .filter(col("jacc") >= 0.2)
+      MinHashLSH.nearDuplicates(Tables.documents(s, d))
         .orderBy("a_id", "b_id")
     }),
 
     // SimHash signatures (32-bit majority-vote over token hashes).
     "d03_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          transform(TextFunctions.tokens(col("text")),
-            t => CrossHash.hash60(t)).as("th"))
-        .select(col("doc_id"),
-          TextFunctions.simhash32(col("th")).as("simhash"))
-        .orderBy("doc_id")
+      SimHash.signatures(Tables.documents(s, d)).orderBy("doc_id")
     }),
 
-    // SimHash near-dup pairs: equi-join on any of 4 8-bit bands, then exact
-    // Hamming ≤ 3 — band recall is exact at that radius by pigeonhole.
+    // SimHash near-dup pairs: band equi-join + exact Hamming ≤ 3.
     "d04_simhash_pairs" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          transform(TextFunctions.tokens(col("text")),
-            t => CrossHash.hash60(t)).as("th"))
-        .select(col("doc_id"),
-          TextFunctions.simhash32(col("th")).as("simhash"))
-      val bands = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
-          .as(Seq("band", "key")))
-      bands.as("a").join(bands.as("b"), Seq("band", "key"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          TextFunctions.hamming(col("a.simhash"), col("b.simhash"))
-            .cast("int").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("a_id", "b_id")
+      SimHash.nearPairs(Tables.documents(s, d)).orderBy("a_id", "b_id")
     }),
 
     // Embedding-cosine near-dup: label-blocked self-join (same label ⇒
@@ -121,35 +70,12 @@ object DedupQueries extends QueryPack {
     })
   )
 
-  /** Shared oracle CTEs: tokens → shingles → minhash sigs → band keys. */
-  private val h = (e: String) => CrossHash.duckHash60(e)
-
-  private val shingleCtes =
-    """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [text]
-      |  ELSE list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END AS sh
-      |  FROM tok)""".stripMargin
-
-  private val minhashCtes = {
-    val sigElems = (0 until 12)
-      .map(j => s"list_min(list_transform(sh, s -> ${h(s"s || '#$j'")}))")
-      .mkString("[", ", ", "]")
-    val bandKeys = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, concat_ws(',', sig[${b * 3 + 1}], sig[${b * 3 + 2}], sig[${b * 3 + 3}]) AS key FROM sig")
+  private val minhashBandsCte = {
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM sig")
       .mkString("\n  UNION ALL ")
-    shingleCtes + s""",
-      |sig AS (SELECT doc_id, sh, $sigElems AS sig FROM sh),
-      |bands AS (\n  $bandKeys)""".stripMargin
-  }
-
-  private val simhashCtes = {
-    val bits = (0 until 32)
-      .map(b =>
-        s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |th AS (SELECT doc_id, list_transform(t, x -> ${h("x")}) AS th FROM tok),
-       |sigs AS (SELECT doc_id, cast($bits as bigint) AS simhash FROM th)""".stripMargin
+    MinHashLSH.duckSignatureCtes(12) + s""",
+      |bands AS (\n  $bandRows)""".stripMargin
   }
 
   override val oracles: Map[String, String] = Map(
@@ -160,20 +86,21 @@ object DedupQueries extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
 
     "d02_minhash_lsh" ->
-      (minhashCtes + """,
+      (minhashBandsCte + """,
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
         |j AS (SELECT a_id, b_id,
         |  round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
         |      / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) as double), 6) AS jacc
-        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+        |  FROM cand JOIN shl sa ON sa.doc_id = a_id JOIN shl sb ON sb.doc_id = b_id)
         |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
 
     "d03_simhash" ->
-      (simhashCtes + "\nSELECT doc_id, simhash FROM sigs ORDER BY doc_id"),
+      (SimHash.duckSignatureCtes +
+        "\nSELECT doc_id, simhash FROM sigs ORDER BY doc_id"),
 
     "d04_simhash_pairs" ->
-      (simhashCtes + """,
+      (SimHash.duckSignatureCtes + """,
         |bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
         |  FROM sigs, range(0, 4) b),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -28,21 +28,13 @@ class DedupSpec extends SparkTestBase {
       "partitions and broadcast joins at massive scale"
     val docs = Seq((1L, base), (2L, nearDup), (3L, other))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("dedup_spec_docs")
-    import graft.functions.TextFunctions
-    val sh = docs.select(col("doc_id"),
-      TextFunctions.shingles(col("text"), 3).as("sh"))
-    val sig = sh.select(col("doc_id"),
-      TextFunctions.minhashSignature(col("sh"), 12).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        TextFunctions.bandKey(col("sig"), b, 3)): _*)).as(Seq("band", "key")))
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct().as[(Long, Long)].collect().toSet
+    val cand = graft.operators.MinHashLSH.candidatePairs(docs, 4, 3)
+      .as[(Long, Long)].collect().toSet
     assert(cand.contains((1L, 2L)))
     assert(!cand.contains((1L, 3L)))
+    val dups = graft.operators.MinHashLSH.nearDuplicates(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(dups.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
   }
 
   test("d05 near-dup pairs are symmetric-free (a < b) and thresholded") {
