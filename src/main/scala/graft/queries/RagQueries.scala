@@ -137,6 +137,34 @@ object RagQueries extends QueryPack {
         .orderBy("dim")
     }),
 
+    // Query classification: the frontend's ArXiv-ID-vs-topic regex
+    // dispatch (ResearchAgent.tsx:32-34, SURVEY §2.2) as a columnar rlike.
+    "r10_query_classify" -> ((s, d) => {
+      val probes = Seq("2401.04088", "spark joins", "1706.03762",
+        "window functions", "12.4")
+      import s.implicits._
+      probes.toDF("q")
+        .select(col("q"),
+          when(col("q").rlike("^[\\d.]+$"), lit("arxiv_id"))
+            .otherwise(lit("topic")).as("kind"))
+        .orderBy("q")
+    }),
+
+    // Deterministic result-concat: the rag_search markdown join
+    // (ra/agent.py:123-128 "\n---\n".join) as an ordered aggregate — one
+    // output row containing the formatted top-5 block.
+    "r11_rag_format" -> ((s, d) => {
+      topkSim(s, d, 5)
+        .select(format_string("vec %d sim_bp %d", col("vec_id"),
+          round(col("sim") * 10000).cast("bigint")).as("line"),
+          col("sim"), col("vec_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-col("sim")).as("negsim"), col("vec_id"), col("line")))),
+            x => x.getField("line")), "\n---\n").as("report"))
+    }),
+
     // Report-row assembly: the oracle_sequential_search pipeline
     // (ra/agent.py:151-191) as a UNION ALL of tool-output sections, numeric
     // fields emitted as integers (basis points) for exact parity.
@@ -252,6 +280,18 @@ object RagQueries extends QueryPack {
           |  SELECT 'similarity_search' AS section,
           |    printf('vec %d sim_bp %d', vec_id, cast(round(sim * 10000) as bigint)) AS content
           |  FROM topk)
-          |ORDER BY section, content""".stripMargin)
+          |ORDER BY section, content""".stripMargin),
+
+    "r10_query_classify" ->
+      """SELECT q, CASE WHEN regexp_matches(q, '^[\d.]+$') THEN 'arxiv_id' ELSE 'topic' END AS kind
+        |FROM (VALUES ('2401.04088'), ('spark joins'), ('1706.03762'), ('window functions'), ('12.4')) v(q)
+        |ORDER BY q""".stripMargin,
+
+    "r11_rag_format" ->
+      (duckTopk.replace("%K%", "5") +
+        """
+          |SELECT string_agg(printf('vec %d sim_bp %d', vec_id, cast(round(sim * 10000) as bigint)),
+          |  chr(10) || '---' || chr(10) ORDER BY sim DESC, vec_id) AS report
+          |FROM topk""".stripMargin)
   )
 }

@@ -274,6 +274,33 @@ object Relational extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // Path/filename parsing (SURVEY §2.8 basename/stem: the reference's
+    // s3_key.split('/')[-1] + splitext at parser_pinecone_storage.py:53,75).
+    "q21_path_parse" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("source"), lit("/doc_"), col("doc_id"), lit(".pdf"))
+            .as("path"))
+        .select(col("doc_id"), col("path"),
+          element_at(split(col("path"), "/"), -1).as("basename"),
+          regexp_replace(element_at(split(col("path"), "/"), -1),
+            "\\.[a-z]+$", "").as("stem"),
+          element_at(split(col("path"), "\\."), -1).as("ext"))
+        .orderBy("doc_id")
+    }),
+
+    // Approximate distinct counting (HLL sketch). Spark's HLL++ and
+    // DuckDB's sketch produce different estimates by design, so this
+    // operator has no value oracle — the driver records a rows-only check;
+    // PlanSpec asserts the estimate lands within 5% of exact.
+    "q22_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Tumbling-hour event aggregation — the batch twin of the Structured
     // Streaming query in graft.streaming.EventStream (same grouping, so the
     // oracle checks the streaming semantics too).
@@ -444,6 +471,16 @@ object Relational extends QueryPack {
         |  count(*) AS n,
         |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // q22_approx_distinct intentionally has no oracle: HLL estimates are
+    // sketch-implementation-specific (driver falls back to rows-only).
+    "q21_path_parse" ->
+      """WITH p AS (SELECT doc_id, source || '/doc_' || doc_id || '.pdf' AS path FROM documents)
+        |SELECT doc_id, path,
+        |  string_split(path, '/')[-1] AS basename,
+        |  regexp_replace(string_split(path, '/')[-1], '\.[a-z]+$', '') AS stem,
+        |  string_split(path, '.')[-1] AS ext
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

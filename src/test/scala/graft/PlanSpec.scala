@@ -1,0 +1,74 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the engine relies on at
+  * scale must stay the plans Catalyst actually picks. Each assertion pins a
+  * property argued in the operator docs (pushdown, broadcast, top-k without
+  * full sort, partial aggregation). */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q02 filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filters not pushed to the scan")
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!p.contains("l_returnflag") && !p.contains("l_tax"),
+      "scan reads unprojected columns")
+  }
+
+  test("q03 joins the dim side via broadcast, not shuffle") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q04 multiway join broadcasts every dim") {
+    val p = plan("q04_join_multiway")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      "expected ≥3 broadcast joins for customer/nation/region")
+  }
+
+  test("q13 top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortExec"), "top-k fell back to a global sort")
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "no partial aggregation in plan")
+  }
+
+  test("r01 top-k similarity never full-sorts the index") {
+    val p = plan("r01_topk_sim")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("flat minhash signature uses map-side partial aggregation") {
+    val p = graft.operators.MinHashLSH
+      .signatures(Tables.documents(spark, sf0001), 12)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), "no map-side combine before shuffle")
+    assert(p.contains("Exchange hashpartitioning(doc_id"),
+      "signature agg not partitioned by doc_id")
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val rows = SparkEntry.queries("q22_approx_distinct")(spark, sf0001)
+      .collect()
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(approx - ex) / ex < 0.05,
+        s"approx $approx vs exact $ex off by >5%")
+    }
+  }
+}
