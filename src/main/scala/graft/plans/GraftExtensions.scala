@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -301,6 +301,44 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Same top-3-per-customer result as q07, but through the custom
+    // TopKPerKey physical operator (partial bounded-heap top-k before the
+    // shuffle — the map-side combine a window can't do). Oracle-checked
+    // against the same SQL, so the custom exec's semantics are pinned.
+    "q24_topk_custom" -> ((s, d) => {
+      import graft.plans.TopKPerKey
+      TopKPerKey.topKPerKey(Tables.orders(s, d),
+          keys = Seq("o_custkey"),
+          order = Seq(TopKPerKey.desc("o_totalprice"),
+            TopKPerKey.asc("o_orderkey")),
+          k = 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_custkey", "rank")
+    }),
+
+    // Backward as-of join (operator Spark lacks; graft.operators.AsOfJoin
+    // composes it with one shuffle): each error event matched to the
+    // user's most recent purchase at-or-before it. Oracle = DuckDB's
+    // native ASOF JOIN, so the composition's semantics are checked against
+    // a first-class implementation.
+    "q23_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin
+        .backward(errors, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_value"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("err_us"),
+          unix_micros(col("matched_ts")).as("purchase_us"),
+          col("matched_purchase_value").as("purchase_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Tumbling-hour event aggregation — the batch twin of the Structured
     // Streaming query in graft.streaming.EventStream (same grouping, so the
     // oracle checks the streaming semantics too).
@@ -472,6 +510,22 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q24_topk_custom" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as int) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q23_asof_join" ->
+      """WITH e AS (SELECT user_id, cast(ts as timestamp) AS ts, event_id, event_type, value FROM events),
+        |err AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, ts, max(value) AS purchase_value FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT err.user_id, err.event_id, epoch_us(err.ts) AS err_us,
+        |  epoch_us(pur.ts) AS purchase_us, pur.purchase_value
+        |FROM err ASOF JOIN pur ON err.user_id = pur.user_id AND err.ts >= pur.ts
+        |ORDER BY err.user_id, event_id""".stripMargin,
 
     // q22_approx_distinct intentionally has no oracle: HLL estimates are
     // sketch-implementation-specific (driver falls back to rows-only).

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+
+class TopKPerKeySpec extends SparkTestBase {
+
+  private def custom() = TopKPerKey.topKPerKey(
+    Tables.orders(spark, sf0001),
+    keys = Seq("o_custkey"),
+    order = Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")),
+    k = 3)
+
+  test("custom operator result equals the window row_number formulation") {
+    val viaWindow = SparkEntry.queries("q07_window_rank")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val viaCustom = custom()
+      .select(col("o_custkey"), col("rank").as("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+      .collect().map(_.toSeq).toSeq
+    assert(viaCustom === viaWindow)
+  }
+
+  test("plans as partial + final exec with an exchange between") {
+    val p = custom().queryExecution.executedPlan.toString
+    assert(p.split("TopKPerKey ").length >= 3,
+      s"expected partial+final TopKPerKey nodes, got:\n$p")
+    assert(p.contains("Exchange hashpartitioning(o_custkey"),
+      "no key-clustered exchange between phases")
+  }
+
+  test("partial phase bounds what reaches the shuffle") {
+    // 4 input partitions × ≤3 rows per key each ⇒ the exchange carries at
+    // most 12 rows per key regardless of how many orders a customer has.
+    val n = custom().filter(col("o_custkey") === 0).count()
+    assert(n <= 3)
+  }
+
+  test("rank ties respect the total order (deterministic rerun)") {
+    val a = custom().orderBy("o_custkey", "rank").collect().map(_.toSeq)
+    val b = custom().orderBy("o_custkey", "rank").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}
