@@ -301,6 +301,16 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Sessionization via the built-in session_window (gap 30 min): one
+    // row per (user, session). The oracle rebuilds sessions with
+    // lag + cumulative-sum windows, pinning the gap-merge semantics; the
+    // streaming twin (flatMapGroupsWithState) lives in
+    // graft.streaming.Sessionize.
+    "q25_sessionize" -> ((s, d) => {
+      graft.streaming.Sessionize.batchSessions(s, d)
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Same top-3-per-customer result as q07, but through the custom
     // TopKPerKey physical operator (partial bounded-heap top-k before the
     // shuffle — the map-side combine a window can't do). Oracle-checked
@@ -510,6 +520,19 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, cast(ts as timestamp) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g)
+        |SELECT user_id, cast(seq as int) AS session_seq, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_seq""".stripMargin,
 
     "q24_topk_custom" ->
       """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
