@@ -29,4 +29,14 @@ object DocumentSinks {
     * read instead of name-mangled). */
   def writePartitioned(df: DataFrame, byCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(byCol).parquet(path)
+
+  /** Bucketed catalog table: co-locates rows by hash(key) at write time so
+    * joins/aggregations on the key need no exchange at read time — the
+    * storage layout that removes the shuffle for repeated big-to-big joins
+    * at scale (both sides bucketed on the join key → zipped bucket scan). */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }
