@@ -301,6 +301,45 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Exact median per group (quantity values are integral doubles, so the
+    // 0.5-quantile interpolation is exact in both engines).
+    "q26_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Spread/association statistics, rounded to 4 dp (stddev/corr
+    // accumulate in floating point; both engines agree to ~1e-10 relative,
+    // far inside the rounding).
+    "q27_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          // + 0.0 after rounding: normalizes IEEE -0.0 (DuckDB keeps the
+          // sign of a tiny negative correlation; Spark does not)
+          (round(stddev_samp(col("l_quantity")), 4) + 0.0).as("sd_qty"),
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + 0.0)
+            .as("corr_qty_price"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 4) + 0.0)
+            .as("cov_disc_tax"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Ordered distinct aggregation: per-user alphabet of event types as one
+    // string (collect_set order is engine-internal; sorting makes it a
+    // deterministic, comparable value).
+    "q28_event_type_sets" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Sessionization via the built-in session_window (gap 30 min): one
     // row per (user, session). The oracle rebuilds sessions with
     // lag + cumulative-sum windows, pinning the gap-merge semantics; the
@@ -520,6 +559,23 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q26_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS median_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) + 0.0 AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 4) + 0.0 AS cov_disc_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_event_type_sets" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q25_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, cast(ts as timestamp) AS ts FROM events),
