@@ -55,7 +55,13 @@ object MinHashLSH {
       }: _*)).as(Seq("band", "key")))
   }
 
-  /** Candidate pairs (a_id < b_id) sharing at least one band. */
+  /** Candidate pairs (a_id < b_id) sharing at least one band. The two
+    * join sides re-run the signature pipeline (Catalyst does not reuse
+    * the exchange across join aliases); measured, that recompute beats
+    * both persist() (cache write of the wide arrays costs more than the
+    * recompute) and candidate-pruned re-shingling (extra broadcast +
+    * third pipeline run) at bench scale. On a cluster with a large corpus
+    * the right move is materializing `signatures` as a table first. */
   def candidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int)
       : DataFrame = {
     val ba = bandAssignments(docs, bands, rowsPerBand)
@@ -66,13 +72,18 @@ object MinHashLSH {
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact 3-gram
-    * Jaccard ≥ threshold (the array-HOF Jaccard runs only on the few
-    * surviving candidate pairs). */
+    * Jaccard ≥ threshold. The expensive part of verification is shingling,
+    * so it runs only for documents that appear in a candidate pair: the
+    * candidate id set (tiny after banding) broadcasts into a semi-join
+    * that prunes the corpus BEFORE shingles are computed — at scale this
+    * is the difference between re-shingling the corpus and shingling a few
+    * hundred rows. */
   def nearDuplicates(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      TextFunctions.shingles(col("text"), 3).as("sh"))
-    candidatePairs(docs, bands, rowsPerBand)
+    val cand = candidatePairs(docs, bands, rowsPerBand)
+    val sh = docs
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+    cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .select(col("a_id"), col("b_id"),

@@ -165,6 +165,26 @@ object RagQueries extends QueryPack {
             x => x.getField("line")), "\n---\n").as("report"))
     }),
 
+    // Nested-JSON document roundtrip — the Docling extraction JSON shape
+    // (parser_pinecone_storage.py:157-161: json.load → iterate tables
+    // array): serialize a nested doc record with to_json, parse it back
+    // with from_json against an explicit schema, explode the inner array.
+    // The oracle computes the exploded result directly from the columns,
+    // pinning the roundtrip's semantics rather than its wire format.
+    "r12_json_tables" -> ((s, d) => {
+      val jsonSchema = org.apache.spark.sql.types.DataType
+        .fromDDL("doc_id bigint, tables array<string>")
+      Tables.documents(s, d)
+        .select(to_json(struct(
+          col("doc_id"),
+          transform(sequence(lit(0), pmod(col("doc_id"), lit(3))),
+            i => concat(lit("table_"), i)).as("tables"))).as("j"))
+        .select(from_json(col("j"), jsonSchema).as("doc"))
+        .select(col("doc.doc_id").as("doc_id"),
+          posexplode(col("doc.tables")).as(Seq("table_idx", "table_name")))
+        .orderBy("doc_id", "table_idx")
+    }),
+
     // Report-row assembly: the oracle_sequential_search pipeline
     // (ra/agent.py:151-191) as a UNION ALL of tool-output sections, numeric
     // fields emitted as integers (basis points) for exact parity.
@@ -281,6 +301,13 @@ object RagQueries extends QueryPack {
           |    printf('vec %d sim_bp %d', vec_id, cast(round(sim * 10000) as bigint)) AS content
           |  FROM topk)
           |ORDER BY section, content""".stripMargin),
+
+    "r12_json_tables" ->
+      """SELECT doc_id, cast(r.range as int) AS table_idx,
+        |  'table_' || cast(r.range as varchar) AS table_name
+        |FROM documents, range(0, 4) r
+        |WHERE r.range <= doc_id % 3
+        |ORDER BY doc_id, table_idx""".stripMargin,
 
     "r10_query_classify" ->
       """SELECT q, CASE WHEN regexp_matches(q, '^[\d.]+$') THEN 'arxiv_id' ELSE 'topic' END AS kind
