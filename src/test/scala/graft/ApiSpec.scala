@@ -1,0 +1,40 @@
+package graft
+
+class ApiSpec extends SparkTestBase {
+
+  test("listDocuments catalogs every source once") {
+    val cat = Api.listDocuments(spark, sf0001)
+    assert(cat.count() === cat.select("source").distinct().count())
+    assert(cat.count() > 0)
+  }
+
+  test("ragSearch by text query returns k ranked joined rows") {
+    val r = Api.ragSearch(spark, sf0001, "spark window join", k = 10)
+      .collect()
+    assert(r.length === 10)
+    val sims = r.map(_.getDouble(r.head.fieldIndex("sim")))
+    assert(sims.sameElements(sims.sorted.reverse), "not ranked desc")
+    assert(r.forall(_.getString(2).length <= 50), "title not truncated")
+    assert(r.forall(_.getString(3).length <= 200), "content not truncated")
+  }
+
+  test("searchByTopic scores and limits") {
+    val r = Api.searchByTopic(spark, sf0001, Seq("spark", "join"), n = 5)
+      .collect()
+    assert(r.length === 5)
+    assert(r.forall(_.getInt(2) > 0))
+  }
+
+  test("extractField filters non-matches") {
+    val r = Api.extractField(spark, sf0001, "spark ([a-z]+)").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getString(1).nonEmpty))
+  }
+
+  test("assembleReport has all three sections") {
+    val sections = Api.assembleReport(spark, sf0001, "spark join")
+      .select("section").distinct().collect().map(_.getString(0)).toSet
+    assert(sections === Set("introduction", "keyword_search",
+      "similarity_search"))
+  }
+}
