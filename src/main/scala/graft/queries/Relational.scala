@@ -301,6 +301,41 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Pivot: event counts per user × explicit event-type columns (explicit
+    // value list keeps the output schema static, as required at scale).
+    "q29_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // Unpivot/melt: wide lineitem measures to (measure, value) rows.
+    "q30_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+    }),
+
+    // Deterministic sampling: a content-hash Bernoulli sample (hash60 of
+    // the key mod 100) — reproducible across engines, partitionings, and
+    // reruns, unlike rand()-based df.sample.
+    "q31_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(pmod(graft.functions.CrossHash.hash60(
+          col("doc_id").cast("string")), lit(100L)) < 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Exact median per group (quantity values are integral doubles, so the
     // 0.5-quantile interpolation is exact in both engines).
     "q26_median" -> ((s, d) => {
@@ -559,6 +594,27 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q29_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
+
+    "q31_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE cast('0x' || substring(md5(cast(doc_id as varchar)), 2, 15) as bigint) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
 
     "q26_median" ->
       """SELECT l_returnflag, median(l_quantity) AS median_qty, count(*) AS n
