@@ -54,10 +54,10 @@ object Api {
     * the engine analog of the SerpAPI tool (num=5 at ra/agent.py:103). */
   def searchByTopic(spark: SparkSession, dir: String, terms: Seq[String],
       n: Int = 5): DataFrame = {
-    val t = TextFunctions.tokens(col("text"))
-    val score = terms
-      .map(term => size(filter(t, x => x === term)))
-      .reduce(_ + _)
+    // let-bound so split(text) evaluates once per row, not once per term
+    val score = TextFunctions.bound(TextFunctions.tokens(col("text"))) { t =>
+      terms.map(term => size(filter(t, x => x === term))).reduce(_ + _)
+    }
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), score.as("score"))
       .filter(col("score") > 0)

@@ -26,8 +26,14 @@ object SparkEntry {
     queries("r02_rag_search")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.defs).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.defs)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    // toMap would silently shadow a colliding name with whichever pack
+    // comes last — fail loudly instead
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

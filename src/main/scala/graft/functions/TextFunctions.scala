@@ -49,7 +49,7 @@ object TextFunctions {
     * shingling re-ran split(text) per element_at, 150 cpu-seconds for
     * 260k shingles). `transform` binds its lambda variable to the
     * evaluated value, so wrapping v in a 1-element array buys a real let. */
-  private def bound(v: Column)(f: Column => Column): Column =
+  def bound(v: Column)(f: Column => Column): Column =
     element_at(transform(array(v), f), 1)
 
   /** Word n-gram shingles; whole text if fewer than n tokens.
@@ -120,12 +120,13 @@ object TextFunctions {
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
   /** Ratio of tokens that are stopwords.
-    * DuckDB: len(list_filter(t, x -> x in (...))) / greatest(len(t),1). */
-  def stopwordRatio(text: Column, stops: Seq[String] = StopwordsEn): Column = {
-    val t = tokens(text)
-    size(filter(t, x => x.isin(stops.map(s => s: Any): _*))).cast("double") /
-      greatest(size(t), lit(1)).cast("double")
-  }
+    * DuckDB: len(list_filter(t, x -> x in (...))) / greatest(len(t),1).
+    * Token array is let-bound so split(text) runs once, not twice. */
+  def stopwordRatio(text: Column, stops: Seq[String] = StopwordsEn): Column =
+    bound(tokens(text)) { t =>
+      size(filter(t, x => x.isin(stops.map(s => s: Any): _*))).cast("double") /
+        greatest(size(t), lit(1)).cast("double")
+    }
 
   /** Punctuation character ratio. DuckDB: identical regexp_replace form. */
   def punctRatio(text: Column): Column =

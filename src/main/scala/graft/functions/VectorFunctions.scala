@@ -44,28 +44,40 @@ object VectorFunctions {
     graft.plans.CosineSimExpr.cosine_sim(a, b)
 
   /** Pseudo-random hyperplane weights for signed random projection,
-    * derived from md5 so DuckDB can regenerate the identical planes:
-    * w(p, i) = (hash60("srp#p#i") % 2000001) / 1e6 - 1.0  ∈ [-1, 1].
-    * Computed once on the driver and inlined as array literals. */
-  def srpWeights(dim: Int, planes: Int): Array[Array[Double]] =
+    * derived from md5 so DuckDB can regenerate the identical planes.
+    * INTEGER weights: w(p, i) = hash60("srp#p#i") % 2000001 − 1000000
+    * ∈ [−1e6, 1e6] — the plane is the same direction as the real-valued
+    * w/1e6 form, but integer arithmetic makes the projection sign exact. */
+  def srpWeights(dim: Int, planes: Int): Array[Array[Long]] =
     Array.tabulate(planes) { p =>
       Array.tabulate(dim) { i =>
-        (CrossHash.md5Hash60(s"srp#$p#$i") % 2000001L).toDouble / 1e6 - 1.0
+        CrossHash.md5Hash60(s"srp#$p#$i") % 2000001L - 1000000L
       }
     }
 
   /** Signed-random-projection signature: bit p of the result is 1 iff
-    * dot(v, plane_p) > 0, packed into a BIGINT. Vectors that collide on the
-    * signature are near-neighbour candidates: this buckets an O(n²)
-    * similarity self-join into per-bucket joins, the scale path for
-    * approximate nearest-neighbour search (brute force stays as the
-    * correctness baseline). Deterministic and DuckDB-reproducible. */
+    * dot(quantize(v), plane_p) > 0, packed into a BIGINT. Vectors that
+    * collide on the signature are near-neighbour candidates: this buckets
+    * an O(n²) similarity self-join into per-bucket joins, the scale path
+    * for approximate nearest-neighbour search.
+    *
+    * The embedding is quantized to round(x·1e6) BIGINTs first, so every
+    * dot product is an exact integer sum — associative, hence identical
+    * across partitionings AND across engines regardless of summation
+    * order (a float fold could flip a near-zero projection's sign between
+    * Spark's sequential fold and DuckDB's aggregate). |terms| ≤ 64·1e12,
+    * well inside BIGINT. The quantized vector is let-bound so it is
+    * computed once per row, not once per plane. */
   def srpSignature(v: Column, dim: Int, planes: Int): Column = {
     val w = srpWeights(dim, planes)
-    val bits = (0 until planes).map { p =>
-      val plane = array(w(p).map(x => lit(x)): _*)
-      when(dotHof(v, plane) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    TextFunctions.bound(
+      transform(v, x => round(x.cast("double") * 1e6).cast("long"))) { q =>
+      (0 until planes).map { p =>
+        val plane = array(w(p).map(x => lit(x)): _*)
+        val dot = aggregate(
+          zip_with(q, plane, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        when(dot > 0L, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
-    bits.reduce(_ + _)
   }
 }

@@ -53,7 +53,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val y  = b.asInstanceOf[ArrayData]
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
-    val n  = math.min(x.numElements(), y.numElements())
+    // dimension mismatch → null (cosineHof's zip_with padding yields null
+    // too; DuckDB's list_cosine_similarity errors — a silent prefix match
+    // would hide a mis-sized query vector)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
@@ -76,17 +80,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val getX = CodeGenerator.getValue(a, elemType(left), i)
       val getY = CodeGenerator.getValue(b, elemType(right), i)
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $xi = (double) $getX;
-        |  double $yi = (double) $getY;
-        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-        |}
-        |if ($na == 0.0 || $nb == 0.0) {
+        |if ($a.numElements() != $b.numElements()) {
         |  ${ev.isNull} = true;
         |} else {
-        |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |  int $n = $a.numElements();
+        |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $xi = (double) $getX;
+        |    double $yi = (double) $getY;
+        |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |  }
+        |  if ($na == 0.0 || $nb == 0.0) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |  }
         |}
       """.stripMargin
     })

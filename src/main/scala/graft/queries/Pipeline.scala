@@ -49,9 +49,9 @@ object Pipeline extends QueryPack {
       s"""WITH t AS (SELECT doc_id, source, text,
          |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
          |  FROM documents),
-         |c AS (SELECT doc_id, source, cast(r.range as int) AS chunk_idx,
-         |    substring(text, cast(r.range as int) * 100 + 1, 120) AS chunk
-         |  FROM t, range(0, 64) r WHERE r.range < t.nc)
+         |c AS (SELECT doc_id, source, cast(i as int) AS chunk_idx,
+         |    substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+         |  FROM (SELECT doc_id, source, text, unnest(range(0, nc)) AS i FROM t))
          |SELECT doc_id, chunk_idx,
          |  concat_ws('_', source, 'text', chunk_idx) AS vec_key,
          |  ${graft.functions.CrossHash.duckHash60("concat_ws('_', doc_id, chunk_idx, chunk)")} AS vec_uid,

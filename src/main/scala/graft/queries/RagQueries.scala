@@ -71,16 +71,11 @@ object RagQueries extends QueryPack {
 
     // Keyword search analog of the web_search tool (ra/agent.py:97-106):
     // term-occurrence scoring over the corpus, top-5 (reference "num": 5).
+    // Delegates to the Api primitive so query and contract share one
+    // scoring implementation.
     "r04_keyword_search" -> ((s, d) => {
-      val t = TextFunctions.tokens(col("text"))
-      val score = (size(filter(t, x => x === "spark")) +
-        size(filter(t, x => x === "join")) +
-        size(filter(t, x => x === "stream"))).as("score")
-      Tables.documents(s, d)
-        .select(col("doc_id"), score)
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(5)
+      graft.Api.searchByTopic(s, d, Seq("spark", "join", "stream"), 5)
+        .select("doc_id", "score")
     }),
 
     // Regex field extraction — the fetch_arxiv abstract regex
@@ -192,14 +187,8 @@ object RagQueries extends QueryPack {
       val intro = s.range(1).select(
         lit("introduction").as("section"),
         lit("Research report for query: spark window join").as("content"))
-      val t = TextFunctions.tokens(col("text"))
-      val score = (size(filter(t, x => x === "spark")) +
-        size(filter(t, x => x === "join")) +
-        size(filter(t, x => x === "stream"))).as("score")
-      val kw = Tables.documents(s, d)
-        .select(col("doc_id"), score)
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id")).limit(3)
+      val kw = graft.Api
+        .searchByTopic(s, d, Seq("spark", "join", "stream"), 3)
         .select(lit("keyword_search").as("section"),
           format_string("doc %d score %d", col("doc_id"), col("score"))
             .as("content"))
@@ -256,9 +245,9 @@ object RagQueries extends QueryPack {
       """WITH t AS (SELECT doc_id, text,
         |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
         |  FROM documents)
-        |SELECT doc_id, cast(r.range as int) AS chunk_idx,
-        |  substring(text, cast(r.range as int) * 100 + 1, 120) AS chunk
-        |FROM t, range(0, 64) r WHERE r.range < t.nc
+        |SELECT doc_id, cast(i as int) AS chunk_idx,
+        |  substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+        |FROM (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM t)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "r07_vector_ids" ->
@@ -266,9 +255,9 @@ object RagQueries extends QueryPack {
         |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, source, cast(r.range as int) AS chunk_idx,
-        |    substring(text, cast(r.range as int) * 100 + 1, 120) AS chunk
-        |  FROM t, range(0, 64) r WHERE r.range < t.nc)
+        |  SELECT doc_id, source, cast(i as int) AS chunk_idx,
+        |    substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+        |  FROM (SELECT doc_id, source, text, unnest(range(0, nc)) AS i FROM t))
         |SELECT doc_id, chunk_idx,
         |  concat_ws('_', source, 'text', chunk_idx) AS vec_key,
         |  cast('0x' || substring(md5(concat_ws('_', doc_id, chunk_idx, chunk)), 2, 15) as bigint) AS vec_uid

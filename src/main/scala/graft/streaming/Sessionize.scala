@@ -58,18 +58,23 @@ object Sessionize {
             state.remove()
             done.iterator.map(s => Sess(user, s.start_us, s.end_us, s.n))
           } else {
-            // merge incoming events into gap-separated sessions
+            // merge incoming events into gap-separated sessions. An event
+            // may fall into ANY open session (watermark-valid out-of-order
+            // arrivals across micro-batches), and may bridge two sessions —
+            // partition + fold merges every overlapping session. Strict
+            // bounds: an event exactly gap-away opens a new session,
+            // matching session_window's [t, t+gap) windows.
             val incoming = events.map(_.ts_us).toArray.sorted
             var sessions = state.getOption.getOrElse(Nil)
             incoming.foreach { t =>
-              sessions = sessions match {
-                // strict <: an event exactly gap after the session end opens
-                // a new session, matching session_window's [t, t+gap) windows
-                case h :: rest if t >= h.start_us - gapUs && t < h.end_us + gapUs =>
-                  SessState(math.min(h.start_us, t), math.max(h.end_us, t),
-                    h.n + 1) :: rest
-                case other => SessState(t, t, 1) :: other
+              val (overlapping, rest) = sessions.partition(sess =>
+                t > sess.start_us - gapUs && t < sess.end_us + gapUs)
+              val merged = overlapping.foldLeft(SessState(t, t, 1)) {
+                (acc, sess) =>
+                  SessState(math.min(acc.start_us, sess.start_us),
+                    math.max(acc.end_us, sess.end_us), acc.n + sess.n)
               }
+              sessions = merged :: rest
             }
             val wm = state.getCurrentWatermarkMs() * 1000L
             val (closed, open) = sessions.partition(_.end_us + gapUs < wm)

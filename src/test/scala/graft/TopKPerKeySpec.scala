@@ -32,10 +32,25 @@ class TopKPerKeySpec extends SparkTestBase {
   }
 
   test("partial phase bounds what reaches the shuffle") {
-    // 4 input partitions × ≤3 rows per key each ⇒ the exchange carries at
-    // most 12 rows per key regardless of how many orders a customer has.
-    val n = custom().filter(col("o_custkey") === 0).count()
-    assert(n <= 3)
+    // Execute the partial exec node itself (AQE off so the plan tree is
+    // traversable) and count what it would send into the exchange: it must
+    // be strictly less than the input and ≤ k · keys · inputPartitions.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = custom().queryExecution.executedPlan
+      val partials = plan.collect {
+        case t: graft.plans.TopKPerKeyExec if t.partial => t
+      }
+      assert(partials.nonEmpty, s"no partial TopKPerKeyExec in:\n$plan")
+      val partialRows = partials.head.execute().count()
+      val input = Tables.orders(spark, sf0001).count()
+      val keys = Tables.orders(spark, sf0001)
+        .select("o_custkey").distinct().count()
+      val parts = partials.head.child.execute().getNumPartitions
+      assert(partialRows < input, "partial phase forwarded every row")
+      assert(partialRows <= 3 * keys * parts)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("rank ties respect the total order (deterministic rerun)") {

@@ -76,8 +76,15 @@ class VectorFunctionsSpec extends SparkTestBase {
   test("srp weights are reproducible from the seeded hash") {
     val w = VectorFunctions.srpWeights(4, 2)
     assert(w.length === 2 && w(0).length === 4)
-    assert(w.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    assert(w.flatten.forall(x => x >= -1000000L && x <= 1000000L))
     assert(w(0)(0) ===
-      (graft.functions.CrossHash.md5Hash60("srp#0#0") % 2000001L).toDouble / 1e6 - 1.0)
+      graft.functions.CrossHash.md5Hash60("srp#0#0") % 2000001L - 1000000L)
+  }
+
+  test("mismatched-dimension inputs give null, not a prefix cosine") {
+    val r = Seq((Seq(1.0), Seq(1.0, 9.9))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Option[Double]].head()
+    assert(r.isEmpty)
   }
 }
