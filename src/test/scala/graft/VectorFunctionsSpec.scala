@@ -81,6 +81,22 @@ class VectorFunctionsSpec extends SparkTestBase {
       graft.functions.CrossHash.md5Hash60("srp#0#0") % 2000001L - 1000000L)
   }
 
+  test("all similarities on real data lie in [-1, 1]") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val out = e.crossJoin(broadcast(q))
+      .select(VectorFunctions.cosine(col("embedding"), col("qv")).as("c"))
+      .filter(col("c") < -1.0000001 || col("c") > 1.0000001)
+    assert(out.count() === 0)
+  }
+
+  test("top-k is a prefix of top-(k+1)") {
+    def ids(k: Int): Seq[Long] =
+      Api.ragSearch(spark, sf0001, "spark window join", k = k)
+        .select("vec_id").as[Long].collect().toSeq
+    assert(ids(6).take(5) === ids(5))
+  }
+
   test("mismatched-dimension inputs give null, not a prefix cosine") {
     val r = Seq((Seq(1.0), Seq(1.0, 9.9))).toDF("a", "b")
       .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
