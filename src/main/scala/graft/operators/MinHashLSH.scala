@@ -91,19 +91,21 @@ object MinHashLSH {
       .filter(col("jacc") >= threshold)
   }
 
-  /** Oracle-side CTEs reproducing [[signatures]] in DuckDB SQL. */
-  def duckSignatureCtes(k: Int): String = {
+  /** Oracle-side CTE bodies reproducing [[signatures]] in DuckDB SQL
+    * (no leading WITH; `prefix` namespaces the CTEs so several sketch
+    * pipelines compose in one statement). Final CTE: `${prefix}sig`. */
+  def duckSignatureCtes(k: Int, prefix: String = ""): String = {
     val mins = (0 until k)
       .map(j => s"min((h * ${aCoef(j)} + ${bCoef(j)}) % $P) AS m$j")
       .mkString(",\n  ")
-    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-       |shl AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [text]
+    s"""${prefix}tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |${prefix}shl AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [text]
        |  ELSE list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END AS sh
-       |  FROM tok),
-       |flat AS (SELECT doc_id, ${CrossHash.duckHash60("s.s")} % $P AS h
-       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl) s),
-       |sig AS (SELECT doc_id,
+       |  FROM ${prefix}tok),
+       |${prefix}flat AS (SELECT doc_id, ${CrossHash.duckHash60("s.s")} % $P AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM ${prefix}shl) s),
+       |${prefix}sig AS (SELECT doc_id,
        |  $mins
-       |  FROM flat GROUP BY doc_id)""".stripMargin
+       |  FROM ${prefix}flat GROUP BY doc_id)""".stripMargin
   }
 }

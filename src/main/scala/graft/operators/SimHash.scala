@@ -50,19 +50,21 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Oracle-side CTEs reproducing [[signatures]] in DuckDB SQL. */
-  def duckSignatureCtes: String = {
+  /** Oracle-side CTE bodies reproducing [[signatures]] in DuckDB SQL
+    * (no leading WITH; `prefix` namespaces the CTEs so several sketch
+    * pipelines compose). Final CTE: `${prefix}sigs`. */
+  def duckSignatureCtes(prefix: String = ""): String = {
     val votes = (0 until Bits)
       .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n  ")
     val bits = (0 until Bits)
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH flat AS (SELECT doc_id, ${CrossHash.duckHash60("u.tok")} AS h
+    s"""${prefix}flat AS (SELECT doc_id, ${CrossHash.duckHash60("u.tok")} AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
-       |votes AS (SELECT doc_id,
+       |${prefix}votes AS (SELECT doc_id,
        |  $votes
-       |  FROM flat GROUP BY doc_id),
-       |sigs AS (SELECT doc_id, cast($bits as bigint) AS simhash FROM votes)""".stripMargin
+       |  FROM ${prefix}flat GROUP BY doc_id),
+       |${prefix}sigs AS (SELECT doc_id, cast($bits as bigint) AS simhash FROM ${prefix}votes)""".stripMargin
   }
 }

@@ -55,6 +55,12 @@ object DedupQueries extends QueryPack {
       SimHash.nearPairs(Tables.documents(s, d)).orderBy("a_id", "b_id")
     }),
 
+    // Composed cleaning verdict: all sketch signals per document.
+    "d06_dedup_summary" -> ((s, d) => {
+      graft.operators.DedupPipeline.summary(Tables.documents(s, d))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: label-blocked self-join (same label ⇒
     // candidate), cosine ≥ 0.35. Blocking keeps the join an equi-join.
     "d05_embedding_near_dup" -> ((s, d) => {
@@ -74,11 +80,50 @@ object DedupQueries extends QueryPack {
     val bandRows = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM sig")
       .mkString("\n  UNION ALL ")
-    MinHashLSH.duckSignatureCtes(12) + s""",
+    "WITH " + MinHashLSH.duckSignatureCtes(12) + s""",
       |bands AS (\n  $bandRows)""".stripMargin
   }
 
+  private val dedupSummaryOracle = {
+    val mhBandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM mh_sig")
+      .mkString("\n  UNION ALL ")
+    "WITH " + MinHashLSH.duckSignatureCtes(12, "mh_") + s""",
+      |mh_bands AS (\n  $mhBandRows),
+      |mh_cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM mh_bands a JOIN mh_bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |mh_pairs AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id,
+      |    round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
+      |        / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) as double), 6) AS jacc
+      |  FROM mh_cand JOIN mh_shl sa ON sa.doc_id = a_id JOIN mh_shl sb ON sb.doc_id = b_id)
+      |  WHERE jacc >= 0.2),
+      |mh_docs AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT a_id AS doc_id FROM mh_pairs UNION ALL SELECT b_id FROM mh_pairs)),
+      |""".stripMargin + SimHash.duckSignatureCtes("sh_") + """,
+      |sh_bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
+      |  FROM sh_sigs, range(0, 4) b),
+      |sh_cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh_bands a JOIN sh_bands b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |sh_docs AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT a_id AS doc_id FROM sh_cand UNION ALL SELECT b_id FROM sh_cand)),
+      |ex AS (SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) <> doc_id AS is_exact_dup
+      |  FROM documents)
+      |SELECT ex.doc_id, ex.is_exact_dup,
+      |  (mh_docs.doc_id IS NOT NULL) AS near_minhash,
+      |  (sh_docs.doc_id IS NOT NULL) AS near_simhash,
+      |  NOT ex.is_exact_dup AS keep
+      |FROM ex
+      |LEFT JOIN mh_docs ON ex.doc_id = mh_docs.doc_id
+      |LEFT JOIN sh_docs ON ex.doc_id = sh_docs.doc_id
+      |ORDER BY ex.doc_id""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "d06_dedup_summary" -> dedupSummaryOracle,
+
     "d01_exact_dedup" ->
       """SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup FROM (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
@@ -96,11 +141,11 @@ object DedupQueries extends QueryPack {
         |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
 
     "d03_simhash" ->
-      (SimHash.duckSignatureCtes +
+      ("WITH " + SimHash.duckSignatureCtes() +
         "\nSELECT doc_id, simhash FROM sigs ORDER BY doc_id"),
 
     "d04_simhash_pairs" ->
-      (SimHash.duckSignatureCtes + """,
+      ("WITH " + SimHash.duckSignatureCtes() + """,
         |bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
         |  FROM sigs, range(0, 4) b),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
