@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,6 +79,41 @@ object TextAnalysis extends QueryPack {
         .select(col("doc_id"),
           TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: top-20 terms by global frequency (flat explode →
+    // codegen'd count aggregation, the canonical word-count at scale).
+    "t05_term_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(20)
+    }),
+
+    // TF-IDF: top term per document. tf = in-doc count, idf = ln(N/df)
+    // over distinct-term document frequency; the score is rounded (ln is
+    // the one libm-dependent step) and ties break on the term.
+    "t06_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+          .as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.distinct().groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") /
+            col("df").cast("double")), 6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "term", "score")
+        .orderBy("doc_id")
     })
   )
 
@@ -124,6 +160,24 @@ object TextAnalysis extends QueryPack {
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
          |    i -> ${graft.functions.CrossHash.duckHash60("substring(text, cast(i as int), 8)")})) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t05_term_freq" ->
+      """SELECT term, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY freq DESC, term LIMIT 20""".stripMargin,
+
+    "t06_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term,
+        |    round(tf * ln(cast(n_docs as double) / cast(df as double)), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }
