@@ -55,19 +55,24 @@ object MinHashLSH {
       }: _*)).as(Seq("band", "key")))
   }
 
-  /** Candidate pairs (a_id < b_id) sharing at least one band. The two
-    * join sides re-run the signature pipeline (Catalyst does not reuse
-    * the exchange across join aliases); measured, that recompute beats
-    * both persist() (cache write of the wide arrays costs more than the
-    * recompute) and candidate-pruned re-shingling (extra broadcast +
-    * third pipeline run) at bench scale. On a cluster with a large corpus
-    * the right move is materializing `signatures` as a table first. */
+  /** Candidate pairs (a_id < b_id) sharing at least one band. Instead of
+    * a band self-join (which would run the whole signature pipeline once
+    * per join side — Catalyst does not reuse the exchange across join
+    * aliases), buckets aggregate their member ids and pairs explode
+    * in-bucket: ONE signature pipeline, one groupBy shuffle, pairwise work
+    * confined to each bucket's (tiny) id list. This is also the plan shape
+    * that survives scale — the shuffle carries (band, key, ids), never a
+    * joined row per collision. */
   def candidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int)
       : DataFrame = {
-    val ba = bandAssignments(docs, bands, rowsPerBand)
-    ba.as("a").join(ba.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    bandAssignments(docs, bands, rowsPerBand)
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 

@@ -33,19 +33,30 @@ object SimHash {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup candidate pairs via 8-bit band equi-join + exact Hamming
-    * filter; recall is exact for radius ≤ bands−1 by pigeonhole. */
+  /** Near-dup candidate pairs via 8-bit band bucketing + exact Hamming
+    * filter; recall is exact for radius ≤ bands−1 by pigeonhole. Buckets
+    * aggregate (doc_id, simhash) members and pairs explode in-bucket —
+    * one signature pipeline, one groupBy shuffle (see
+    * [[MinHashLSH.candidatePairs]] for the rationale). */
   def nearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = signatures(docs)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
-        .as(Seq("band", "key")))
-    bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("int").as("hamming"))
+    sigs
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "key")))
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.getField("doc_id").as("a_id"),
+            y.getField("doc_id").as("b_id"),
+            bit_count(x.getField("simhash")
+              .bitwiseXOR(y.getField("simhash"))).cast("int")
+              .as("hamming")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
