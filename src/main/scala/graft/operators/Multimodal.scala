@@ -81,4 +81,67 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Output schema of [[resize]]: original + target geometry + payload. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Resize stub: same mapPartitions shape a real image scaler has — reads
+    * the decoded geometry, emits the target geometry plus a payload whose
+    * size scales with the target area (deterministic byte subsample; a real
+    * codec would re-encode pixels). */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val enc = ExpressionEncoder(resizedSchema)
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, _) = FakeCodec.decode(r.getString(1), payload)
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val nw = math.max(1, (w * scale).toInt)
+          val nh = math.max(1, (h * scale).toInt)
+          val outLen =
+            math.max(1, ((if (payload == null) 1 else payload.length)
+              * scale * scale).toInt)
+          Row(r.getLong(0), nw, nh,
+            if (payload == null) Array.empty[Byte]
+            else payload.take(outLen))
+        }
+      }(enc)
+  }
+
+  /** Output schema of [[sampleFrames]]: one row per sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame-sampling stub: treats the payload as `nFrames` equal segments
+    * and emits every `stride`-th — the flatMap row-explosion shape of a
+    * real video frame sampler (one row in, many typed rows out, still
+    * partition-local, no shuffle). */
+  def sampleFrames(media: DataFrame, nFrames: Int, stride: Int): DataFrame = {
+    val enc = ExpressionEncoder(frameSchema)
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null || payload.isEmpty) Iterator.empty
+          else {
+            val segLen = math.max(1, payload.length / nFrames)
+            (0 until nFrames by stride).iterator
+              .filter(i => i * segLen < payload.length)
+              .map { i =>
+                Row(r.getLong(0), i,
+                  payload.slice(i * segLen,
+                    math.min(payload.length, (i + 1) * segLen)))
+              }
+          }
+        }
+      }(enc)
+  }
 }

@@ -50,6 +50,16 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-bucketed ANN: 16 deterministic centroid cells, 2-cell probe,
+    // top-3 by cosine inside the probed cells (graft.operators.IvfIndex;
+    // integer-exact cell assignment so the layout is oracle-checkable).
+    "s03_ann_ivf" -> ((s, d) => {
+      graft.operators.IvfIndex
+        .search(Tables.embeddings(s, d), col("vec_id") < 5,
+          k = 16, nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Brute-force similarity self-join: exact top-3 neighbours for query
     // vectors 0..9 (cross-join against a broadcast query set + windowed
     // rank — the SURVEY §2.3 similarity-join composition).
@@ -100,6 +110,31 @@ object Similarity extends QueryPack {
         |  FROM cand)
         |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
+
+    "s03_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q WHERE vec_id < 16),
+        |dists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, cents c),
+        |ranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM dists),
+        |assign AS (SELECT vec_id, cent_id FROM ranks WHERE rk = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id FROM ranks WHERE vec_id < 5 AND rk <= 2),
+        |cand AS (SELECT p.q_id, a.vec_id,
+        |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+        |  JOIN embeddings eq ON eq.vec_id = p.q_id
+        |  JOIN embeddings ev ON ev.vec_id = a.vec_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     "s02_sim_join_topk" ->
       """WITH cand AS (SELECT q.vec_id AS q_id, c.vec_id,

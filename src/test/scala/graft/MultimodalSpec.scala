@@ -24,4 +24,30 @@ class MultimodalSpec extends SparkTestBase {
     val b = Multimodal.FakeCodec.decode("text/plain", "hello".getBytes)
     assert(a._1 === b._1 && a._2 === b._2 && a._3.toSeq === b._3.toSeq)
   }
+
+  test("resize bounds geometry and shrinks the payload") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(20)
+    val sizes = media.collect()
+      .map(r => r.getAs[Array[Byte]]("payload").length).toSeq
+    val out = Multimodal.resize(media, 64, 64).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") <= 64 && r.getAs[Int]("height") <= 64)
+    }
+    val outSizes = out.map(_.getAs[Array[Byte]]("payload").length).toSeq
+    assert(outSizes.sum <= sizes.sum)
+  }
+
+  test("frame sampling explodes each payload into strided segments") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(5)
+    val frames = Multimodal.sampleFrames(media, nFrames = 8, stride = 2)
+      .collect()
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId.size === 5)
+    byId.values.foreach { fs =>
+      val idxs = fs.map(_.getAs[Int]("frame_idx")).sorted.toSeq
+      assert(idxs.forall(_ % 2 === 0), "stride not respected")
+      assert(fs.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
+    }
+  }
 }
