@@ -56,6 +56,15 @@ object EventStream {
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup by event_id: duplicates arriving within the
+    * watermark are dropped with bounded state
+    * (dropDuplicatesWithinWatermark — the streaming twin of the batch
+    * dedup family in graft.operators). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the streaming aggregation to completion against a static fixture
     * (AvailableNow drains all files then stops) into an in-memory table;
     * returns the result as a DataFrame. */
@@ -66,6 +75,18 @@ object EventStream {
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Drain the streaming dedup once against the static fixture. */
+  def runDedupOnce(spark: SparkSession, dir: String,
+      queryName: String = "graft_dedup"): DataFrame = {
+    val q = dedupedEvents(readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -15,4 +15,13 @@ class StreamingSpec extends SparkTestBase {
       batch.map(_.map(String.valueOf(_))))
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup by event_id keeps exactly the distinct ids") {
+    val streamed = EventStream
+      .runDedupOnce(spark, sf0001, "graft_dedup_spec")
+    val distinctIds = Tables.events(spark, sf0001)
+      .select("event_id").distinct().count()
+    assert(streamed.count() === distinctIds)
+    assert(streamed.select("event_id").distinct().count() === distinctIds)
+  }
 }
