@@ -55,6 +55,12 @@ object VectorFunctions {
       }
     }
 
+  /** round(x·1e6) integer quantization — the shared cross-engine step that
+    * makes SRP projections and IVF cell distances exact integer sums
+    * (DuckDB: `cast(round(cast(x as double) * 1000000.0) as bigint)`). */
+  def quantize1e6(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
   /** Signed-random-projection signature: bit p of the result is 1 iff
     * dot(quantize(v), plane_p) > 0, packed into a BIGINT. Vectors that
     * collide on the signature are near-neighbour candidates: this buckets
@@ -70,8 +76,7 @@ object VectorFunctions {
     * computed once per row, not once per plane. */
   def srpSignature(v: Column, dim: Int, planes: Int): Column = {
     val w = srpWeights(dim, planes)
-    TextFunctions.bound(
-      transform(v, x => round(x.cast("double") * 1e6).cast("long"))) { q =>
+    TextFunctions.bound(quantize1e6(v)) { q =>
       (0 until planes).map { p =>
         val plane = array(w(p).map(x => lit(x)): _*)
         val dot = aggregate(

@@ -26,10 +26,6 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
-  /** round(x·1e6) integer quantization (shared with the SRP path). */
-  def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
-
   private def intDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
@@ -45,7 +41,7 @@ object IvfIndex {
     * home cell; ranks ≤ nProbe are the probe set. */
   def cellRanks(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.select(col("vec_id"), col("embedding"),
-      quantize(col("embedding")).as("qe"))
+      VectorFunctions.quantize1e6(col("embedding")).as("qe"))
     val cents = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("qe").as("qc"))
     val w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")

@@ -58,21 +58,24 @@ object MinHashLSH {
   /** Candidate pairs (a_id < b_id) sharing at least one band. Instead of
     * a band self-join (which would run the whole signature pipeline once
     * per join side — Catalyst does not reuse the exchange across join
-    * aliases), buckets aggregate their member ids and pairs explode
-    * in-bucket: ONE signature pipeline, one groupBy shuffle, pairwise work
-    * confined to each bucket's (tiny) id list. This is also the plan shape
-    * that survives scale — the shuffle carries (band, key, ids), never a
-    * joined row per collision. */
+    * aliases), buckets aggregate their member ids and pairs stream out of
+    * two nested explodes: the first emits one row per member (carrying the
+    * bucket's id array), the second emits that member's greater partners.
+    * ONE signature pipeline, one groupBy shuffle, and — critically — no
+    * row ever holds more than one bucket's id LIST (O(m) per row, never
+    * the O(m²) pair array a single flatten would materialize; a 100k-dup
+    * boilerplate cluster stays ~1 MB/row instead of hundreds of GB). */
   def candidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int)
       : DataFrame = {
     bandAssignments(docs, bands, rowsPerBand)
       .groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      .select(col("ids"),
+        posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b_id"))
       .distinct()
   }
 

@@ -35,9 +35,10 @@ object SimHash {
 
   /** Near-dup candidate pairs via 8-bit band bucketing + exact Hamming
     * filter; recall is exact for radius ≤ bands−1 by pigeonhole. Buckets
-    * aggregate (doc_id, simhash) members and pairs explode in-bucket —
-    * one signature pipeline, one groupBy shuffle (see
-    * [[MinHashLSH.candidatePairs]] for the rationale). */
+    * aggregate (doc_id, simhash) members and pairs stream out of two
+    * nested explodes — one signature pipeline, one groupBy shuffle, and no
+    * row ever materializes a bucket's quadratic pair array (see
+    * [[MinHashLSH.candidatePairs]] for the memory argument). */
   def nearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = signatures(docs)
     sigs
@@ -49,14 +50,13 @@ object SimHash {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.getField("doc_id").as("a_id"),
-            y.getField("doc_id").as("b_id"),
-            bit_count(x.getField("simhash")
-              .bitwiseXOR(y.getField("simhash"))).cast("int")
-              .as("hamming")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

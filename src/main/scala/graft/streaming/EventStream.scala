@@ -65,14 +65,14 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Run the streaming aggregation to completion against a static fixture
-    * (AvailableNow drains all files then stops) into an in-memory table;
-    * returns the result as a DataFrame. */
-  def runOnce(spark: SparkSession, dir: String,
-      queryName: String = "graft_events"): DataFrame = {
-    val q: StreamingQuery = hourlyCounts(readEvents(spark, dir))
-      .writeStream
-      .outputMode("complete")
+  /** Drain any streaming DataFrame to completion into an in-memory table
+    * (AvailableNow processes the static fixture exactly once) and return
+    * it as a DataFrame. */
+  def drainToMemory(df: DataFrame, mode: String, queryName: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -81,15 +81,13 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Run the streaming aggregation to completion against a static fixture. */
+  def runOnce(spark: SparkSession, dir: String,
+      queryName: String = "graft_events"): DataFrame =
+    drainToMemory(hourlyCounts(readEvents(spark, dir)), "complete", queryName)
+
   /** Drain the streaming dedup once against the static fixture. */
   def runDedupOnce(spark: SparkSession, dir: String,
-      queryName: String = "graft_dedup"): DataFrame = {
-    val q = dedupedEvents(readEvents(spark, dir))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "graft_dedup"): DataFrame =
+    drainToMemory(dedupedEvents(readEvents(spark, dir)), "append", queryName)
 }

@@ -90,13 +90,7 @@ object Sessionize {
 
   /** Drain the streaming sessionizer once against the static fixture. */
   def runOnce(spark: SparkSession, dir: String,
-      queryName: String = "graft_sessions"): DataFrame = {
-    val q = streamingSessions(spark, dir)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "graft_sessions"): DataFrame =
+    EventStream.drainToMemory(streamingSessions(spark, dir), "append",
+      queryName)
 }

@@ -24,4 +24,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() === distinctIds)
     assert(streamed.select("event_id").distinct().count() === distinctIds)
   }
+
+  test("streaming dedup actually drops planted duplicates") {
+    // the fixture has no duplicate event_ids, so plant some: a MemoryStream
+    // with every event delivered twice across two batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val base = (1L to 50L).map(i => (i, 1700000000000000L + i * 1000000L))
+    ms.addData(base)
+    ms.addData(base) // exact duplicates, well inside the watermark
+    val df = ms.toDF()
+      .select(col("_1").as("event_id"),
+        expr("timestamp_micros(_2)").as("ts"))
+    val out = EventStream.drainToMemory(
+      EventStream.dedupedEvents(df), "append", "graft_dedup_planted")
+    assert(out.count() === 50, "duplicates were not dropped")
+    assert(out.select("event_id").distinct().count() === 50)
+  }
 }
