@@ -301,6 +301,35 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Explicit GROUPING SETS (the general form behind rollup/cube):
+    // per-(flag,status), per-flag, and grand-total rows in one pass.
+    "q32_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+               count(*) AS n
+        FROM graft_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY returnflag, linestatus""")
+    }),
+
+    // SQL-text surface: the same engine drives plain Spark SQL over
+    // registered views (the spark.sql entry point users of the reference's
+    // HTTP API would hit through a thin adapter).
+    "q33_sql_text" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_sql")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_sql")
+      s.sql("""
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS total
+        FROM graft_orders_sql JOIN graft_customer_sql ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY c_mktsegment, o_orderpriority
+        ORDER BY c_mktsegment, o_orderpriority""")
+    }),
+
     // Pivot: event counts per user × explicit event-type columns (explicit
     // value list keeps the output schema static, as required at scale).
     "q29_pivot" -> ((s, d) => {
@@ -594,6 +623,23 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q32_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q33_sql_text" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
 
     "q29_pivot" ->
       """SELECT user_id,
