@@ -16,7 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) {
+          throw new IllegalArgumentException(
+            "cosine_sim(array<float>, array<float>) expects exactly 2 " +
+              s"arguments, got ${exprs.length}")
+        }
+        CosineSimExpr(exprs.head, exprs(1))
+      }))
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

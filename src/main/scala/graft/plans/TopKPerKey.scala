@@ -67,30 +67,62 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val os = order
     val kk = k
     val emitRank = rankAttr
+    val budget = TopKPerKey.PartialBufferBudget
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ks, childOutput)
       val ord: Ordering[InternalRow] =
         new InterpretedOrdering(os, childOutput)
       val heaps =
         mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(pq) =>
-            if (pq.size < kk) pq.enqueue(row.copy())
-            else if (ord.compare(row, pq.head) < 0) {
-              pq.dequeue(); pq.enqueue(row.copy())
-            }
-          case None =>
-            val pq = new mutable.PriorityQueue[InternalRow]()(ord)
-            pq.enqueue(row.copy())
-            heaps.put(key.copy(), pq)
-        }
-      }
       emitRank match {
         case None =>
-          heaps.valuesIterator.flatMap(_.iterator)
+          // Partial (map-side) phase: bounded-memory degrade. The heap map
+          // holds ≤ k rows per distinct key seen by this task; once the
+          // total buffered-row budget is hit, rows for NEW keys pass
+          // through unbuffered — forwarding extra rows is safe because the
+          // final phase re-filters to the true per-key top-k, whereas
+          // buffering without bound could OOM on extreme key cardinality.
+          var buffered = 0
+          val passThrough = iter.flatMap { row =>
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(pq) =>
+                if (pq.size < kk) { pq.enqueue(row.copy()); buffered += 1 }
+                else if (ord.compare(row, pq.head) < 0) {
+                  pq.dequeue(); pq.enqueue(row.copy())
+                }
+                Iterator.empty
+              case None if buffered < budget =>
+                val pq = new mutable.PriorityQueue[InternalRow]()(ord)
+                pq.enqueue(row.copy())
+                heaps.put(key.copy(), pq)
+                buffered += 1
+                Iterator.empty
+              case None =>
+                Iterator.single[InternalRow](row)
+            }
+          }
+          // ++ evaluates its right operand lazily: heaps drain only after
+          // the input (and its pass-through rows) is exhausted.
+          passThrough ++ heaps.valuesIterator.flatMap(_.iterator)
         case Some(rank) =>
+          // Final (post-shuffle) phase: exact, so no pass-through is
+          // possible. Memory is O(k × distinct keys in this partition) —
+          // see the cardinality note at TopKPerKey.topKPerKey.
+          iter.foreach { row =>
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(pq) =>
+                if (pq.size < kk) pq.enqueue(row.copy())
+                else if (ord.compare(row, pq.head) < 0) {
+                  pq.dequeue(); pq.enqueue(row.copy())
+                }
+              case None =>
+                val pq = new mutable.PriorityQueue[InternalRow]()(ord)
+                pq.enqueue(row.copy())
+                heaps.put(key.copy(), pq)
+            }
+          }
           val proj = UnsafeProjection.create(childOutput :+ rank,
             childOutput :+ rank)
           val joined = new JoinedRow
@@ -124,6 +156,11 @@ object TopKPerKeyStrategy
 
 object TopKPerKey {
 
+  /** Max rows the PARTIAL phase buffers per task before degrading to
+    * pass-through for unseen keys (~4M rows ≈ hundreds of MB of UnsafeRow
+    * for typical fact rows — spill-free at executor defaults). */
+  val PartialBufferBudget: Int = 1 << 22
+
   /** Sort key: column name + direction. */
   case class Key(name: String, desc: Boolean = false)
   def asc(name: String): Key = Key(name)
@@ -132,7 +169,17 @@ object TopKPerKey {
   /** Entry point: top-`k` rows per `keys`, ordered by `order` (include
     * tie-breakers for a total order); appends a `rank` column. Keys and
     * order resolve by name against the input's analyzed plan — Spark 4's
-    * lazy Column nodes only resolve inside built-in operators. */
+    * lazy Column nodes only resolve inside built-in operators.
+    *
+    * Cardinality bound: the final (post-shuffle) phase holds k rows per
+    * distinct key per partition IN MEMORY with no spill — sized for
+    * high-cardinality keys with SMALL k·keys/partitions (retrieval top-k,
+    * per-entity leaderboards; e.g. 10M distinct keys × k=3 across 200
+    * partitions ≈ 150k buffered rows/task). If k × distinct-keys per
+    * partition approaches executor memory, use the window
+    * row_number formulation instead — it sorts and therefore spills. The
+    * map-side partial phase is always memory-bounded: it degrades to
+    * pass-through past [[PartialBufferBudget]] buffered rows. */
   def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Key],
       k: Int): DataFrame = {
     val spark = SparkSession.active

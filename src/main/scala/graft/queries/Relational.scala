@@ -25,11 +25,22 @@ import graft.Tables
   * independent of partitioning/merge order and matches DuckDB bit-for-bit.
   * AVG is emitted as cast(exact-decimal sum AS double) / count, which both
   * engines evaluate identically (single IEEE division of identical inputs).
+  *
+  * Output-type policy: results carry only STRING / integral / DOUBLE /
+  * BOOLEAN columns — never DECIMAL or TIMESTAMP. The round-1 driver gate
+  * showed that decimal values with trailing zeros ("38.50" vs float "38.5")
+  * and tz-aware vs naive timestamps hash differently under the driver's
+  * normalization even when values are equal; exact-decimal sums are
+  * therefore cast to DOUBLE (deterministic: the sum is exact, the cast is a
+  * single round-to-nearest both engines share) and timestamps are emitted
+  * as formatted strings.
   */
 object Relational extends QueryPack {
 
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private val one2: Column = lit(1).cast("decimal(3,2)")
+  /** Exact decimal sum (order-independent) surfaced as a hash-stable double. */
+  private def dsum(c: Column): Column = sum(dec2(c)).cast("double")
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: scan → partial agg → final agg.
@@ -38,11 +49,10 @@ object Relational extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)")
-            .as("sum_base_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -67,7 +77,7 @@ object Relational extends QueryPack {
           col("o_custkey") === col("c_custkey"), "inner")
         .groupBy("c_mktsegment")
         .agg(
-          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+          dsum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
@@ -86,7 +96,7 @@ object Relational extends QueryPack {
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
-          .cast("decimal(18,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy("n_name")
     }),
 
@@ -132,7 +142,7 @@ object Relational extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .withColumn("running_qty",
-          sum(dec2(col("l_quantity"))).over(w).cast("decimal(18,2)"))
+          sum(dec2(col("l_quantity"))).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }),
@@ -143,7 +153,7 @@ object Relational extends QueryPack {
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -157,7 +167,7 @@ object Relational extends QueryPack {
       Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"),
+          dsum(col("o_totalprice")).as("total"),
           count(lit(1)).as("n"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -206,10 +216,10 @@ object Relational extends QueryPack {
       Tables.orders(s, d)
         .groupBy(
           year(col("o_orderdate")).as("yr"),
-          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
             .as("month_start"))
         .agg(
-          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+          dsum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("month_start")
     }),
@@ -221,7 +231,7 @@ object Relational extends QueryPack {
         .groupBy("k")
         .agg(
           count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+          dsum(col("value")).as("sum_value"))
         .orderBy("k")
     }),
 
@@ -243,7 +253,7 @@ object Relational extends QueryPack {
         .groupBy("o_custkey")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("spend"))
+          dsum(col("o_totalprice")).as("spend"))
         .filter(col("n_orders") >= 12)
         .orderBy("o_custkey")
     }),
@@ -290,14 +300,21 @@ object Relational extends QueryPack {
     }),
 
     // Approximate distinct counting (HLL sketch). Spark's HLL++ and
-    // DuckDB's sketch produce different estimates by design, so this
-    // operator has no value oracle — the driver records a rows-only check;
-    // PlanSpec asserts the estimate lands within 5% of exact.
+    // DuckDB's sketch produce different raw estimates by design, so the
+    // estimate itself can't be hash-compared; what IS cross-engine
+    // checkable is the accuracy contract — each engine's estimate lands
+    // within 5% of exact (Spark runs at rsd=1%, DuckDB's sketch is ~2%) —
+    // so the oracle pins (exact count, row count, within-5% verdict).
     "q22_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -308,7 +325,7 @@ object Relational extends QueryPack {
       s.sql("""
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+               cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
                count(*) AS n
         FROM graft_lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -323,7 +340,7 @@ object Relational extends QueryPack {
       Tables.customer(s, d).createOrReplaceTempView("graft_customer_sql")
       s.sql("""
         SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-               cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS total
+               cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total
         FROM graft_orders_sql JOIN graft_customer_sql ON o_custkey = c_custkey
         WHERE o_orderstatus = 'O'
         GROUP BY c_mktsegment, o_orderpriority
@@ -458,11 +475,12 @@ object Relational extends QueryPack {
     "q20_hourly_events" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(
-          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+          dsum(col("value")).as("sum_value"))
         .orderBy("hour_start", "event_type")
     })
   )
@@ -470,9 +488,9 @@ object Relational extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice as decimal(12,2))) as decimal(18,2)) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as decimal(18,4)) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as double) AS sum_disc_price,
         |  cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -490,14 +508,14 @@ object Relational extends QueryPack {
 
     "q03_join_broadcast" ->
       """SELECT c_mktsegment,
-        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS revenue,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q04_join_multiway" ->
       """SELECT n_name,
-        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as decimal(18,4)) AS revenue
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -529,14 +547,14 @@ object Relational extends QueryPack {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  cast(sum(cast(l_quantity as decimal(12,2))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(18,2)) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
 
     "q09_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -545,7 +563,7 @@ object Relational extends QueryPack {
     "q10_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS total,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total,
         |  count(*) AS n
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -576,8 +594,8 @@ object Relational extends QueryPack {
 
     "q14_monthly_revenue" ->
       """SELECT cast(year(o_orderdate) as int) AS yr,
-        |  cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
-        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS revenue,
+        |  strftime(date_trunc('month', cast(o_orderdate as timestamp)), '%Y-%m-%d') AS month_start,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
@@ -585,7 +603,7 @@ object Relational extends QueryPack {
     "q15_json_extract" ->
       """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
         |  count(*) AS n,
-        |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
+        |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
     "q16_string_funcs" ->
@@ -598,7 +616,7 @@ object Relational extends QueryPack {
 
     "q17_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS spend
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS spend
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
 
@@ -618,16 +636,16 @@ object Relational extends QueryPack {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q20_hourly_events" ->
-      """SELECT cast(date_trunc('hour', cast(ts as timestamp)) as timestamp) AS hour_start, event_type,
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
         |  count(*) AS n,
-        |  cast(sum(cast(value as decimal(12,2))) as decimal(18,2)) AS sum_value
+        |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q32_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  cast(sum(cast(l_quantity as decimal(12,2))) as decimal(18,2)) AS sum_qty,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -635,7 +653,7 @@ object Relational extends QueryPack {
 
     "q33_sql_text" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-        |  cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS total
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY c_mktsegment, o_orderpriority
@@ -708,8 +726,14 @@ object Relational extends QueryPack {
         |FROM err ASOF JOIN pur ON err.user_id = pur.user_id AND err.ts >= pur.ts
         |ORDER BY err.user_id, event_id""".stripMargin,
 
-    // q22_approx_distinct intentionally has no oracle: HLL estimates are
-    // sketch-implementation-specific (driver falls back to rows-only).
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    <= count(DISTINCT l_partkey) * 0.05 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q21_path_parse" ->
       """WITH p AS (SELECT doc_id, source || '/doc_' || doc_id || '.pdf' AS path FROM documents)
         |SELECT doc_id, path,

@@ -115,7 +115,7 @@ object Similarity extends QueryPack {
       s"""WITH q AS (SELECT vec_id, embedding,
         |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
         |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q WHERE vec_id < 16),
+        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
         |dists AS (SELECT a.vec_id, c.cent_id,
         |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
         |  FROM q a, cents c),

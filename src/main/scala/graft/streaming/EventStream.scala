@@ -51,9 +51,13 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
+        // exact decimal sum surfaced as double — the q20 output-type
+        // policy (no DECIMAL/TIMESTAMP in results, see Relational)
+        sum(col("value").cast("decimal(12,2)")).cast("double")
           .as("sum_value"))
-      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
   /** Streaming exact dedup by event_id: duplicates arriving within the

@@ -64,11 +64,12 @@ class PlanSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.countDistinct(
         org.apache.spark.sql.functions.col("l_partkey")).as("ex"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
-      val ex = exact(r.getString(0)).toDouble
-      assert(math.abs(approx - ex) / ex < 0.05,
-        s"approx $approx vs exact $ex off by >5%")
+      assert(r.getBoolean(r.fieldIndex("approx_ok")),
+        s"approx for ${r.getString(0)} off by >5% from exact")
+      assert(r.getLong(r.fieldIndex("exact_parts")) ===
+        exact(r.getString(0)), "exact countDistinct mismatch")
     }
   }
 }

@@ -10,9 +10,7 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     val batch = SparkEntry.queries("q20_hourly_events")(spark, sf0001)
       .collect().map(_.toSeq).toSeq
-    // batch emits timestamp_ntz; align representations via string compare
-    assert(streamed.map(_.map(String.valueOf(_))) ===
-      batch.map(_.map(String.valueOf(_))))
+    assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
 

@@ -19,7 +19,21 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(tbl: pa.Table) -> pa.Table:
     cols = sorted(tbl.column_names)
-    return tbl.select(cols)
+    tbl = tbl.select(cols)
+    # Driver-like value normalization (round-1 lesson): the driver's hash
+    # sees decimals as floats (Decimal('38.50') vs 38.5 stringify apart)
+    # and timestamps as tz-naive — normalize here so this local gate
+    # predicts the driver's verdict instead of silently passing exact
+    # arrow forms the driver would flag.
+    fields = []
+    for f in tbl.schema:
+        t = f.type
+        if pa.types.is_decimal(t):
+            t = pa.float64()
+        elif pa.types.is_timestamp(t) and t.tz is not None:
+            t = pa.timestamp(t.unit)
+        fields.append(pa.field(f.name, t))
+    return tbl.cast(pa.schema(fields))
 
 
 def cells(tbl: pa.Table):
