@@ -36,13 +36,15 @@ object Api {
   def ragSearch(spark: SparkSession, dir: String, query: String,
       k: Int = 100, dim: Int = 64): DataFrame = {
     val qv = array(Embedder.embedQuery(query, dim).map(lit): _*)
-    Tables.embeddings(spark, dir)
+    // The top-k side is ≤ k rows by construction — it is the broadcast
+    // build side; the documents corpus streams (never broadcast it).
+    val topk = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         round(VectorFunctions.cosine(col("embedding"), qv), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
-      .join(broadcast(Tables.documents(spark, dir)),
-        col("vec_id") === col("doc_id"), "inner")
+    Tables.documents(spark, dir)
+      .join(broadcast(topk), col("vec_id") === col("doc_id"), "inner")
       .select(col("vec_id"), col("sim"),
         substring(coalesce(concat_ws("#", col("source"), col("doc_id")),
           lit("No title")), 1, 50).as("title"),

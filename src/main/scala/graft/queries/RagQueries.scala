@@ -43,11 +43,14 @@ object RagQueries extends QueryPack {
     // Flagship RAG search: top-10 vectors joined back to their documents,
     // with the reference's metadata truncations title[:50] / content[:200]
     // (parser_pinecone_storage.py:149-153) and "No title" default
-    // (ra/agent.py:124).
+    // (ra/agent.py:124). Broadcast direction matters at scale: the top-k
+    // side is ≤ 10 rows BY CONSTRUCTION, so it is the build side — the
+    // documents corpus streams. Broadcasting documents would ship the
+    // whole corpus to every executor at 100 TB. Pinned in PlanSpec.
     "r02_rag_search" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      topkSim(s, d, 10)
-        .join(broadcast(docs), col("vec_id") === col("doc_id"), "inner")
+      Tables.documents(s, d)
+        .join(broadcast(topkSim(s, d, 10)),
+          col("vec_id") === col("doc_id"), "inner")
         .select(
           col("vec_id"),
           col("sim"),

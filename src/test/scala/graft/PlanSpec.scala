@@ -30,6 +30,20 @@ class PlanSpec extends SparkTestBase {
       "expected ≥3 broadcast joins for customer/nation/region")
   }
 
+  test("r02 broadcasts the top-k side, never the documents corpus") {
+    val p = plan("r02_rag_search")
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"no broadcast join in r02 plan:\n$p")
+    // the broadcast subtree is printed below the exchange: it must be the
+    // ≤10-row TakeOrderedAndProject limit, and the documents scan must
+    // stream (appear only before the exchange in the printed tree)
+    val build = p.substring(bx)
+    assert(build.contains("TakeOrderedAndProject"),
+      s"broadcast build side is not the top-k limit:\n$p")
+    assert(!build.contains("documents.parquet"),
+      s"documents corpus ended up on the broadcast side:\n$p")
+  }
+
   test("q13 top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"))
