@@ -85,4 +85,21 @@ object VectorFunctions {
       }.reduce(_ + _)
     }
   }
+
+  /** DuckDB CTE fragment regenerating [[srpSignature]] bit-for-bit:
+    * yields tables `{prefix}w`, `{prefix}pd`, `{prefix}sigs(vec_id, sig)`
+    * over the `embeddings` table. Integer-exact (quantized embeddings ×
+    * hash-derived integer weights), so the bucketing is oracle-checkable. */
+  def duckSrpSigCtes(dim: Int, planes: Int, prefix: String = ""): String = {
+    val h = CrossHash.duckHash60(
+      "'srp#' || cast(p.range as varchar) || '#' || cast(i.range as varchar)")
+    s"""${prefix}w AS (SELECT p.range AS p, i.range AS i,
+       |  ($h % 2000001) - 1000000 AS wt
+       |  FROM range(0, $planes) p, range(0, $dim) i),
+       |${prefix}pd AS (SELECT e.vec_id, w.p,
+       |    sum(cast(round(cast(e.embedding[w.i + 1] as double) * 1000000.0) as bigint) * w.wt) AS dot
+       |  FROM embeddings e, ${prefix}w w GROUP BY 1, 2),
+       |${prefix}sigs AS (SELECT vec_id, cast(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) as bigint) AS sig
+       |  FROM ${prefix}pd GROUP BY 1)""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,8 +25,11 @@ import graft.functions.VectorFunctions
   * moral equivalent of broadcasting the centroid table) and inlined as
   * literals, so cell ranking is a map-only scan with a per-row
   * array_sort over k (dist, cent_id) structs: NO shuffle, NO window, no
-  * crossJoin row expansion. At rest the cell id becomes the partition key
-  * of the stored index, so a probe is a partition-pruned scan.
+  * crossJoin row expansion. At rest [[writeIndex]] partitions the stored
+  * index BY cent_id and [[searchIndexed]] reads it back with a
+  * `cent_id IN (probe cells)` predicate, which Spark turns into partition
+  * pruning (`PartitionFilters` on the scan) — a probe touches only the
+  * probed cells' files, never the whole index.
   */
 object IvfIndex {
 
@@ -54,9 +57,15 @@ object IvfIndex {
   /** All (vector, centroid) distances ranked per vector — rank 1 is the
     * home cell; ranks ≤ nProbe are the probe set. Ranking is a per-row
     * array_sort over the k centroid literals + posexplode: no shuffle. */
-  def cellRanks(emb: DataFrame, k: Int): DataFrame = {
-    val cents = centroids(emb, k)
-    require(cents.nonEmpty, s"IVF index needs >= 1 centroid, got 0 (k=$k)")
+  def cellRanks(emb: DataFrame, k: Int): DataFrame =
+    cellRanksWith(emb, centroids(emb, k))
+
+  /** [[cellRanks]] against an explicit centroid set — the form used when
+    * the centroids were trained/persisted earlier (so query-time ranking
+    * never re-derives them from the corpus). */
+  def cellRanksWith(emb: DataFrame,
+      cents: Array[(Long, Array[Long])]): DataFrame = {
+    require(cents.nonEmpty, s"IVF index needs >= 1 centroid, got 0")
     val q = emb.select(col("vec_id"), col("embedding"),
       VectorFunctions.quantize1e6(col("embedding")).as("qe"))
     val cellStructs = array(cents.map { case (id, qc) =>
@@ -70,18 +79,69 @@ object IvfIndex {
   }
 
   /** Top-`topK` in-probe neighbours (by cosine) for each query vector.
-    * The probe set (queries × nProbe cells) is broadcast, so candidate
-    * generation is one map-side scan of the assigned index. */
+    *
+    * The probe set (queries × nProbe cells) is broadcast when small, so
+    * candidate generation is one map-side scan of the assigned index.
+    * Because a broad `queryFilter` would blow past Spark's broadcast
+    * limit, the probe set is counted first (a column-pruned map-only
+    * pre-pass) and past `maxBroadcastProbes` rows the join degrades to a
+    * plain shuffle equi-join on cent_id — slower, never a failed job. */
   def search(emb: DataFrame, queryFilter: Column, k: Int, nProbe: Int,
-      topK: Int): DataFrame = {
+      topK: Int, maxBroadcastProbes: Long = 1000000L): DataFrame = {
     val ranks = cellRanks(emb, k)
     val assigned = ranks.filter(col("rk") === 1)
       .select("vec_id", "embedding", "cent_id")
     val probes = ranks.filter(queryFilter && col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cent_id"))
+    val probeSide =
+      if (probes.count() <= maxBroadcastProbes) broadcast(probes) else probes
+    rankCandidates(assigned.join(probeSide, Seq("cent_id")), topK)
+  }
+
+  /** Materialize the index at rest: rows partitioned BY cent_id (the probe
+    * key becomes the storage partition key), plus a self-contained
+    * centroid sidecar so query-time never re-derives centroids from the
+    * corpus. Layout: `<path>/index` (partitioned parquet) and
+    * `<path>/centroids` (k rows). */
+  def writeIndex(emb: DataFrame, k: Int, path: String): Unit = {
+    val cents = centroids(emb, k)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cent_id", "qc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cellRanksWith(emb, cents)
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cent_id")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/index")
+  }
+
+  /** Search a [[writeIndex]]-materialized index. Probe cell ids resolve
+    * driver-side (≤ queries × nProbe ids — `queries` is assumed to be a
+    * query set, not the corpus), then the stored index is read with
+    * `cent_id IN (...)`: partition pruning means only the probed cells'
+    * files are ever opened. `queries` needs (vec_id, embedding). */
+  def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val probes = cellRanksWith(queries, cents)
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id"))
+    val probeCells = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(s"$path/index")
+      .filter(col("cent_id").isin(probeCells: _*))
+    rankCandidates(assigned.join(broadcast(probes),
+      assigned("cent_id") === probes("cent_id")), topK)
+  }
+
+  private def rankCandidates(cand: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cent_id"))
+    cand
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)

@@ -19,11 +19,20 @@ import graft.operators.{MinHashLSH, SimHash}
   * [[graft.operators.MinHashLSH]] for the codegen-flat formulation);
   * SimHash near-dup equi-joins on 8-bit bands (pigeonhole: any pair within
   * Hamming distance 3 of a 32-bit signature shares one of 4 bands, so
-  * recall at the threshold is exact); embedding near-dup blocks on the
-  * label column. Everything is shuffle → per-bucket local work: no
-  * broadcast of the corpus, no driver collect.
+  * recall at the threshold is exact); embedding near-dup blocks on banded
+  * signed-random-projection signatures, which bound block sizes by
+  * construction (a hot data value cannot create an O(m²) block).
+  * Everything is shuffle → per-bucket local work: no broadcast of the
+  * corpus, no driver collect.
   */
 object DedupQueries extends QueryPack {
+
+  // d05 banded-SRP blocking: 8 hyperplanes → 2 bands × 4 bits. At corpus
+  // scale raise planes/bandBits (smaller blocks) and bands (recall).
+  private val SrpDim      = 64
+  private val D05Planes   = 8
+  private val D05Bands    = 2
+  private val D05BandBits = 4
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical = min doc_id per content hash. Hash-partitioned
@@ -61,16 +70,35 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Embedding-cosine near-dup: label-blocked self-join (same label ⇒
-    // candidate), cosine ≥ 0.35. Blocking keeps the join an equi-join.
+    // Embedding-cosine near-dup: banded-SRP-blocked self-join, cosine
+    // ≥ 0.35 verify. Blocking on signed-random-projection bands (not a
+    // data column like `label`) bounds block sizes by construction:
+    // each band key is `bandBits` projection signs, so blocks shrink
+    // geometrically as bandBits grows — no hot data value can produce an
+    // O(m²) block the way a hot label can. Candidates stay an equi-join
+    // on (band, key); a pair sharing several bands is deduped BEFORE the
+    // cosine verify. At 100 TB: raise planes/bandBits (more, smaller
+    // blocks) and bands (recall); the shape is unchanged.
     "d05_embedding_near_dup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      e.as("a").join(e.as("b"), Seq("label"))
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.srpSignature(col("embedding"), SrpDim, D05Planes)
+            .as("sig"))
+      val banded = e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until D05Bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * D05BandBits)
+              .bitwiseAND(lit((1 << D05BandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("a").join(banded.as("b"), Seq("band", "key"))
         .filter(col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
-            .as("sim"))
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        .dropDuplicates("a_id", "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(VectorFunctions.cosine(col("ea"), col("eb")), 6).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy("a_id", "b_id")
     })
@@ -154,10 +182,15 @@ object DedupQueries extends QueryPack {
         |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin),
 
     "d05_embedding_near_dup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin
+      ("WITH " + VectorFunctions.duckSrpSigCtes(SrpDim, D05Planes) + s""",
+        |bands AS (SELECT s.vec_id, b.range AS band,
+        |    (s.sig >> ($D05BandBits * b.range)) & ${(1 << D05BandBits) - 1} AS key
+        |  FROM sigs s, range(0, $D05Bands) b),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        |j AS (SELECT a_id, b_id,
+        |    round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) AS sim
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
+        |SELECT a_id, b_id, sim FROM j WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin)
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CrossHash, VectorFunctions}
+import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbour search over the embedding column.
   *
@@ -84,19 +84,9 @@ object Similarity extends QueryPack {
   // Integer-exact SRP: weights are hash-derived BIGINTs, embeddings are
   // quantized to round(x*1e6) BIGINTs, so each projection is an exact
   // integer sum — identical across engines regardless of summation order.
-  private val srpCtes = {
-    val h = CrossHash.duckHash60(
-      "'srp#' || cast(p.range as varchar) || '#' || cast(i.range as varchar)")
-    s"""WITH w AS (SELECT p.range AS p, i.range AS i,
-       |  ($h % 2000001) - 1000000 AS wt
-       |  FROM range(0, $Planes) p, range(0, $Dim) i),
-       |pd AS (SELECT e.vec_id, w.p,
-       |    sum(cast(round(cast(e.embedding[w.i + 1] as double) * 1000000.0) as bigint) * w.wt) AS dot
-       |  FROM embeddings e, w GROUP BY 1, 2),
-       |sigs AS (SELECT vec_id, cast(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) as bigint) AS sig
-       |  FROM pd GROUP BY 1),
-       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
-  }
+  private val srpCtes =
+    "WITH " + VectorFunctions.duckSrpSigCtes(Dim, Planes) + """,
+      |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "s01_ann_srp" ->
