@@ -18,7 +18,13 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=d05,s03 restricts the run for local iteration; the
+    // driver never sets it, so round artifacts always cover every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query reports -1, not a normal-looking elapsed time —
       // broken and fast must be distinguishable in the bench artifact.
@@ -33,8 +39,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(v => math.max(v._2, 0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A run with failures must not look FASTER than a clean one: failures
+    // are counted explicitly and the total is only comparable when
+    // failed == 0 (the driver's gate treats a failed run as failed, not
+    // as a better time).
+    val failed = results.count(_._2 < 0.0)
+    val total = results.filter(_._2 >= 0.0).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,9 +72,22 @@ object VectorFunctions {
     * across partitionings AND across engines regardless of summation
     * order (a float fold could flip a near-zero projection's sign between
     * Spark's sequential fold and DuckDB's aggregate). |terms| ≤ 64·1e12,
-    * well inside BIGINT. The quantized vector is let-bound so it is
-    * computed once per row, not once per plane. */
-  def srpSignature(v: Column, dim: Int, planes: Int): Column = {
+    * well inside BIGINT.
+    *
+    * Implemented as the fused-loop Catalyst expression
+    * [[graft.plans.SrpSignExpr]]: the HOF form (`aggregate(zip_with)` per
+    * plane) is CodegenFallback — planes·dim interpreted lambda steps per
+    * row, the round-3 bench regression — and a flat `element_at ×
+    * literal` expansion, while codegen'd, costs seconds of Janino compile
+    * per stage at planes·dim source terms. The expression generates a
+    * ~15-line loop instead: microsecond compile, whole-stage codegen,
+    * identical integer results. */
+  def srpSignature(v: Column, dim: Int, planes: Int): Column =
+    graft.plans.SrpSignExpr.srp_sign(v, dim, planes)
+
+  /** Reference HOF formulation of [[srpSignature]] (interpreted lambdas;
+    * kept for the equivalence spec that pins the flat rewrite). */
+  def srpSignatureHof(v: Column, dim: Int, planes: Int): Column = {
     val w = srpWeights(dim, planes)
     TextFunctions.bound(quantize1e6(v)) { q =>
       (0 until planes).map { p =>

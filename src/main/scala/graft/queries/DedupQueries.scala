@@ -76,27 +76,35 @@ object DedupQueries extends QueryPack {
     // each band key is `bandBits` projection signs, so blocks shrink
     // geometrically as bandBits grows — no hot data value can produce an
     // O(m²) block the way a hot label can. Candidates stay an equi-join
-    // on (band, key); a pair sharing several bands is deduped BEFORE the
-    // cosine verify. At 100 TB: raise planes/bandBits (more, smaller
-    // blocks) and bands (recall); the shape is unchanged.
+    // on (band, key) over ID-ONLY rows: a pair sharing several bands is
+    // deduped on (a_id, b_id) BEFORE the 64-float embeddings join back
+    // for the cosine verify (mirroring the oracle's `cand` CTE) — the
+    // band shuffle and the dedup shuffle never carry arrays. At 100 TB:
+    // raise planes/bandBits (more, smaller blocks) and bands (recall);
+    // the shape is unchanged.
     "d05_embedding_near_dup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
+      val banded = e
+        .select(col("vec_id"),
           VectorFunctions.srpSignature(col("embedding"), SrpDim, D05Planes)
             .as("sig"))
-      val banded = e.select(col("vec_id"), col("embedding"),
-        explode(array((0 until D05Bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * D05BandBits)
-              .bitwiseAND(lit((1 << D05BandBits) - 1)).as("key"))
-        }: _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"),
+          explode(array((0 until D05Bands).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * D05BandBits)
+                .bitwiseAND(lit((1 << D05BandBits) - 1)).as("key"))
+          }: _*)).as("bk"))
+        .select(col("vec_id"),
           col("bk.band").as("band"), col("bk.key").as("key"))
-      banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
         .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")),
+          "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+          "b_id")
         .select(col("a_id"), col("b_id"),
           round(VectorFunctions.cosine(col("ea"), col("eb")), 6).as("sim"))
         .filter(col("sim") >= 0.35)

@@ -73,6 +73,15 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(sigs.toSeq === again.toSeq)
   }
 
+  test("flat srp signature equals the HOF reference formulation") {
+    val e = Tables.embeddings(spark, sf0001)
+    val mismatches = e.select(
+      VectorFunctions.srpSignature(col("embedding"), 64, 8).as("flat"),
+      VectorFunctions.srpSignatureHof(col("embedding"), 64, 8).as("hof"))
+      .filter(col("flat") =!= col("hof")).count()
+    assert(mismatches === 0L)
+  }
+
   test("srp weights are reproducible from the seeded hash") {
     val w = VectorFunctions.srpWeights(4, 2)
     assert(w.length === 2 && w(0).length === 4)
