@@ -29,16 +29,48 @@ object Api {
       .groupBy("source")
       .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_docs"))
 
+  /** Index names the reference routes between (ra/agent.py:112,
+    * ra/server.py:63): the full document index vs the ArXiv subset. */
+  val DocIndex = "doc_index"
+  val ArxivIndex = "arxiv_index"
+
+  /** Resolve a target_index name to its vector table. The reference keeps
+    * two physical Pinecone indexes populated by different ingestion DAGs;
+    * here both are views of the embeddings table, and the ArXiv index is
+    * a metadata-routed document subset via a broadcast semi-join. The
+    * membership rule (lang = 'en') is a fixture-compatible stand-in — the
+    * synthetic corpus carries no ingestion-provenance marker — but the
+    * routing mechanics (name → restricted index, searched identically)
+    * are the reference contract. */
+  def indexFor(spark: SparkSession, dir: String, targetIndex: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    targetIndex match {
+      case DocIndex => emb
+      case ArxivIndex =>
+        val arxivDocs = Tables.documents(spark, dir)
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        emb.join(broadcast(arxivDocs), Seq("vec_id"), "left_semi")
+      case other => throw new IllegalArgumentException(
+        s"unknown target_index '$other' (expected $DocIndex or $ArxivIndex)")
+    }
+  }
+
   /** Text-query RAG search: embed the query with the deterministic local
     * embedder (dim must match the index), score the vector index by
     * cosine, top-k, join documents for title/content metadata with the
-    * reference's truncations (parser_pinecone_storage.py:149-153). */
+    * reference's truncations (parser_pinecone_storage.py:149-153).
+    * `targetIndex` routes between the document and ArXiv indexes — the
+    * reference's rag_search(query, target_index) contract
+    * (ra/agent.py:108-112). */
   def ragSearch(spark: SparkSession, dir: String, query: String,
-      k: Int = 100, dim: Int = 64): DataFrame = {
+      k: Int = 100, dim: Int = 64,
+      targetIndex: String = DocIndex): DataFrame = {
     val qv = array(Embedder.embedQuery(query, dim).map(lit): _*)
     // The top-k side is ≤ k rows by construction — it is the broadcast
     // build side; the documents corpus streams (never broadcast it).
-    val topk = Tables.embeddings(spark, dir)
+    val topk = indexFor(spark, dir, targetIndex)
       .select(col("vec_id"),
         round(VectorFunctions.cosine(col("embedding"), qv), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

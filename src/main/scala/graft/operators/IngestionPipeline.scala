@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -20,13 +20,12 @@ import graft.functions.{CrossHash, Embedder, TextFunctions}
   */
 object IngestionPipeline {
 
-  /** Build the vector-index rows for a document corpus: one row per chunk,
-    * with the reference's metadata projection (title[:50], content[:200],
-    * parser_pinecone_storage.py:149-153) and deterministic ids replacing
-    * the wall-clock salt (:147). */
-  def buildIndex(spark: SparkSession, dir: String,
+  /** [[buildIndex]] over an explicit corpus DataFrame — the form the
+    * binaryFile ingestion edge ([[graft.sources.BinaryDocuments]]) and
+    * incremental re-ingestion feed. Needs (doc_id, source, text). */
+  def buildIndexFrom(docs: DataFrame,
       chunkSize: Int = 3000, overlap: Int = 200, dim: Int = 64): DataFrame =
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"), col("text"),
         posexplode(TextFunctions.chunks(col("text"), chunkSize, overlap))
           .as(Seq("chunk_idx", "chunk")))
@@ -41,8 +40,113 @@ object IngestionPipeline {
         substring(col("chunk"), 1, 200).as("content"),
         Embedder.embed(col("chunk"), dim).as("embedding"))
 
+  /** Build the vector-index rows for a document corpus: one row per chunk,
+    * with the reference's metadata projection (title[:50], content[:200],
+    * parser_pinecone_storage.py:149-153) and deterministic ids replacing
+    * the wall-clock salt (:147). */
+  def buildIndex(spark: SparkSession, dir: String,
+      chunkSize: Int = 3000, overlap: Int = 200, dim: Int = 64): DataFrame =
+    buildIndexFrom(Tables.documents(spark, dir), chunkSize, overlap, dim)
+
+  /** One index row per extracted table and figure — the reference's third
+    * DAG task upserts these alongside the text chunks with PLACEHOLDER
+    * embeddings ("Table data" / "Figure data",
+    * parser_pinecone_storage.py:163-183) and s3_path/content_type
+    * metadata, making the objects discoverable by metadata filter rather
+    * than by similarity. The quirk is preserved deliberately (SURVEY.md
+    * §4): every table row shares one constant vector, as in the reference.
+    * Extraction counts are synthesized deterministically from doc_id
+    * (tables: doc_id%3+1, matching the r12 extraction-JSON shape;
+    * figures: doc_id%2) because the fixture corpus carries no real
+    * extraction artifacts. */
+  def extractionRefRows(spark: SparkSession, dir: String,
+      dim: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    def rows(contentType: String, n: Column, placeholder: String,
+        ext: String): DataFrame =
+      docs.withColumn("n", n).filter(col("n") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n") - 1)).as("obj_idx"))
+        .select(
+          col("doc_id"),
+          lit(contentType).as("content_type"),
+          col("obj_idx").cast("int").as("obj_idx"),
+          concat_ws("_", col("source"), lit(contentType), col("obj_idx"))
+            .as("vec_key"),
+          format_string("%s/%s_%d" + ext, col("source"), lit(contentType),
+            col("obj_idx")).as("s3_path"),
+          Embedder.embed(lit(placeholder), dim).as("embedding"))
+    rows("table", pmod(col("doc_id"), lit(3)) + 1, "Table data", ".csv")
+      .unionByName(rows("figure", pmod(col("doc_id"), lit(2)), "Figure data",
+        ".png"))
+  }
+
   /** Bulk columnar index write — the Pinecone-upsert analog
     * (parser_pinecone_storage.py:154): the "index" is a parquet table. */
   def writeIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
+
+  /** Index at rest partitioned BY doc_id — the layout [[upsertIndex]]
+    * needs for keyed replacement. */
+  def writeIndexKeyed(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("doc_id").parquet(path)
+
+  /** KEYED upsert: re-ingesting a document replaces exactly its vectors —
+    * the reference's per-id Pinecone upsert semantics
+    * (parser_pinecone_storage.py:154,172,183), where a re-parsed PDF
+    * overwrites its own chunk ids and never touches other documents'.
+    * Dynamic partition overwrite rewrites only the doc_id partitions
+    * present in `newRows`; a whole-table overwrite would clobber the rest
+    * of the index, append would duplicate.
+    *
+    * Scale note: one partition per doc_id is right up to ~1M documents;
+    * past that, partition by a doc_id bucket instead —
+    * [[upsertIndexBucketed]] implements that read-merge-write form. */
+  def upsertIndex(newRows: DataFrame, path: String): Unit =
+    newRows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("doc_id").parquet(path)
+
+  /** Read back a keyed/bucketed index with doc_id restored to bigint
+    * (partition-column inference narrows it to int). */
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("doc_id", col("doc_id").cast("long"))
+  }
+
+  private def withBucket(df: DataFrame, buckets: Int): DataFrame =
+    df.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+
+  /** Bucketed index at rest: partition dir = hash(doc_id) % buckets, the
+    * layout that keeps partition counts bounded at corpus scale. */
+  def writeIndexBucketed(index: DataFrame, path: String,
+      buckets: Int): Unit =
+    withBucket(index, buckets).write.mode("overwrite")
+      .partitionBy("bucket").parquet(path)
+
+  /** Keyed upsert against a BUCKETED index — the 100 TB shape: a bucket
+    * holds many documents, so replacement is read-merge-write over ONLY
+    * the touched buckets (partition-pruned read, anti-join out the
+    * re-ingested doc_ids, union the new rows, dynamic-overwrite those
+    * buckets). The merged rows are localCheckpoint-materialized BEFORE
+    * the overwrite commits — Spark must never lazily re-read partitions
+    * the same job is deleting. */
+  def upsertIndexBucketed(spark: SparkSession, newRows: DataFrame,
+      path: String, buckets: Int): Unit = {
+    val fresh = withBucket(newRows, buckets)
+    val touched = fresh.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val upsertedDocs = fresh.select("doc_id").distinct()
+    val kept = spark.read.parquet(path)
+      .filter(col("bucket").isin(touched: _*))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      // partition-column inference narrows bucket to int; realign with
+      // fresh's pmod(xxhash64) long before the union
+      .withColumn("bucket", col("bucket").cast("long"))
+      .join(upsertedDocs, Seq("doc_id"), "left_anti")
+    val merged = kept.unionByName(fresh).localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+  }
 }

@@ -22,20 +22,25 @@ import org.apache.spark.sql.types.IntegerType
   *   partial TopKPerKeyExec   (bounded heap per key, map-side: each task
   *                             forwards at most k rows per key it saw)
   *        → Exchange on key   (shuffles ≤ k·keys·tasks rows, not n)
-  *   final  TopKPerKeyExec    (same heap, then rank assignment)
+  *        → Sort (key, order) (over the REDUCED set; SortExec spills)
+  *   final  TopKPerKeyExec    (streaming group scan: emit ranks 1..k per
+  *                             key, O(1) rows of state)
   *
   * — the `partial_min`-style combine that windows cannot express. Wired in
   * via [[GraftExtensions]] (injectPlannerStrategy) or
   * `spark.experimental.extraStrategies`; the Column-level entry point is
   * [[TopKPerKey.topKPerKey]].
   *
-  * Memory: each task holds ≤ k rows per distinct key in its input — the
-  * operator targets high-cardinality fact data with small k (retrieval
-  * top-k, per-entity leaderboards). Rank ties are resolved by the caller's
-  * total ordering, exactly like row_number.
+  * Memory is bounded at BOTH phases: the map-side heap map degrades to
+  * pass-through once `partialBudget` rows are buffered (forwarding extra
+  * rows is always safe — the final phase re-filters), and the final phase
+  * holds one key and a counter, delegating ordering to Spark's SortExec,
+  * which spills to disk. No phase can OOM on key cardinality. Rank ties
+  * are resolved by the caller's total ordering, exactly like row_number.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan,
+    partialBudget: Int = TopKPerKey.PartialBufferBudget,
     // constructor field (not a body val): plan transforms go through
     // copy(), which must preserve the exprId or downstream references to
     // `rank` dangle
@@ -51,7 +56,7 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan, partial: Boolean,
+    k: Int, child: SparkPlan, partial: Boolean, partialBudget: Int,
     rankAttr: Option[AttributeReference]) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
@@ -61,21 +66,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  // The final phase streams over key groups, so it asks the planner for a
+  // (key, order) sort of the already-reduced post-shuffle rows: Spark's
+  // SortExec spills to disk, which a private heap map cannot — this is
+  // what bounds final-phase memory at O(1) rows regardless of key
+  // cardinality. The partial phase accepts any order.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val ks = keys
     val os = order
     val kk = k
     val emitRank = rankAttr
-    val budget = TopKPerKey.PartialBufferBudget
+    val budget = partialBudget
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ks, childOutput)
-      val ord: Ordering[InternalRow] =
-        new InterpretedOrdering(os, childOutput)
-      val heaps =
-        mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       emitRank match {
         case None =>
+          val ord: Ordering[InternalRow] =
+            new InterpretedOrdering(os, childOutput)
+          val heaps = mutable.LinkedHashMap
+            .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
           // Partial (map-side) phase: bounded-memory degrade. The heap map
           // holds ≤ k rows per distinct key seen by this task; once the
           // total buffered-row budget is hit, rows for NEW keys pass
@@ -106,33 +120,28 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           // the input (and its pass-through rows) is exhausted.
           passThrough ++ heaps.valuesIterator.flatMap(_.iterator)
         case Some(rank) =>
-          // Final (post-shuffle) phase: exact, so no pass-through is
-          // possible. Memory is O(k × distinct keys in this partition) —
-          // see the cardinality note at TopKPerKey.topKPerKey.
-          iter.foreach { row =>
-            val key = keyProj(row)
-            heaps.get(key) match {
-              case Some(pq) =>
-                if (pq.size < kk) pq.enqueue(row.copy())
-                else if (ord.compare(row, pq.head) < 0) {
-                  pq.dequeue(); pq.enqueue(row.copy())
-                }
-              case None =>
-                val pq = new mutable.PriorityQueue[InternalRow]()(ord)
-                pq.enqueue(row.copy())
-                heaps.put(key.copy(), pq)
-            }
-          }
+          // Final (post-shuffle) phase: input arrives key-clustered AND
+          // sorted by (key, order) — requiredChildOrdering — so rank
+          // assignment is a streaming scan holding only the current key
+          // and a counter. Rows past rank k are skipped until the key
+          // changes. O(1) rows of state; the sort that makes this
+          // possible ran in SortExec, which spills.
           val proj = UnsafeProjection.create(childOutput :+ rank,
             childOutput :+ rank)
           val joined = new JoinedRow
-          heaps.valuesIterator.flatMap { pq =>
-            // dequeueAll yields priority order (heap max = sort-last first)
-            val sorted: Seq[InternalRow] = pq.dequeueAll[InternalRow]
-            sorted.reverseIterator.zipWithIndex.map {
-              case (row: InternalRow, i: Int) =>
-                proj(joined(row, InternalRow(i + 1)))
+          var currentKey: UnsafeRow = null
+          var emitted = 0
+          iter.flatMap { row =>
+            val key = keyProj(row)
+            if (currentKey == null || key != currentKey) {
+              currentKey = key.copy()
+              emitted = 0
             }
+            if (emitted < kk) {
+              emitted += 1
+              Iterator.single[InternalRow](
+                proj(joined(row, InternalRow(emitted))))
+            } else Iterator.empty
           }
       }
     }
@@ -145,20 +154,22 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy
     extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case n @ TopKPerKeyNode(keys, order, k, child, rank) =>
+    case n @ TopKPerKeyNode(keys, order, k, child, budget, rank) =>
       val partialExec = TopKPerKeyExec(keys, order, k,
-        planLater(child), partial = true, rankAttr = None)
+        planLater(child), partial = true, partialBudget = budget,
+        rankAttr = None)
       TopKPerKeyExec(keys, order, k, partialExec, partial = false,
-        rankAttr = Some(rank)) :: Nil
+        partialBudget = budget, rankAttr = Some(rank)) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerKey {
 
-  /** Max rows the PARTIAL phase buffers per task before degrading to
-    * pass-through for unseen keys (~4M rows ≈ hundreds of MB of UnsafeRow
-    * for typical fact rows — spill-free at executor defaults). */
+  /** Default max rows the PARTIAL phase buffers per task before degrading
+    * to pass-through for unseen keys (~4M rows ≈ hundreds of MB of
+    * UnsafeRow for typical fact rows — spill-free at executor defaults).
+    * Injectable per call via [[topKPerKey]]'s `partialBudget`. */
   val PartialBufferBudget: Int = 1 << 22
 
   /** Sort key: column name + direction. */
@@ -171,17 +182,12 @@ object TopKPerKey {
     * order resolve by name against the input's analyzed plan — Spark 4's
     * lazy Column nodes only resolve inside built-in operators.
     *
-    * Cardinality bound: the final (post-shuffle) phase holds k rows per
-    * distinct key per partition IN MEMORY with no spill — sized for
-    * high-cardinality keys with SMALL k·keys/partitions (retrieval top-k,
-    * per-entity leaderboards; e.g. 10M distinct keys × k=3 across 200
-    * partitions ≈ 150k buffered rows/task). If k × distinct-keys per
-    * partition approaches executor memory, use the window
-    * row_number formulation instead — it sorts and therefore spills. The
-    * map-side partial phase is always memory-bounded: it degrades to
-    * pass-through past [[PartialBufferBudget]] buffered rows. */
+    * Memory: bounded at both phases regardless of key cardinality — the
+    * map-side partial phase degrades to pass-through past `partialBudget`
+    * buffered rows, and the final phase is a streaming scan over
+    * SortExec-sorted (and spilled, if needed) input. */
   def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Key],
-      k: Int): DataFrame = {
+      k: Int, partialBudget: Int = PartialBufferBudget): DataFrame = {
     val spark = SparkSession.active
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
@@ -197,6 +203,6 @@ object TopKPerKey {
       else SortOrder(attr(o.name), Ascending)
     }
     PlanBridge.ofRows(spark,
-      TopKPerKeyNode(keys.map(attr), orderExprs, k, child))
+      TopKPerKeyNode(keys.map(attr), orderExprs, k, child, partialBudget))
   }
 }

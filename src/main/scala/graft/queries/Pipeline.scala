@@ -26,6 +26,21 @@ object Pipeline extends QueryPack {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Table/figure reference-vector rows: the reference's third DAG task
+    // upserts one vector per extracted table and picture with PLACEHOLDER
+    // embeddings ("Table data"/"Figure data",
+    // parser_pinecone_storage.py:163-183) and s3_path/content_type
+    // metadata. First 2 components of the (constant) placeholder
+    // embedding emitted as scalars for exact-parity doubles.
+    "i02_extraction_refs" -> ((s, d) => {
+      graft.operators.IngestionPipeline.extractionRefRows(s, d, dim = 8)
+        .select(col("doc_id"), col("content_type"), col("obj_idx"),
+          col("vec_key"), col("s3_path"),
+          element_at(col("embedding"), 1).as("e0"),
+          element_at(col("embedding"), 2).as("e1"))
+        .orderBy("doc_id", "content_type", "obj_idx")
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary blob
     // with typed metadata — the schema/partitioning shape used for
     // image/audio payloads (decode itself is stubbed; see
@@ -43,6 +58,11 @@ object Pipeline extends QueryPack {
 
   private def embComponent(i: Int): String =
     s"(${graft.functions.CrossHash.duckHash60(s"chunk || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
+
+  // Placeholder-embedding components are constants of the literal text —
+  // evaluate the same md5 formula over 'Table data'/'Figure data'.
+  private def placeholderComponent(text: String, i: Int): String =
+    s"(${graft.functions.CrossHash.duckHash60(s"'$text' || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
 
   override val oracles: Map[String, String] = Map(
     "i01_ingest_index" ->
@@ -62,6 +82,23 @@ object Pipeline extends QueryPack {
          |  ${embComponent(2)} AS e2,
          |  ${embComponent(3)} AS e3
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "i02_extraction_refs" ->
+      s"""WITH refs AS (
+         |  SELECT doc_id, 'table' AS content_type, cast(r.range as int) AS obj_idx, source
+         |  FROM documents, range(0, 3) r WHERE r.range <= doc_id % 3
+         |  UNION ALL
+         |  SELECT doc_id, 'figure' AS content_type, cast(r.range as int) AS obj_idx, source
+         |  FROM documents, range(0, 2) r WHERE r.range < doc_id % 2)
+         |SELECT doc_id, content_type, obj_idx,
+         |  concat_ws('_', source, content_type, obj_idx) AS vec_key,
+         |  printf('%s/%s_%d', source, content_type, obj_idx)
+         |    || CASE WHEN content_type = 'table' THEN '.csv' ELSE '.png' END AS s3_path,
+         |  CASE WHEN content_type = 'table' THEN ${placeholderComponent("Table data", 0)}
+         |       ELSE ${placeholderComponent("Figure data", 0)} END AS e0,
+         |  CASE WHEN content_type = 'table' THEN ${placeholderComponent("Table data", 1)}
+         |       ELSE ${placeholderComponent("Figure data", 1)} END AS e1
+         |FROM refs ORDER BY doc_id, content_type, obj_idx""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,

@@ -18,6 +18,26 @@ class ApiSpec extends SparkTestBase {
     assert(r.forall(_.getString(3).length <= 200), "content not truncated")
   }
 
+  test("ragSearch routes target_index: arxiv results are a doc-index subset") {
+    import org.apache.spark.sql.functions._
+    val arxivIds = Api.indexFor(spark, sf0001, Api.ArxivIndex)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docIds = Api.indexFor(spark, sf0001, Api.DocIndex)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(arxivIds.subsetOf(docIds))
+    assert(arxivIds.size < docIds.size,
+      "arxiv index did not restrict the corpus")
+    val hits = Api.ragSearch(spark, sf0001, "spark window join", k = 5,
+      targetIndex = Api.ArxivIndex).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(r => arxivIds.contains(r.getLong(0))),
+      "arxiv-index search returned a non-arxiv vector")
+    val err = intercept[IllegalArgumentException] {
+      Api.ragSearch(spark, sf0001, "q", targetIndex = "nope")
+    }
+    assert(err.getMessage.contains("target_index"))
+  }
+
   test("searchByTopic scores and limits") {
     val r = Api.searchByTopic(spark, sf0001, Seq("spark", "join"), n = 5)
       .collect()

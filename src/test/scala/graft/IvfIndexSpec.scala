@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** The stored-index IVF path: writeIndex partitions the index at rest BY
+  * cent_id; searchIndexed must (a) return exactly what the in-memory
+  * search() returns for the same parameters, and (b) read the index with
+  * a `cent_id IN (...)` PARTITION filter — the partition-pruned probe is
+  * the whole point of the at-rest layout (only probed cells' files open,
+  * never the full index). */
+class IvfIndexSpec extends SparkTestBase {
+
+  private val indexPath = "target/ivf-index-spec"
+
+  private def cleanup(): Unit = {
+    val f = new java.io.File(indexPath)
+    if (f.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively()
+    }
+  }
+
+  test("searchIndexed over a written index equals in-memory search") {
+    cleanup()
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfIndex.writeIndex(emb, k = 16, indexPath)
+
+    val live = IvfIndex
+      .search(emb, col("vec_id") < 5, k = 16, nProbe = 2, topK = 3)
+      .orderBy("q_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    val stored = IvfIndex
+      .searchIndexed(spark, indexPath,
+        emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+        nProbe = 2, topK = 3)
+      .orderBy("q_id", "rank")
+      .collect().map(_.toSeq).toSeq
+
+    assert(stored.nonEmpty, "stored-index search returned no rows")
+    assert(stored === live)
+  }
+
+  test("searchIndexed prunes the index scan to the probed cells") {
+    // (depends on the index written by the previous test; rewrite if absent)
+    if (!new java.io.File(s"$indexPath/index").exists()) {
+      IvfIndex.writeIndex(Tables.embeddings(spark, sf0001), 16, indexPath)
+    }
+    val stored = IvfIndex.searchIndexed(spark, indexPath,
+      Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id") < 5).select("vec_id", "embedding"),
+      nProbe = 2, topK = 3)
+    val plan = stored.queryExecution.executedPlan.toString
+    // the index scan must carry a non-empty PartitionFilters on cent_id —
+    // partition pruning, not a post-scan filter over the whole index
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("ivf-index-spec/index") ||
+        (l.contains("PartitionFilters") && l.contains("cent_id")))
+    assert(scanLine.isDefined, s"no pruned scan of the stored index:\n$plan")
+    assert(plan.contains("PartitionFilters: [cent_id#") ||
+      plan.matches("(?s).*PartitionFilters: \\[.*cent_id.*"),
+      s"cent_id IN (...) did not become a partition filter:\n$plan")
+  }
+}

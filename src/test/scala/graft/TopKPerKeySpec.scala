@@ -53,6 +53,35 @@ class TopKPerKeySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("tiny partial budget degrades to pass-through but stays exact") {
+    // budget=2 forces nearly every row down the pass-through branch: the
+    // final phase must still produce exactly the window formulation.
+    val viaWindow = SparkEntry.queries("q07_window_rank")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val tiny = TopKPerKey.topKPerKey(
+      Tables.orders(spark, sf0001),
+      keys = Seq("o_custkey"),
+      order = Seq(TopKPerKey.desc("o_totalprice"),
+        TopKPerKey.asc("o_orderkey")),
+      k = 3, partialBudget = 2)
+      .select(col("o_custkey"), col("rank").as("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+      .collect().map(_.toSeq).toSeq
+    assert(tiny === viaWindow)
+  }
+
+  test("final phase streams over a sorted, reduced input") {
+    val p = custom().queryExecution.executedPlan.toString
+    // the sort must sit between the exchange and the final phase — it runs
+    // over the partial-phase-reduced rows, and SortExec gives spill safety
+    // the removed in-memory heap map could not
+    assert(p.contains("Sort ["),
+      s"no SortExec feeding the final TopKPerKey phase:\n$p")
+    assert(p.indexOf("Sort [") < p.indexOf("Exchange"),
+      s"sort is not between the exchange and the final phase:\n$p")
+  }
+
   test("rank ties respect the total order (deterministic rerun)") {
     val a = custom().orderBy("o_custkey", "rank").collect().map(_.toSeq)
     val b = custom().orderBy("o_custkey", "rank").collect().map(_.toSeq)
