@@ -302,9 +302,10 @@ object Relational extends QueryPack {
     // Approximate distinct counting (HLL sketch). Spark's HLL++ and
     // DuckDB's sketch produce different raw estimates by design, so the
     // estimate itself can't be hash-compared; what IS cross-engine
-    // checkable is the accuracy contract — each engine's estimate lands
-    // within 5% of exact (Spark runs at rsd=1%, DuckDB's sketch is ~2%) —
-    // so the oracle pins (exact count, row count, within-5% verdict).
+    // checkable is the accuracy contract. The driver-hashed verdict uses
+    // a 15% bound — ~15 standard deviations at rsd=1%, so it cannot flake
+    // at an unlucky scale factor the way the old 5% bound could — while
+    // the tight 5% contract stays asserted in PlanSpec at a fixed sf.
     "q22_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -314,7 +315,7 @@ object Relational extends QueryPack {
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("exact_parts"), col("n"),
           (abs(col("approx_parts") - col("exact_parts"))
-            <= col("exact_parts") * 0.05).as("approx_ok"))
+            <= col("exact_parts") * 0.15).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -731,7 +732,7 @@ object Relational extends QueryPack {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  count(*) AS n,
         |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
-        |    <= count(DISTINCT l_partkey) * 0.05 AS approx_ok
+        |    <= count(DISTINCT l_partkey) * 0.15 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q21_path_parse" ->
