@@ -30,6 +30,30 @@ object DocumentSinks {
   def writePartitioned(df: DataFrame, byCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(byCol).parquet(path)
 
+  /** Per-object sink: one file per row, path = `dir`/`keyCol` — the
+    * executor-parallel form of the reference's boto3 put_object loops
+    * (parser_pinecone_storage.py:93-103 `{doc}/table_{n}.csv`, :108-117
+    * `{doc}/picture_{n}.png`), which upload one object per extracted
+    * table/figure from a driver-side Python loop. Here each partition
+    * writes its own rows (no driver collect, no shuffle); nested key
+    * prefixes become directories. Production object stores swap the
+    * java.nio writes for the Hadoop FileSystem API (s3a://) — the
+    * partition-local loop is the part that matters at scale. */
+  def writeObjects(df: DataFrame, keyCol: String, payloadCol: String,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(keyCol).cast("string"), col(payloadCol).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val f = new java.io.File(dir, r.getString(0))
+          val parent = f.getParentFile
+          if (parent != null) parent.mkdirs()
+          java.nio.file.Files.write(f.toPath,
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   /** Bucketed catalog table: co-locates rows by hash(key) at write time so
     * joins/aggregations on the key need no exchange at read time — the
     * storage layout that removes the shuffle for repeated big-to-big joins

@@ -27,6 +27,25 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(pp).count() === n)
   }
 
+  test("per-object sink writes one named file per row from executors") {
+    import org.apache.spark.sql.functions._
+    val p = tmp()
+    // the reference's {doc}/table_{n}.csv keying over extraction rows
+    val objs = graft.operators.IngestionPipeline
+      .extractionRefRows(spark, sf0001, dim = 8)
+      .limit(20)
+      .select(col("s3_path").as("key"),
+        encode(col("vec_key"), "UTF-8").as("payload"))
+    val expected = objs.collect().map(r =>
+      r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    DocumentSinks.writeObjects(objs, "key", "payload", p)
+    expected.foreach { case (key, body) =>
+      val f = new java.io.File(p, key)
+      assert(f.exists(), s"object $key not written")
+      assert(new String(Files.readAllBytes(f.toPath), "UTF-8") === body)
+    }
+  }
+
   test("partitioned export prunes on read") {
     val docs = Tables.documents(spark, sf0001)
     val p = tmp()
