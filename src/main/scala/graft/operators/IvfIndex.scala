@@ -43,6 +43,51 @@ object IvfIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
 
+  /** Lloyd-trained centroids: start from [[centroids]]' deterministic
+    * seeds, then `iters` rounds of assign (map-only scan vs centroid
+    * literals — the same fused-distance expression queries use) →
+    * recompute means (one groupBy over ≤ k cells) → re-quantize. Each
+    * iteration is one job whose shuffle carries k×dim longs; only the k
+    * centroid rows ever reach the driver. Trained centroids balance cell
+    * populations (the k-lowest-id seeds can be arbitrarily skewed), which
+    * is what bounds per-probe work at corpus scale; everything stays
+    * deterministic — quantized integer means of deterministic
+    * assignments — so a trained index is as reproducible as a seeded one.
+    * Use with [[cellRanksWith]] / [[writeIndex]]'s explicit-centroid form. */
+  def trainCentroids(emb: DataFrame, k: Int,
+      iters: Int): Array[(Long, Array[Long])] = {
+    var cents = centroids(emb, k)
+    for (_ <- 0 until iters) {
+      val dim = cents.head._2.length
+      val assigned = cellRanksWith(emb, cents)
+        .filter(col("rk") === 1)
+        .select(col("cent_id"),
+          VectorFunctions.quantize1e6(col("embedding")).as("qe"))
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col("qe"), i + 1)).as(s"c$i"))
+      val means = assigned.groupBy("cent_id")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map { r =>
+          (r.getLong(0),
+            Array.tabulate(dim)(i => math.round(r.getDouble(i + 1))))
+        }
+      // empty cells keep their previous centroid (standard Lloyd repair)
+      val byId = means.toMap
+      cents = cents.map { case (id, old) => (id, byId.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** Mean integer squared-L2 distance of each vector to its assigned
+    * centroid — the distortion objective Lloyd descends; exposed for
+    * training diagnostics and the convergence spec. */
+  def distortion(emb: DataFrame, cents: Array[(Long, Array[Long])]): Double =
+    cellRanksWith(emb, cents)
+      .filter(col("rk") === 1)
+      .agg(avg(col("dist")))
+      .collect()(0).getDouble(0)
+
   /** (vec_id, embedding, cent_id): each vector assigned to its nearest
     * centroid cell. Map-only (centroid literals, per-row argmin). */
   def assignments(emb: DataFrame, k: Int): DataFrame =
@@ -111,8 +156,13 @@ object IvfIndex {
     * centroid sidecar so query-time never re-derives centroids from the
     * corpus. Layout: `<path>/index` (partitioned parquet) and
     * `<path>/centroids` (k rows). */
-  def writeIndex(emb: DataFrame, k: Int, path: String): Unit = {
-    val cents = centroids(emb, k)
+  def writeIndex(emb: DataFrame, k: Int, path: String): Unit =
+    writeIndexWith(emb, centroids(emb, k), path)
+
+  /** [[writeIndex]] with an explicit (e.g. [[trainCentroids]]-trained)
+    * centroid set. */
+  def writeIndexWith(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      path: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cent_id", "qc")

@@ -42,6 +42,21 @@ class IvfIndexSpec extends SparkTestBase {
     assert(stored === live)
   }
 
+  test("Lloyd training lowers distortion, stays deterministic, and searches") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val seeded = IvfIndex.centroids(emb, 16)
+    val trained = IvfIndex.trainCentroids(emb, 16, iters = 3)
+    val d0 = IvfIndex.distortion(emb, seeded)
+    val d1 = IvfIndex.distortion(emb, trained)
+    assert(d1 < d0, s"training did not lower distortion: $d0 -> $d1")
+    // deterministic: re-training yields byte-identical centroids
+    val again = IvfIndex.trainCentroids(emb, 16, iters = 3)
+    assert(trained.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+    // the trained layout serves queries through the same ranking path
+    val ranks = IvfIndex.cellRanksWith(emb, trained)
+    assert(ranks.filter(col("rk") === 1).count() === emb.count())
+  }
+
   test("searchIndexed prunes the index scan to the probed cells") {
     // (depends on the index written by the previous test; rewrite if absent)
     if (!new java.io.File(s"$indexPath/index").exists()) {
