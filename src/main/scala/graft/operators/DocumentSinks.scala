@@ -38,18 +38,34 @@ object DocumentSinks {
     * writes its own rows (no driver collect, no shuffle); nested key
     * prefixes become directories. Production object stores swap the
     * java.nio writes for the Hadoop FileSystem API (s3a://) — the
-    * partition-local loop is the part that matters at scale. */
+    * partition-local loop is the part that matters at scale.
+    *
+    * Keys are object names, not arbitrary paths: a null key, an absolute
+    * key, or one containing a `..` segment fails the task with a clear
+    * error instead of writing outside `dir`. Each object lands via a
+    * same-directory temp file + `Files.move` so a retried/speculative
+    * task never leaves a torn object — the last rename wins whole. */
   def writeObjects(df: DataFrame, keyCol: String, payloadCol: String,
       dir: String): Unit = {
     import org.apache.spark.sql.functions.col
     df.select(col(keyCol).cast("string"), col(payloadCol).cast("binary"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
         rows.foreach { r =>
-          val f = new java.io.File(dir, r.getString(0))
-          val parent = f.getParentFile
-          if (parent != null) parent.mkdirs()
-          java.nio.file.Files.write(f.toPath,
+          val key = if (r.isNullAt(0)) null else r.getString(0)
+          require(key != null && key.nonEmpty,
+            s"writeObjects: null/empty key in column '$keyCol'")
+          require(!key.startsWith("/") &&
+              !key.split('/').contains("..") && !key.contains('\u0000'),
+            s"writeObjects: key escapes the sink directory: '$key'")
+          val f = Paths.get(dir, key)
+          val parent = f.getParent
+          if (parent != null) Files.createDirectories(parent)
+          val tmp = Files.createTempFile(parent, "." + f.getFileName, ".tmp")
+          Files.write(tmp,
             if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1))
+          Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
         }
       }
   }

@@ -101,7 +101,13 @@ object IngestionPipeline {
     *
     * Scale note: one partition per doc_id is right up to ~1M documents;
     * past that, partition by a doc_id bucket instead —
-    * [[upsertIndexBucketed]] implements that read-merge-write form. */
+    * [[upsertIndexBucketed]] implements that read-merge-write form.
+    *
+    * NO-DELETE semantics: the touched partitions derive from `newRows`, so
+    * a document whose re-ingest yields ZERO rows keeps its stale vectors
+    * (dynamic overwrite cannot target an absent partition). Use the
+    * bucketed form's explicit-doc_ids overload when re-ingestion must also
+    * delete. */
   def upsertIndex(newRows: DataFrame, path: String): Unit =
     newRows.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -126,27 +132,58 @@ object IngestionPipeline {
 
   /** Keyed upsert against a BUCKETED index — the 100 TB shape: a bucket
     * holds many documents, so replacement is read-merge-write over ONLY
-    * the touched buckets (partition-pruned read, anti-join out the
-    * re-ingested doc_ids, union the new rows, dynamic-overwrite those
-    * buckets). The merged rows are localCheckpoint-materialized BEFORE
-    * the overwrite commits — Spark must never lazily re-read partitions
-    * the same job is deleting. */
+    * the touched buckets. Re-ingested doc_ids are inferred from `newRows`,
+    * so this form CANNOT delete: a doc whose re-ingest yields zero rows
+    * never touches its bucket. Pass the re-ingested ids explicitly via the
+    * overload below when the contract must include deletion. */
   def upsertIndexBucketed(spark: SparkSession, newRows: DataFrame,
-      path: String, buckets: Int): Unit = {
+      path: String, buckets: Int): Unit =
+    upsertIndexBucketed(spark, newRows,
+      newRows.select("doc_id").distinct(), path, buckets)
+
+  /** [[upsertIndexBucketed]] with the re-ingested document set made
+    * EXPLICIT (`reingestedDocs` needs a `doc_id` column): every listed
+    * doc_id's old vectors are anti-joined out whether or not `newRows`
+    * carries replacements, so a re-ingest that now produces zero rows for
+    * a document deletes its stale vectors — "upsert equals fresh rebuild"
+    * holds in the empty-re-ingest edge too. Touched buckets derive from
+    * the UNION of the id set's and the new rows' buckets (partition-pruned
+    * read, anti-join, union, dynamic-overwrite); merged rows are
+    * localCheckpoint-materialized BEFORE the overwrite commits — Spark
+    * must never lazily re-read partitions the same job is deleting. */
+  def upsertIndexBucketed(spark: SparkSession, newRows: DataFrame,
+      reingestedDocs: DataFrame, path: String, buckets: Int): Unit = {
     val fresh = withBucket(newRows, buckets)
-    val touched = fresh.select("bucket").distinct()
+    val upsertedDocs = reingestedDocs.select(col("doc_id").cast("long")
+      .as("doc_id")).distinct()
+    val touched = withBucket(upsertedDocs, buckets).select("bucket")
+      .union(fresh.select("bucket")).distinct()
       .collect().map(_.getLong(0))
-    val upsertedDocs = fresh.select("doc_id").distinct()
-    val kept = spark.read.parquet(path)
-      .filter(col("bucket").isin(touched: _*))
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      // partition-column inference narrows bucket to int; realign with
-      // fresh's pmod(xxhash64) long before the union
-      .withColumn("bucket", col("bucket").cast("long"))
-      .join(upsertedDocs, Seq("doc_id"), "left_anti")
-    val merged = kept.unionByName(fresh).localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
+    if (touched.nonEmpty) {
+      val kept = spark.read.parquet(path)
+        .filter(col("bucket").isin(touched: _*))
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        // partition-column inference narrows bucket to int; realign with
+        // fresh's pmod(xxhash64) long before the union
+        .withColumn("bucket", col("bucket").cast("long"))
+        .join(upsertedDocs, Seq("doc_id"), "left_anti")
+      val merged = kept.unionByName(fresh).localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+      // dynamic overwrite cannot rewrite a partition the merged set no
+      // longer contains: a bucket whose documents were ALL deleted keeps
+      // its old files unless dropped explicitly
+      val mergedBuckets = merged.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val emptied = touched.filterNot(mergedBuckets.contains)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
+        }
+      }
+    }
   }
 }

@@ -136,9 +136,24 @@ object IvfIndex {
     * counted the ranked probe pipeline itself, re-running the whole
     * quantize + k-distance scan just to size the broadcast). Past
     * `maxBroadcastProbes` estimated rows the join degrades to a plain
-    * shuffle equi-join on cent_id — slower, never a failed job. */
+    * shuffle equi-join on cent_id — slower, never a failed job.
+    *
+    * CONTRACT: `queryFilter` selects which EMBEDDING rows are queries, so
+    * it may reference only `emb`'s columns (vec_id, embedding, ...) —
+    * never rank-side columns (rk/cent_id/dist); those don't exist on the
+    * scan the broadcast guard counts. Violations fail fast here with a
+    * named-column error instead of a deep AnalysisException. */
   def search(emb: DataFrame, queryFilter: Column, k: Int, nProbe: Int,
       topK: Int, maxBroadcastProbes: Long = 1000000L): DataFrame = {
+    try emb.where(queryFilter).queryExecution.analyzed
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"IvfIndex.search queryFilter may only reference embeddings " +
+            s"columns ${emb.columns.mkString("(", ", ", ")")} — filter the " +
+            "query SET, not the cell ranking (rk/cent_id/dist are produced " +
+            s"internally). Analysis said: ${e.getMessage}", e)
+    }
     val ranks = cellRanks(emb, k)
     val assigned = ranks.filter(col("rk") === 1)
       .select("vec_id", "embedding", "cent_id")

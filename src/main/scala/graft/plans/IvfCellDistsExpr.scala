@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
   * as one fused codegen loop returning `array<long>` (index j = distance
   * to centroid j, in the caller's centroid order).
   *
-  * The embedding quantizes once to round(x·1e6) longs, then k centroid
-  * distances accumulate in a tight nested loop — replacing the per-
-  * centroid `aggregate(zip_with(...))` HOF folds (k·dim interpreted lambda
-  * steps per row, CodegenFallback) that made [[graft.operators.IvfIndex]]
-  * cell ranking the slow part of the round-3 bench. Same exact integer
-  * arithmetic, so cell assignment stays bit-identical to the DuckDB
-  * oracle. Null for a null input or a dimension mismatch with the
-  * centroids.
+  * The embedding quantizes once to round(x·1e6) longs
+  * ([[Quantize1e6.roundLong]] — Spark `round()` semantics, matching
+  * `VectorFunctions.quantize1e6` exactly; see Quantize1e6's scaladoc for
+  * the DuckDB-parity envelope), then k centroid distances accumulate in a
+  * tight nested loop — replacing the per-centroid
+  * `aggregate(zip_with(...))` HOF folds (k·dim interpreted lambda steps
+  * per row, CodegenFallback) that made [[graft.operators.IvfIndex]] cell
+  * ranking the slow part of the round-3 bench. Null for a null input or a
+  * dimension mismatch with the centroids.
   *
   * Centroids are a `Seq[Seq[Long]]` constructor field (not arrays) so
   * case-class equality — and with it plan canonicalization and
@@ -58,7 +59,7 @@ case class IvfCellDistsExpr(child: Expression, cents: Seq[Seq[Long]])
     var i = 0
     while (i < dim) {
       val x = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * 1e6
-      q(i) = (if (x < 0) math.ceil(x - 0.5) else math.floor(x + 0.5)).toLong
+      q(i) = Quantize1e6.roundLong(x)
       i += 1
     }
     val out = new Array[Long](centArr.length)
@@ -94,8 +95,7 @@ case class IvfCellDistsExpr(child: Expression, cents: Seq[Seq[Long]])
         |  long[] $q = new long[$dim];
         |  for (int $i = 0; $i < $dim; $i++) {
         |    double $x = ((double) $getX) * 1.0E6;
-        |    $q[$i] = (long) ($x < 0 ? java.lang.Math.ceil($x - 0.5)
-        |                             : java.lang.Math.floor($x + 0.5));
+        |    $q[$i] = graft.plans.Quantize1e6.roundLong($x);
         |  }
         |  long[] $out = new long[$k];
         |  for (int $j = 0; $j < $k; $j++) {

@@ -25,10 +25,12 @@ import org.apache.spark.sql.types._
   * generates a ~15-line nested loop: microsecond compile, tight primitive
   * execution, and it participates in whole-stage codegen.
   *
-  * Quantization is round-half-away-from-zero of x·1e6 — bit-identical to
-  * Spark's `round()` (BigDecimal HALF_UP) and DuckDB's `round()` on these
-  * inputs, so signatures stay cross-engine exact. Returns null for a null
-  * or wrong-dimension input.
+  * Quantization is [[Quantize1e6.roundLong]] — bit-identical to Spark's
+  * `round()` (BigDecimal HALF_UP on the decimal rendering, i.e. exactly
+  * `VectorFunctions.quantize1e6`); DuckDB's `round()` agrees except for
+  * components within half-ulp of a .5·1e-6 boundary, unreachable for
+  * hash-derived embeddings (see Quantize1e6's scaladoc for the analysis).
+  * Returns null for a null or wrong-dimension input.
   */
 case class SrpSignExpr(child: Expression, dim: Int, planes: Int)
     extends UnaryExpression {
@@ -61,7 +63,7 @@ case class SrpSignExpr(child: Expression, dim: Int, planes: Int)
     var i = 0
     while (i < dim) {
       val x = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * 1e6
-      q(i) = (if (x < 0) math.ceil(x - 0.5) else math.floor(x + 0.5)).toLong
+      q(i) = Quantize1e6.roundLong(x)
       i += 1
     }
     var sig = 0L
@@ -95,8 +97,7 @@ case class SrpSignExpr(child: Expression, dim: Int, planes: Int)
         |  long[] $q = new long[$dim];
         |  for (int $i = 0; $i < $dim; $i++) {
         |    double $x = ((double) $getX) * 1.0E6;
-        |    $q[$i] = (long) ($x < 0 ? java.lang.Math.ceil($x - 0.5)
-        |                             : java.lang.Math.floor($x + 0.5));
+        |    $q[$i] = graft.plans.Quantize1e6.roundLong($x);
         |  }
         |  long $sig = 0L;
         |  for (int $p = 0; $p < $planes; $p++) {

@@ -63,6 +63,44 @@ class IngestionUpsertSpec extends SparkTestBase {
     assert(after === fresh)
   }
 
+  test("explicit-doc_ids upsert deletes a doc whose re-ingest is empty") {
+    import spark.implicits._
+    val path = "target/ingest-upsert-delete"
+    cleanup(path)
+    val (docs, _) = mutatedDocs()
+    IngestionPipeline.writeIndexBucketed(
+      IngestionPipeline.buildIndexFrom(docs, 120, 20, 8), path, buckets = 4)
+    // doc 3 re-ingests to ZERO rows (removed from the corpus): with the
+    // explicit id set its stale vectors must still be anti-joined out
+    IngestionPipeline.upsertIndexBucketed(spark,
+      IngestionPipeline.buildIndexFrom(
+        docs.filter(lit(false)), 120, 20, 8),
+      Seq(3L).toDF("doc_id"), path, buckets = 4)
+    val after = rows(IngestionPipeline.readIndex(spark, path))
+    val fresh = rows(IngestionPipeline.buildIndexFrom(
+      docs.filter(col("doc_id") =!= 3), 120, 20, 8))
+    assert(after.nonEmpty)
+    assert(after === fresh)
+  }
+
+  test("deleting every doc in a bucket drops the partition, not just its rows") {
+    import spark.implicits._
+    val path = "target/ingest-upsert-drop-bucket"
+    cleanup(path)
+    val (docs, _) = mutatedDocs()
+    val only3 = docs.filter(col("doc_id") === 3)
+    IngestionPipeline.writeIndexBucketed(
+      IngestionPipeline.buildIndexFrom(only3, 120, 20, 8), path, buckets = 4)
+    IngestionPipeline.upsertIndexBucketed(spark,
+      IngestionPipeline.buildIndexFrom(
+        docs.filter(lit(false)), 120, 20, 8),
+      Seq(3L).toDF("doc_id"), path, buckets = 4)
+    val bucketDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.isEmpty,
+      s"stale bucket partitions survived a full delete: ${bucketDirs.mkString(", ")}")
+  }
+
   test("upsert of an unchanged doc is idempotent") {
     val path = "target/ingest-upsert-keyed"
     // state from the first test: upsert doc 5's (unchanged) rows again

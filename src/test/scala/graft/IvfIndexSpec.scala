@@ -42,6 +42,17 @@ class IvfIndexSpec extends SparkTestBase {
     assert(stored === live)
   }
 
+  test("search rejects a queryFilter over rank-side columns with a named error") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.search(emb, col("rk") === 1, k = 16, nProbe = 2, topK = 3)
+    }
+    assert(err.getMessage.contains("rk"))
+    assert(err.getMessage.contains("embeddings columns"))
+    // embeddings-column filters still pass through unchanged
+    assert(IvfIndex.search(emb, col("vec_id") < 2, 16, 2, 3).count() > 0)
+  }
+
   test("Lloyd training lowers distortion, stays deterministic, and searches") {
     val emb = Tables.embeddings(spark, sf0001)
     val seeded = IvfIndex.centroids(emb, 16)

@@ -46,6 +46,42 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("per-object sink rejects traversal and null keys, leaves no temp files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = tmp()
+    def write(rows: Seq[(String, String)]): Unit =
+      DocumentSinks.writeObjects(
+        rows.toDF("key", "payload")
+          .select(col("key"), encode(col("payload"), "UTF-8").as("payload")),
+        "key", "payload", p)
+
+    val esc = intercept[org.apache.spark.SparkException] {
+      write(Seq(("a/../../evil.txt", "x")))
+    }
+    assert(esc.getCause.getMessage.contains("escapes"))
+    val abs = intercept[org.apache.spark.SparkException] {
+      write(Seq(("/etc/evil.txt", "x")))
+    }
+    assert(abs.getCause.getMessage.contains("escapes"))
+    val nul = intercept[org.apache.spark.SparkException] {
+      DocumentSinks.writeObjects(
+        Seq((Option.empty[String], "x")).toDF("key", "payload")
+          .select(col("key"), encode(col("payload"), "UTF-8").as("payload")),
+        "key", "payload", p)
+    }
+    assert(nul.getCause.getMessage.contains("null/empty key"))
+    assert(!new java.io.File(p).toPath.getParent.resolve("evil.txt").toFile.exists())
+
+    // successful write is atomic-per-object: file exists, no .tmp remnants
+    write(Seq(("d/ok.txt", "body")))
+    assert(new String(Files.readAllBytes(
+      new java.io.File(p, "d/ok.txt").toPath), "UTF-8") === "body")
+    val leftovers = Files.walk(new java.io.File(p).toPath)
+      .filter(_.toString.endsWith(".tmp")).count()
+    assert(leftovers === 0L)
+  }
+
   test("partitioned export prunes on read") {
     val docs = Tables.documents(spark, sf0001)
     val p = tmp()

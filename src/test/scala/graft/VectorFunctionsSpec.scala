@@ -82,6 +82,34 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(mismatches === 0L)
   }
 
+  test("Quantize1e6.roundLong is bit-identical to Spark round() on boundary doubles") {
+    // the half-away-from-zero-on-binary trap cases: shortest decimal
+    // rendering and binary value straddle a .5 boundary
+    val xs = Seq(0.49999999999999994, -0.49999999999999994,
+      1.4999999999999998, -1.4999999999999998, 2.5, -2.5, 0.5, -0.5,
+      1e6 + 0.5, -(1e6 + 0.5), 3.4999999999999996, 0.0, 7.25, -123456.5)
+    val sparkRound = xs.toDF("x")
+      .select(round(col("x")).cast("long").as("r")).as[Long].collect().toSeq
+    val ours = xs.map(graft.plans.Quantize1e6.roundLong)
+    assert(ours === sparkRound)
+  }
+
+  test("srp signature matches HOF on embeddings crafted near .5 quantization boundaries") {
+    // components put v*1e6 within half-ulp of a .5 boundary, where the
+    // old binary-value rounding disagreed with quantize1e6 (Spark round)
+    val tricky = Seq(
+      Array.tabulate(64)(i => (i - 32 + 0.49999999999999994) / 1e6),
+      Array.tabulate(64)(i => (i + 0.5) / 1e6),
+      Array.tabulate(64)(i => -(i + 1.4999999999999998) / 1e6))
+      .map(_.toSeq)
+    val df = tricky.toDF("embedding")
+    val mismatches = df.select(
+      VectorFunctions.srpSignature(col("embedding"), 64, 8).as("flat"),
+      VectorFunctions.srpSignatureHof(col("embedding"), 64, 8).as("hof"))
+      .filter(col("flat") =!= col("hof")).count()
+    assert(mismatches === 0L)
+  }
+
   test("srp weights are reproducible from the seeded hash") {
     val w = VectorFunctions.srpWeights(4, 2)
     assert(w.length === 2 && w(0).length === 4)
