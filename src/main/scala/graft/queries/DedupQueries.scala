@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{MinHashLSH, SimHash}
+import graft.operators.{DupClusters, MinHashLSH, NgramJaccard, SimHash}
 
 /** Deduplication operator family over the document corpus — the
   * LLM-training-data-pipeline extension (BASELINE.json north star; the
@@ -62,6 +62,35 @@ object DedupQueries extends QueryPack {
     // SimHash near-dup pairs: band equi-join + exact Hamming ≤ 3.
     "d04_simhash_pairs" -> ((s, d) => {
       SimHash.nearPairs(Tables.documents(s, d)).orderBy("a_id", "b_id")
+    }),
+
+    // EXACT n-gram Jaccard near-dup: inverted shingle index (df-capped)
+    // for candidates, exact Jaccard verify — the sketch-free reference
+    // point for d02's MinHash approximation of the same measure.
+    "d07_ngram_jaccard" -> ((s, d) => {
+      NgramJaccard.nearDuplicates(Tables.documents(s, d))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Duplicate CLUSTERS: transitive closure of exact-dup + SimHash
+    // near-dup pairs via min-label propagation — every doc labelled with
+    // its cluster's minimum id, singletons labelling themselves; the
+    // keep-one-per-cluster artifact pairwise queries can't express.
+    "d08_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("h")
+      val exact = docs
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+      val pairs = exact
+        .unionByName(SimHash.nearPairs(docs).select("a_id", "b_id"))
+        .distinct()
+      DupClusters.assign(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
     }),
 
     // Composed cleaning verdict: all sketch signals per document.
@@ -175,6 +204,35 @@ object DedupQueries extends QueryPack {
         |      / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) as double), 6) AS jacc
         |  FROM cand JOIN shl sa ON sa.doc_id = a_id JOIN shl sb ON sb.doc_id = b_id)
         |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+
+    "d07_ngram_jaccard" ->
+      ("WITH " + NgramJaccard.duckCandCtes(3, 100) + """,
+        |j AS (SELECT a_id, b_id,
+        |  round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
+        |      / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) as double), 6) AS jacc
+        |  FROM cand JOIN shl sa ON sa.doc_id = a_id JOIN shl sb ON sb.doc_id = b_id)
+        |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+
+    "d08_dup_clusters" ->
+      ("WITH RECURSIVE " + SimHash.duckSignatureCtes() + """,
+        |bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
+        |  FROM sigs, range(0, 4) b),
+        |near AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |exact AS (SELECT canonical_id AS a_id, doc_id AS b_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents)
+        |  WHERE doc_id <> canonical_id),
+        |pairs AS (SELECT a_id, b_id FROM exact UNION SELECT a_id, b_id FROM near),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+        |reach AS (SELECT s AS id, d AS r FROM e
+        |  UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+        |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(lab.m, d.doc_id)) AS cluster_id,
+        |  least(d.doc_id, coalesce(lab.m, d.doc_id)) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     "d03_simhash" ->
       ("WITH " + SimHash.duckSignatureCtes() +

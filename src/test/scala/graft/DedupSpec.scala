@@ -37,6 +37,54 @@ class DedupSpec extends SparkTestBase {
     assert(dups.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
   }
 
+  test("ngram jaccard finds planted near-dups exactly, caps stop-shingles") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different words about spark shuffle " +
+      "partitions and broadcast joins at massive scale"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val dups = graft.operators.NgramJaccard.nearDuplicates(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    // identical docs 1 and 4 score exactly 1.0; the near-dup pair scores
+    // the true Jaccard (17-shingle docs differing in the last 3 shingles)
+    assert(dups.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+    assert(dups.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.6 })
+    assert(!dups.exists { case (a, b, _) => a == 3L || b == 3L })
+
+    // a shingle shared by EVERY doc is a stop-shingle under maxDf and
+    // pairs nothing by itself
+    val boiler = (1L to 6L).map(i => (i, s"standard header line distinct$i"))
+      .toDF("doc_id", "text")
+    val cand = graft.operators.NgramJaccard
+      .candidatePairs(boiler, n = 3, maxDf = 5)
+      .as[(Long, Long)].collect()
+    assert(cand.isEmpty, s"stop-shingle produced candidates: ${cand.toSeq}")
+  }
+
+  test("dup clusters: min-label propagation crosses chains, keeps singletons") {
+    // path 1-2-3-4-5 (diameter 4, needs >1 round), pair {8,9}, singleton 7;
+    // edge direction deliberately mixed — propagation must be symmetric
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (9L, 8L))
+      .toDF("a_id", "b_id")
+    val verts = (1L to 9L).toDF("id")
+    val out = graft.operators.DupClusters.assign(verts, pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("dup clusters fail loudly when the iteration bound is too low") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val verts = (1L to 6L).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.DupClusters.assign(verts, pairs, maxIters = 1)
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+
   test("d05 near-dup pairs are symmetric-free (a < b) and thresholded") {
     val rows = SparkEntry.queries("d05_embedding_near_dup")(spark, sf0001)
       .as[(Long, Long, Double)].collect()
