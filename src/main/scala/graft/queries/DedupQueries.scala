@@ -84,9 +84,9 @@ object DedupQueries extends QueryPack {
         .withColumn("canonical_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+      // no distinct here: assign() dedups the directed edge list anyway
       val pairs = exact
         .unionByName(SimHash.nearPairs(docs).select("a_id", "b_id"))
-        .distinct()
       DupClusters.assign(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_canonical"))
@@ -206,12 +206,12 @@ object DedupQueries extends QueryPack {
         |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
 
     "d07_ngram_jaccard" ->
-      ("WITH " + NgramJaccard.duckCandCtes(3, 100) + """,
-        |j AS (SELECT a_id, b_id,
-        |  round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
-        |      / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) as double), 6) AS jacc
-        |  FROM cand JOIN shl sa ON sa.doc_id = a_id JOIN shl sb ON sb.doc_id = b_id)
-        |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+      ("WITH " + NgramJaccard.duckJaccardCtes(3, 100) + """
+        |SELECT a_id, b_id, jacc FROM (
+        |  SELECT a_id, b_id,
+        |    round(cast(c as double) / cast(sa.n + sb.n - c as double), 6) AS jacc
+        |  FROM co JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
+        |WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
 
     "d08_dup_clusters" ->
       ("WITH RECURSIVE " + SimHash.duckSignatureCtes() + """,
