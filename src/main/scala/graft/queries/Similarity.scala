@@ -27,27 +27,70 @@ object Similarity extends QueryPack {
   private val Dim = 64
   private val Planes = 4
 
+  /** SRP-LSH ANN: top-`topK` in-bucket neighbours of query vectors 0..4. */
+  private def srpTopK(s: SparkSession, d: String, topK: Int): DataFrame = {
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.srpSignature(col("embedding"), Dim, Planes)
+          .as("sig"))
+    val q = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sig"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    q.join(sigs, Seq("sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
+  /** Exact top-`topK` neighbours of query vectors 0..4 (brute force,
+    * broadcast query side). */
+  private def exactTopK(s: SparkSession, d: String, topK: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "vec_id")
+  }
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SRP-LSH ANN: top-3 in-bucket neighbours for query vectors 0..4.
-    "s01_ann_srp" -> ((s, d) => {
-      val sigs = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.srpSignature(col("embedding"), Dim, Planes)
-            .as("sig"))
-      val q = sigs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("sig"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("sim").desc, col("vec_id"))
-      q.join(sigs, Seq("sig"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
-            .as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("q_id", "rank", "vec_id", "sim")
-        .orderBy("q_id", "rank")
+    "s01_ann_srp" -> ((s, d) =>
+      srpTopK(s, d, 3).orderBy("q_id", "rank")),
+
+    // ANN quality evaluation: recall@3 of BOTH approximate tiers against
+    // the exact top-3, per query vector — the diagnostic a pipeline runs
+    // before trusting an approximate index at scale. Recall joins are on
+    // (q_id, vec_id) id pairs only; the exact side reuses the broadcast
+    // brute-force composition, each ANN side its production pipeline.
+    "s04_ann_recall" -> ((s, d) => {
+      val exact = exactTopK(s, d, 3)
+      def recall(ann: DataFrame, method: String): DataFrame =
+        exact
+          .join(ann.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+            Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / 3.0, 6)
+            .as("recall"))
+          .select(lit(method).as("method"), col("q_id"), col("recall"))
+      recall(srpTopK(s, d, 3), "srp")
+        .unionByName(recall(
+          graft.operators.IvfIndex.search(Tables.embeddings(s, d),
+            col("vec_id") < 5, k = 16, nProbe = 2, topK = 3), "ivf"))
+        .orderBy("method", "q_id")
     }),
 
     // IVF-bucketed ANN: 16 deterministic centroid cells, 2-cell probe,
@@ -125,6 +168,50 @@ object Similarity extends QueryPack {
         |  FROM cand)
         |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
+
+    "s04_ann_recall" ->
+      (srpCtes + s""",
+        |srp AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) DESC, c.vec_id) AS rnk
+        |  FROM esig q JOIN esig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5) WHERE rnk <= 3),
+        |iq AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |icents AS (SELECT vec_id AS cent_id, qe AS qc FROM iq ORDER BY vec_id LIMIT 16),
+        |idists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM iq a, icents c),
+        |iranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM idists),
+        |iassign AS (SELECT vec_id, cent_id FROM iranks WHERE rk = 1),
+        |iprobes AS (SELECT vec_id AS q_id, cent_id FROM iranks WHERE vec_id < 5 AND rk <= 2),
+        |icand AS (SELECT p.q_id, a.vec_id,
+        |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim
+        |  FROM iprobes p
+        |  JOIN iassign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+        |  JOIN embeddings eq ON eq.vec_id = p.q_id
+        |  JOIN embeddings ev ON ev.vec_id = a.vec_id),
+        |ivf AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM icand) WHERE rnk <= 3),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5) WHERE rnk <= 3),
+        |r AS (
+        |  SELECT 'srp' AS method, e.q_id, round(cast(count(s.vec_id) as double) / 3.0, 6) AS recall
+        |  FROM ex e LEFT JOIN srp s ON s.q_id = e.q_id AND s.vec_id = e.vec_id GROUP BY e.q_id
+        |  UNION ALL
+        |  SELECT 'ivf' AS method, e.q_id, round(cast(count(v.vec_id) as double) / 3.0, 6) AS recall
+        |  FROM ex e LEFT JOIN ivf v ON v.q_id = e.q_id AND v.vec_id = e.vec_id GROUP BY e.q_id)
+        |SELECT method, q_id, recall FROM r ORDER BY method, q_id""".stripMargin),
 
     "s02_sim_join_topk" ->
       """WITH cand AS (SELECT q.vec_id AS q_id, c.vec_id,
