@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.operators.IngestionPipeline
+
+/** The reference's ingestion DAG as an INCREMENTAL Structured Streaming
+  * job: file source over the document store → chunk → embed → append to
+  * the parquet vector index (SURVEY.md §3.1; the batch twin is
+  * [[graft.operators.IngestionPipeline.buildIndexFrom]] / i01).
+  *
+  * The reference re-runs its whole Airflow DAG per trigger and re-parses
+  * every object it lists (parser_pinecone_storage.py:41-54); here the
+  * checkpoint IS the listing state — each `Trigger.AvailableNow` run
+  * drains exactly the files that appeared since the last run, so
+  * re-triggering after new documents land embeds ONLY the new documents.
+  * That is the incremental form of the DAG the reference approximates by
+  * hand, and the whole pipeline stays map-only (chunk explode + embed
+  * projection, no shuffle before the sink), so a 100 TB/day document
+  * feed distributes file-by-file across executors.
+  *
+  * Chunk/embed parameters are the fixture-scale ones the i01 oracle pins
+  * (chunkSize 120 / overlap 20 / dim 8 in tests; reference semantics
+  * 3000/200/1536).
+  */
+object IngestStream {
+
+  /** documents.parquet schema (FIXTURES.md) — a streaming file source
+    * cannot infer it. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Unbounded corpus source: every parquet file that appears under `dir`
+    * is one ingestion unit (the S3-listing analog, with the checkpoint
+    * replacing the reference's re-list-everything scan). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+
+  /** Chunk → id → embed, unchanged from the batch pipeline — map-only, so
+    * it is streaming-compatible as-is (no aggregation, no watermark
+    * needed, `append` output mode). */
+  def indexRows(docs: DataFrame, chunkSize: Int, overlap: Int,
+      dim: Int): DataFrame =
+    IngestionPipeline.buildIndexFrom(docs, chunkSize, overlap, dim)
+
+  /** Drain all currently-unprocessed document files into the parquet
+    * index at `outDir`, tracking progress in `checkpointDir`. Returns
+    * after the drain completes; call again after new files land to
+    * ingest increments. */
+  def ingestAvailable(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, chunkSize: Int = 3000, overlap: Int = 200,
+      dim: Int = 64): Unit = {
+    val q = indexRows(readDocuments(spark, srcDir), chunkSize, overlap, dim)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

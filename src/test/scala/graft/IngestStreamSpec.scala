@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.IngestionPipeline
+import graft.streaming.IngestStream
+
+/** Streaming ingestion ≡ batch ingestion, and re-triggering is
+  * INCREMENTAL: the checkpoint must make a second AvailableNow run embed
+  * only the files that appeared since the first. */
+class IngestStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name")
+    p.toString
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.select("doc_id", "chunk_idx", "vec_key", "vec_uid", "title", "content")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+
+  test("streaming drain of the corpus equals the batch index build") {
+    val src = tmp("ingest_src"); val out = tmp("ingest_out")
+    val cp = tmp("ingest_cp")
+    Files.copy(Paths.get(sf0001, "documents.parquet"),
+      Paths.get(src, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    IngestStream.ingestAvailable(spark, src, out, cp,
+      chunkSize = 120, overlap = 20, dim = 8)
+
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(IngestionPipeline.buildIndexFrom(
+      Tables.documents(spark, sf0001), 120, 20, 8))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+
+    // --- incremental re-trigger: one new document file lands ---
+    val newDoc = Seq((90001L, "incremental document text that chunks", "en",
+      "inc_doc.pdf", 38L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stage = tmp("ingest_stage")
+    newDoc.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, Paths.get(src, "new_doc.parquet"))
+
+    IngestStream.ingestAvailable(spark, src, out, cp,
+      chunkSize = 120, overlap = 20, dim = 8)
+
+    val after = rows(spark.read.parquet(out))
+    val expected = rows(IngestionPipeline.buildIndexFrom(
+      Tables.documents(spark, sf0001).unionByName(newDoc), 120, 20, 8))
+    assert(after === expected)
+    // the delta is exactly the new document's chunks — nothing re-embedded
+    assert(after.size - streamed.size ===
+      rows(IngestionPipeline.buildIndexFrom(newDoc, 120, 20, 8)).size)
+  }
+}
