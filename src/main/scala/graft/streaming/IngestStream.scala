@@ -24,6 +24,14 @@ import graft.operators.IngestionPipeline
   * Chunk/embed parameters are the fixture-scale ones the i01 oracle pins
   * (chunkSize 120 / overlap 20 / dim 8 in tests; reference semantics
   * 3000/200/1536).
+  *
+  * Semantics note: the parquet stream sink is APPEND-ONLY, so this path
+  * covers documents that are NEW since the last trigger. A re-parsed
+  * version of an already-ingested document must go through the batch
+  * keyed upsert ([[graft.operators.IngestionPipeline.upsertIndex]] /
+  * `upsertIndexBucketed`) — appending it here would duplicate its
+  * vectors, the exact reference behavior (timestamp-salted re-upserts)
+  * the batch path exists to fix.
   */
 object IngestStream {
 
