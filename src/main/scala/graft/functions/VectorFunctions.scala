@@ -61,6 +61,40 @@ object VectorFunctions {
   def quantize1e6(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1e6).cast("long"))
 
+  /** Symmetric INT8 quantization of an embedding — the 4× storage
+    * compression an index at 100 TB wants (float32 dim → one byte).
+    * q8_i = round(q_i · 127 / s), half-away-from-zero, where q =
+    * [[quantize1e6]](v) and s = max|q_i| (zero vector → all zeros).
+    *
+    * Computed ENTIRELY in integer arithmetic over the parity-proven 1e6
+    * quantization: the rounded division is floor((254·|q_i| + s) / 2s)
+    * with both operands exact in double (≤ ~2^35, far under 2^53), so
+    * the floor(quotient) is bit-identical in Spark and DuckDB — no
+    * float-rounding divergence can flip a quantized value. Cosine over
+    * the int8 values (cast to double) is a sum of integer products
+    * (≤ 127²·dim — exact, order-independent), making quantized
+    * similarity fully oracle-checkable. */
+  def quantizeInt8(v: Column): Column =
+    TextFunctions.bound(quantize1e6(v)) { q =>
+      TextFunctions.bound(
+        greatest(array_max(transform(q, x => abs(x))), lit(1L))) { s =>
+        transform(q, x =>
+          (when(x < 0, lit(-1L)).otherwise(lit(1L))) *
+            floor((abs(x) * lit(254L) + s).cast("double") /
+              (s * lit(2L)).cast("double")).cast("long"))
+      }
+    }
+
+  /** DuckDB expression fragment reproducing [[quantizeInt8]] bit-for-bit
+    * over an embedding list column reference. */
+  def duckQuantizeInt8(emb: String): String = {
+    val q = s"list_transform($emb, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+    s"""list_transform($q,
+       |  x -> (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+       |    * cast(floor((abs(x) * 254 + greatest(list_max(list_transform($q, y -> abs(y))), 1))
+       |        / (greatest(list_max(list_transform($q, y -> abs(y))), 1) * 2)) as bigint))""".stripMargin
+  }
+
   /** Signed-random-projection signature: bit p of the result is 1 iff
     * dot(quantize(v), plane_p) > 0, packed into a BIGINT. Vectors that
     * collide on the signature are near-neighbour candidates: this buckets

@@ -103,6 +103,31 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // INT8-quantized similarity: top-3 by cosine over symmetric int8
+    // quantized embeddings (VectorFunctions.quantizeInt8 — the 4× index
+    // compression path). Integer-exact construction end to end: the
+    // quantized values are identical across engines and the cosine sums
+    // integer products exactly, so the compressed index's search results
+    // are oracle-checked, not just spot-checked.
+    "s05_int8_topk" -> ((s, d) => {
+      val e8 = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding"))
+            .cast("array<double>").as("q8"))
+      val q = e8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q8").as("q_q8"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      e8.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorFunctions.cosine(col("q8"), col("q_q8")), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
     // Brute-force similarity self-join: exact top-3 neighbours for query
     // vectors 0..9 (cross-join against a broadcast query set + windowed
     // rank — the SURVEY §2.3 similarity-join composition).
@@ -212,6 +237,20 @@ object Similarity extends QueryPack {
         |  SELECT 'ivf' AS method, e.q_id, round(cast(count(v.vec_id) as double) / 3.0, 6) AS recall
         |  FROM ex e LEFT JOIN ivf v ON v.q_id = e.q_id AND v.vec_id = e.vec_id GROUP BY e.q_id)
         |SELECT method, q_id, recall FROM r ORDER BY method, q_id""".stripMargin),
+
+    "s05_int8_topk" ->
+      s"""WITH e8 AS (SELECT vec_id,
+        |  cast(${VectorFunctions.duckQuantizeInt8("embedding")} as double[]) AS q8
+        |  FROM embeddings),
+        |cand AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    round(list_cosine_similarity(c.q8, q.q8), 6) AS sim
+        |  FROM e8 q JOIN e8 c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     "s02_sim_join_topk" ->
       """WITH cand AS (SELECT q.vec_id AS q_id, c.vec_id,

@@ -118,6 +118,35 @@ class VectorFunctionsSpec extends SparkTestBase {
       graft.functions.CrossHash.md5Hash60("srp#0#0") % 2000001L - 1000000L)
   }
 
+  test("int8 quantization: known values, bounds, zero vector") {
+    def q8(v: Seq[Double]): Seq[Long] =
+      Seq(Tuple1(v)).toDF("v")
+        .select(VectorFunctions.quantizeInt8(col("v")).as("q"))
+        .as[Seq[Long]].head()
+    // s = 1e6; 127·0.5 = 63.5 rounds half-away to 64; 127·0.25 = 31.75 → 32
+    assert(q8(Seq(1.0, -0.5, 0.25)) === Seq(127L, -64L, 32L))
+    assert(q8(Seq(0.0, 0.0)) === Seq(0L, 0L))
+    val real = Tables.embeddings(spark, sf0001)
+      .select(explode(VectorFunctions.quantizeInt8(col("embedding"))).as("x"))
+      .agg(min("x"), max("x")).as[(Long, Long)].head()
+    assert(real._1 >= -127L && real._2 <= 127L)
+  }
+
+  test("int8 cosine tracks float cosine on real data") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantizeInt8(col("embedding"))
+          .cast("array<double>").as("q8"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("q8").as("qq8"))
+    val maxErr = e.crossJoin(broadcast(q))
+      .select(abs(
+        VectorFunctions.cosine(col("embedding"), col("qv")) -
+          VectorFunctions.cosine(col("q8"), col("qq8"))).as("err"))
+      .agg(max("err")).as[Double].head()
+    assert(maxErr < 0.02, s"int8 cosine error too large: $maxErr")
+  }
+
   test("all similarities on real data lie in [-1, 1]") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
