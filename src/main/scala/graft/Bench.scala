@@ -25,6 +25,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
+      // Isolation between queries: a System.gc() OUTSIDE the timed window
+      // lets Spark's ContextCleaner drop the previous query's lingering
+      // blocks (localCheckpoint RDDs, broadcast pieces) so query N+1's
+      // time measures query N+1, not its predecessor's garbage. Measured
+      // effect: the q-family ran up to 5x slower right after the
+      // allocation-heavy d-family without this.
+      System.gc()
       val t0 = System.nanoTime()
       // A failed query reports -1, not a normal-looking elapsed time —
       // broken and fast must be distinguishable in the bench artifact.
