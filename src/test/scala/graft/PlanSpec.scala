@@ -70,6 +70,28 @@ class PlanSpec extends SparkTestBase {
       "signature agg not partitioned by doc_id")
   }
 
+  test("d07 jaccard counts aggregate partially and never cross-join") {
+    val p = plan("d07_ngram_jaccard")
+    assert(p.contains("partial_count"),
+      s"co-occurrence count has no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d07 contains an all-pairs join:\n$p")
+  }
+
+  test("s04/s05 broadcast the bounded query side, never product the corpus") {
+    // the only nested-loop join allowed is the crossJoin against the
+    // broadcast ≤5-row query set; a CartesianProduct means the broadcast
+    // hint was lost and the corpus would self-join at scale
+    Seq("s04_ann_recall", "s05_int8_topk").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$name lost the query-side broadcast:\n$p")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the tight 5% contract at this fixed sf (the driver-hashed verdict
