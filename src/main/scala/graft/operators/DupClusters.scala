@@ -35,10 +35,13 @@ object DupClusters {
     * clusters of themselves. */
   def assign(vertices: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // No distinct on the edge list: duplicate edges (a pair emitted by
+    // several dedup signals) only add fan-in to a min-aggregation —
+    // harmless with bounded multiplicity (≤ #signal sources) — while the
+    // dedup itself would cost a full extra shuffle of the edge list.
     val edges = pairs
       .select(col("a_id").as("s"), col("b_id").as("d"))
       .union(pairs.select(col("b_id").as("s"), col("a_id").as("d")))
-      .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("lab"))
       .localCheckpoint(true)
