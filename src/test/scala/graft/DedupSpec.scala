@@ -85,6 +85,29 @@ class DedupSpec extends SparkTestBase {
     assert(err.getMessage.contains("converge"))
   }
 
+  test("dup clusters agree with a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val pairs = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1) // avoid self-loops, keep ids < n+1
+      }.filter(p => p._1 != p._2)
+      // reference: driver-side union-find with min-id representatives
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expected = (0L to n.toLong).map(v => v -> find(v.toInt).toLong)
+      val got = graft.operators.DupClusters.assign(
+        (0L to n.toLong).toDF("id"), pairs.toDF("a_id", "b_id"))
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got === expected, s"trial $trial mismatch")
+    }
+  }
+
   test("d05 near-dup pairs are symmetric-free (a < b) and thresholded") {
     val rows = SparkEntry.queries("d05_embedding_near_dup")(spark, sf0001)
       .as[(Long, Long, Double)].collect()
