@@ -348,6 +348,36 @@ object Relational extends QueryPack {
         ORDER BY c_mktsegment, o_orderpriority""")
     }),
 
+    // RANGE-frame window: trailing-30-day quantity per supplier. A range
+    // frame is the determinism-friendly sliding window — all ship-day
+    // ties are in or out TOGETHER, so the result is independent of the
+    // tie order that makes row frames treacherous.
+    "q34_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy(col("ship_day"))
+        .rangeBetween(-30, 0)
+      Tables.lineitem(s, d)
+        .withColumn("ship_day",
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long"))
+        .withColumn("qty_30d", sum(dec2(col("l_quantity"))).over(w)
+          .cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_day",
+          "qty_30d")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "ship_day",
+          "qty_30d")
+    }),
+
+    // Distribution windows: quartile, percent_rank, cume_dist of customers
+    // by account balance (total order via the custkey tie-break).
+    "q35_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_custkey")
+    }),
+
     // Pivot: event counts per user × explicit event-type columns (explicit
     // value list keeps the output schema static, as required at scale).
     "q29_pivot" -> ((s, d) => {
@@ -659,6 +689,24 @@ object Relational extends QueryPack {
         |WHERE o_orderstatus = 'O'
         |GROUP BY c_mktsegment, o_orderpriority
         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q34_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, ship_day,
+        |  cast(sum(cast(l_quantity as decimal(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY ship_day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) as double) AS qty_30d
+        |FROM (SELECT *, datediff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS ship_day
+        |      FROM lineitem)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_day, qty_30d""".stripMargin,
+
+    "q35_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  cast(ntile(4) OVER w as int) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q29_pivot" ->
       """SELECT user_id,
