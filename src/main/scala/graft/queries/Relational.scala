@@ -513,6 +513,83 @@ object Relational extends QueryPack {
           count(lit(1)).as("n"),
           dsum(col("value")).as("sum_value"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // Tolerance range join (graft.operators.RangeJoin): click/view events
+    // within ±30 s of each purchase, with NO equi-key — the pair predicate
+    // is purely temporal, the case Catalyst can only plan as a nested-loop
+    // cartesian. The operator turns it into one bucketed equi-join shuffle
+    // (see RangeJoin scaladoc); this query aggregates the pairs per
+    // purchase. Purchases with no neighbour inside the tolerance drop out
+    // (inner-join semantics), matching the oracle.
+    "q36_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val nearby = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("ts").as("o_ts"), col("value").as("o_value"))
+      graft.operators.RangeJoin
+        .byTolerance(purchases, nearby, "p_ts", "o_ts", 30L * 1000000L)
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_nearby"), dsum(col("o_value")).as("sum_value"))
+        .orderBy("p_id")
+    }),
+
+    // Click→purchase attribution: purchases within 30 min after a click by
+    // the same user. Equi-key (user_id) + time-range predicate → one
+    // shuffled equi-join on user_id with the range as a post-filter; also
+    // the batch twin of the stream-stream interval join in
+    // graft.streaming.EventStream.clickPurchaseJoin (StreamingSpec asserts
+    // row equality, so this oracle checks the streaming path too).
+    "q37_click_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user")
+            && col("purchase_ts") >= col("click_ts")
+            && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("delay_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // Approximate percentiles with an accuracy contract (the q22 pattern):
+    // the EXACT discrete percentile is defined by an explicit rank formula
+    // (value at row ceil(p·n) in sort order) so both engines select the
+    // same raw data value — no reliance on library quantile semantics —
+    // and the sketch estimate (Spark KLL / DuckDB t-digest) is asserted
+    // within 5% of it as a boolean, never hash-compared.
+    "q38_approx_percentile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val g = Window.partitionBy("l_returnflag")
+      val exact = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(g))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5),
+            col("l_extendedprice"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.95),
+            col("l_extendedprice"))).as("p95"),
+          max(col("n")).as("n"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
+          (abs(element_at(col("ap"), 1) - col("p50"))
+            <= col("p50") * 0.05).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - col("p95"))
+            <= col("p95") * 0.05).as("p95_ok"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -698,6 +775,47 @@ object Relational extends QueryPack {
         |FROM (SELECT *, datediff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS ship_day
         |      FROM lineitem)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_day, qty_30d""".stripMargin,
+
+    "q38_approx_percentile" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT l_returnflag,
+        |    max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS p50,
+        |    max(CASE WHEN rn = ceil(n * 0.95) THEN l_extendedprice END) AS p95,
+        |    max(n) AS n
+        |  FROM ranked GROUP BY 1),
+        |a AS (
+        |  SELECT l_returnflag,
+        |    approx_quantile(l_extendedprice, 0.5) AS a50,
+        |    approx_quantile(l_extendedprice, 0.95) AS a95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.l_returnflag, p.n, p.p50, p.p95,
+        |  abs(a.a50 - p.p50) <= p.p50 * 0.05 AS p50_ok,
+        |  abs(a.a95 - p.p95) <= p.p95 * 0.05 AS p95_ok
+        |FROM p JOIN a USING (l_returnflag) ORDER BY 1""".stripMargin,
+
+    "q37_click_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp)) AS delay_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND epoch_us(cast(p.ts as timestamp)) >= epoch_us(cast(c.ts as timestamp))
+        | AND epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp)) <= 1800000000
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q36_range_join" ->
+      """SELECT a.event_id AS p_id, count(*) AS n_nearby,
+        |  cast(sum(cast(b.value as decimal(12,2))) as double) AS sum_value
+        |FROM events a JOIN events b
+        |  ON b.event_type IN ('click', 'view')
+        | AND abs(epoch_us(cast(b.ts as timestamp)) - epoch_us(cast(a.ts as timestamp))) <= 30000000
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q35_ntile" ->
       """SELECT c_custkey, c_acctbal,

@@ -69,6 +69,36 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases attributed to the same user's
+    * clicks within the preceding 30 minutes — the streaming twin of batch
+    * query q37_click_attribution (identical rows; StreamingSpec asserts it,
+    * so the DuckDB oracle covers this path too).
+    *
+    * Both sides carry event-time watermarks and the join condition bounds
+    * `purchase_ts` to [click_ts, click_ts + 30 min], which is what lets
+    * Spark compute a state-eviction horizon for BOTH sides: clicks older
+    * than watermark − 30 min and purchases older than the watermark are
+    * dropped from the join state. Unbounded streams, bounded state — the
+    * 100 TB/day requirement for any stream-stream join.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delay_us"))
+  }
+
   /** Drain any streaming DataFrame to completion into an in-memory table
     * (AvailableNow processes the static fixture exactly once) and return
     * it as a DataFrame. */
@@ -94,4 +124,10 @@ object EventStream {
   def runDedupOnce(spark: SparkSession, dir: String,
       queryName: String = "graft_dedup"): DataFrame =
     drainToMemory(dedupedEvents(readEvents(spark, dir)), "append", queryName)
+
+  /** Drain the stream-stream attribution join once against the fixture. */
+  def runJoinOnce(spark: SparkSession, dir: String,
+      queryName: String = "graft_ssjoin"): DataFrame =
+    drainToMemory(clickPurchaseJoin(readEvents(spark, dir)), "append",
+      queryName)
 }

@@ -92,6 +92,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q36/q37 temporal joins are equi-joins, never nested-loop/cartesian") {
+    // q36 has NO equi-key (pure |Δts| ≤ tol predicate): without the
+    // RangeJoin bucketing Catalyst could only plan BroadcastNestedLoopJoin.
+    // q37's range condition must ride the user_id equi-join as a filter.
+    Seq("q36_range_join", "q37_click_attribution").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n$p")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the tight 5% contract at this fixed sf (the driver-hashed verdict

@@ -23,6 +23,16 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.select("event_id").distinct().count() === distinctIds)
   }
 
+  test("stream-stream interval join equals the batch q37 result") {
+    val streamed = EventStream.runJoinOnce(spark, sf0001, "graft_ssjoin_spec")
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q37_click_attribution")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup actually drops planted duplicates") {
     // the fixture has no duplicate event_ids, so plant some: a MemoryStream
     // with every event delivered twice across two batches
