@@ -114,8 +114,75 @@ object TextAnalysis extends QueryPack {
         .filter(col("rk") === 1)
         .select("doc_id", "term", "score")
         .orderBy("doc_id")
+    }),
+
+    // Repetition signals (the Gopher/C4 quality-filter family): per-doc
+    // duplicate-2-gram fraction and top-2-gram fraction. Explode → count
+    // (partial agg) → per-doc rollup: one shuffle on (doc_id, gram), never
+    // a per-row nested loop. The flag thresholds compare the ROUNDED
+    // fractions so both engines make the identical boundary decision.
+    "t07_repetition" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round((col("n_grams") - col("n_distinct")).cast("double")
+            / col("n_grams"), 6).as("dup_frac"),
+          round(col("top_c").cast("double") / col("n_grams"), 6)
+            .as("top_frac"))
+        .withColumn("flagged",
+          col("dup_frac") > 0.2 || col("top_frac") > 0.05)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: corpus documents sharing ≥2 distinct
+    // 8-token shingles with an evaluation set (docs 0–9 stand in for the
+    // benchmark). The benchmark side is tiny by construction and
+    // broadcast; the corpus side streams map-only into one count-distinct
+    // shuffle — the shape that decontaminates a 100 TB corpus against a
+    // fixed eval suite.
+    "t08_decontaminate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 8)).as("g"))
+        .select(col("doc_id"), graft.functions.CrossHash.hash60(col("g"))
+          .as("h"))
+      val bench = grams.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"), col("h")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(countDistinct(col("h")).as("n_overlap"))
+        .filter(col("n_overlap") >= 2)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // Mixture resampling: config-driven per-source acceptance (sources
+    // 0–9 keep 100%, 10–19 keep 40%) via a broadcast weights dim and an
+    // integer hash gate — deterministic across engines, partitionings,
+    // and reruns; map-only over the corpus (the Dolma-style domain-mixing
+    // step).
+    "t09_mixture_sample" -> ((s, d) => {
+      import s.implicits._
+      val weights = MixtureWeights.toDF("source", "permille")
+      Tables.documents(s, d)
+        .join(broadcast(weights), "source")
+        .filter(pmod(graft.functions.CrossHash.hash60(
+            concat(lit("mix#"), col("doc_id").cast("string"))),
+          lit(1000L)) < col("permille"))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
     })
   )
+
+  /** Mixture config for t09: a stand-in for the domain-weights table a
+    * curation pipeline feeds in (sources 0–9 at 100%, the rest at 40%). */
+  val MixtureWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", if (i < 10) 1000L else 400L))
 
   private def duckMarker(words: Seq[String]): String =
     s"cast(len(list_filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")}))) as int)"
@@ -166,6 +233,46 @@ object TextAnalysis extends QueryPack {
       """SELECT term, count(*) AS freq FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY freq DESC, term LIMIT 20""".stripMargin,
+
+    "t07_repetition" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END AS sh
+        |  FROM tok),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(sh) AS gram FROM shl) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, cast(sum(c) as bigint) AS n_grams,
+        |    count(*) AS n_distinct, max(c) AS top_c
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT doc_id, n_grams, n_distinct,
+        |    round(cast(n_grams - n_distinct as double) / n_grams, 6) AS dup_frac,
+        |    round(cast(top_c as double) / n_grams, 6) AS top_frac
+        |  FROM m)
+        |SELECT doc_id, n_grams, n_distinct, dup_frac, top_frac,
+        |  (dup_frac > 0.2 OR top_frac > 0.05) AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t08_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) < 8 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 7),
+        |    i -> ${(1 to 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")}) END AS sh
+        |  FROM tok),
+        |g AS (SELECT doc_id, ${graft.functions.CrossHash.duckHash60("u.s")} AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl) u),
+        |bench AS (SELECT DISTINCT doc_id AS bench_id, h FROM g WHERE doc_id < 10)
+        |SELECT c.doc_id, b.bench_id, count(DISTINCT c.h) AS n_overlap
+        |FROM g c JOIN bench b ON c.h = b.h
+        |WHERE c.doc_id >= 10
+        |GROUP BY 1, 2 HAVING count(DISTINCT c.h) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "t09_mixture_sample" ->
+      s"""WITH w(source, permille) AS (VALUES ${
+          MixtureWeights.map { case (s0, p) => s"('$s0', $p)" }.mkString(", ")}),
+        |kept AS (SELECT d.doc_id, d.source, d.lang FROM documents d JOIN w USING (source)
+        |  WHERE ${graft.functions.CrossHash.duckHash60("'mix#' || cast(d.doc_id as varchar)")} % 1000 < permille)
+        |SELECT doc_id, source, lang FROM kept ORDER BY doc_id""".stripMargin,
 
     "t06_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
