@@ -50,13 +50,20 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"left/right column sets must be disjoint; shared: ${overlap.mkString(",")}")
 
-    val lb = left.withColumn("graft_bin",
-      floor(unix_micros(col(lTs)) / tolMicros))
+    // Exact integer floor-division bucketing: (a − pmod(a, tol)) is
+    // divisible by tol and the quotient is small, so the division is
+    // IEEE-exact — no double-rounding bucket flips at tolerance
+    // boundaries, and (unlike `div`'s truncation) correct for negative
+    // (pre-epoch) timestamps too.
+    def bin(ts: String): Column = {
+      val us = unix_micros(col(ts))
+      ((us - pmod(us, lit(tolMicros))) / tolMicros).cast("long")
+    }
+    val lb = left.withColumn("graft_bin", bin(lTs))
     // Right rows fan out to bucket −1, 0, +1: every left row whose bucket
     // is within one of the right row's own bucket sees it exactly once.
     val rb = right.withColumn("graft_bin",
-      explode(array((-1 to 1).map(d =>
-        floor(unix_micros(col(rTs)) / tolMicros) + d): _*)))
+      explode(array((-1 to 1).map(d => bin(rTs) + d): _*)))
 
     lb.join(rb, Seq("graft_bin"))
       .filter(

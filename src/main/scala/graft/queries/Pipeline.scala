@@ -41,6 +41,25 @@ object Pipeline extends QueryPack {
         .orderBy("doc_id", "content_type", "obj_idx")
     }),
 
+    // Incremental aggregate maintenance: the per-(user, event_type) stats
+    // table maintained by merging the delta's (events on/after Jan 15)
+    // partial aggregates into the base state (events before Jan 15) —
+    // graft.operators.IncrementalAgg. Equal to a full recompute by
+    // monoid associativity, which is exactly what the oracle checks.
+    "i03_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val keys = Seq("user_id", "event_type")
+      val base  = graft.operators.IncrementalAgg.state(
+        ev.filter(col("ts") < split), keys, "value")
+      val delta = graft.operators.IncrementalAgg.state(
+        ev.filter(col("ts") >= split), keys, "value")
+      graft.operators.IncrementalAgg.merge(Seq(base, delta), keys)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_val").cast("double").as("sum_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary blob
     // with typed metadata — the schema/partitioning shape used for
     // image/audio payloads (decode itself is stubbed; see
@@ -99,6 +118,15 @@ object Pipeline extends QueryPack {
          |  CASE WHEN content_type = 'table' THEN ${placeholderComponent("Table data", 1)}
          |       ELSE ${placeholderComponent("Figure data", 1)} END AS e1
          |FROM refs ORDER BY doc_id, content_type, obj_idx""".stripMargin,
+
+    // the oracle is the FULL recompute — merged incremental state must
+    // equal it exactly (decimal sums are order-independent)
+    "i03_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,

@@ -40,6 +40,17 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out.size === out.distinct.size)
   }
 
+  test("pairs straddling the epoch (negative timestamps) still match") {
+    // floor-division bucketing must stay monotone across 0: truncating
+    // division would put −1 µs and +1 µs three buckets apart
+    val left = evts(Seq((1L, -400000L)), "l_id", "l_ts")
+    val right = evts(Seq((10L, 500000L), (11L, -1400000L), (12L, -1500000L)),
+      "r_id", "r_ts")
+    val got = RangeJoin.byTolerance(left, right, "l_ts", "r_ts", 1000000L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 10L), (1L, 11L)))
+  }
+
   test("extra equi predicate composes with the tolerance") {
     val left = Seq((1L, 100L, "a"), (2L, 100L, "b")).toDF("l_id", "us", "lk")
       .select(col("l_id"), expr("timestamp_micros(us)").as("l_ts"), col("lk"))
