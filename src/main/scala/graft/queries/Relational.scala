@@ -590,8 +590,33 @@ object Relational extends QueryPack {
           (abs(element_at(col("ap"), 2) - col("p95"))
             <= col("p95") * 0.05).as("p95_ok"))
         .orderBy("l_returnflag")
+    }),
+
+    // Salted skew join as a checked query (SkewTools was test-only):
+    // events (fact, event_type is a 5-value power-law key — exactly the
+    // heavy-hitter shape) joined to a weights dim through the (key, salt)
+    // composite, spreading each hot key over 8 tasks; weighted revenue per
+    // type. Salting must be invisible in the result — the oracle is the
+    // plain unsalted join.
+    "q39_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = EventWeights.toDF("event_type", "weight")
+      graft.operators.SkewTools
+        .saltedJoin(Tables.events(s, d), dim, "event_type", "event_id",
+          salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value")) * col("weight")).cast("double")
+            .as("weighted_value"))
+        .orderBy("event_type")
     })
   )
+
+  /** Per-event-type weights dim for q39 (integer weights keep the decimal
+    * sum exact). */
+  val EventWeights: Seq[(String, Long)] =
+    Seq(("click", 2L), ("view", 1L), ("purchase", 5L), ("signup", 3L),
+      ("error", 0L))
 
   override val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -775,6 +800,14 @@ object Relational extends QueryPack {
         |FROM (SELECT *, datediff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS ship_day
         |      FROM lineitem)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_day, qty_30d""".stripMargin,
+
+    "q39_salted_join" ->
+      s"""WITH w(event_type, weight) AS (VALUES ${
+           EventWeights.map { case (t, v) => s"('$t', $v)" }.mkString(", ")})
+        |SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2)) * weight) as double) AS weighted_value
+        |FROM events JOIN w USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q38_approx_percentile" ->
       """WITH ranked AS (

@@ -128,6 +128,18 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // Product-quantization ANN (graft.operators.PqIndex): corpus stored as
+    // 8 codes per vector (one 16-centroid codebook per 8-dim subspace);
+    // search sums 8 broadcast-LUT lookups per candidate — the asymmetric-
+    // distance PQ of Jégou et al., integer-exact end to end so codes and
+    // rankings are oracle-checked, not just spot-checked.
+    "s06_pq_topk" -> ((s, d) => {
+      graft.operators.PqIndex
+        .search(Tables.embeddings(s, d), col("vec_id") < 5,
+          dim = Dim, m = 8, k = 16, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Brute-force similarity self-join: exact top-3 neighbours for query
     // vectors 0..9 (cross-join against a broadcast query set + windowed
     // rank — the SURVEY §2.3 similarity-join composition).
@@ -250,6 +262,32 @@ object Similarity extends QueryPack {
         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
         |  FROM cand)
         |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "s06_pq_topk" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+        |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+        |  FROM q, range(0, 8) j, range(0, 8) i),
+        |cent AS (SELECT vec_id AS cent_id, j, i, v AS cv FROM sub WHERE vec_id < 16),
+        |dists AS (SELECT s.vec_id, s.j, c.cent_id,
+        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+        |  FROM sub s JOIN cent c ON c.j = s.j AND c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, cent_id AS code FROM (
+        |  SELECT vec_id, j, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+        |  FROM dists) WHERE rk = 1),
+        |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM dists WHERE vec_id < 5),
+        |approx AS (SELECT l.q_id, c.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.cent_id = c.code
+        |  WHERE c.vec_id <> l.q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id, approx_dist,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
+        |  FROM approx)
+        |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
 
     "s02_sim_join_topk" ->

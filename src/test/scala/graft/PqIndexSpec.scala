@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PqIndex
+
+class PqIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PQ codes, lookup distances, and ranking on a hand-computed fixture") {
+    // dim=4, m=2 subspaces of 2 dims, k=2 codebooks = subvectors of v0/v1
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),   // centroid 0
+      (1L, Seq(5.0, 5.0, 0.0, 0.0)),     // centroid 1
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),     // codes (0, 1)
+      (3L, Seq(1.0, 1.0, 9.0, 9.0)))     // the query
+      .toDF("vec_id", "embedding")
+
+    val out = PqIndex.search(emb, col("vec_id") === 3, dim = 4, m = 2,
+        k = 2, topK = 3)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+
+    // quantized scale 1e6: lut(j0)=[2e12, 3.2e13], lut(j1)=[2e12, 1.62e14]
+    val e12 = 1000000000000L
+    assert(out === Seq(
+      (3L, 1, 0L, 4L * e12),            // codes (0,0): 2e12 + 2e12
+      (3L, 2, 2L, 2L * e12 + 162L * e12), // codes (0,1)
+      (3L, 3, 1L, 32L * e12 + 162L * e12))) // codes (1,1)
+  }
+
+  test("an exact duplicate of a query ranks first at distance 0") {
+    val base = (0L to 15L).map(i =>
+      (i, (0 until 64).map(c => (i * 64 + c).toDouble / 100.0)))
+    val dup = Seq((100L, base(2)._2)) // same embedding as vec 2
+    val emb = (base ++ dup).toDF("vec_id", "embedding")
+    val top = PqIndex.search(emb, col("vec_id") === 2, topK = 1)
+      .as[(Long, Int, Long, Long)].head()
+    assert(top === ((2L, 1, 100L, 0L)))
+  }
+
+  test("search never plans a cartesian product and broadcasts the LUT") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = PqIndex.search(emb, col("vec_id") < 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+}
