@@ -35,15 +35,13 @@ import graft.functions.VectorFunctions
   */
 object PqIndex {
 
-  /** Top-`topK` neighbours per query vector under PQ asymmetric distance.
-    * `queryFilter` selects the query vectors (over embeddings columns);
-    * output: (q_id, rank, vec_id, approx_dist) with exact integer
-    * distances. */
-  def search(emb: DataFrame, queryFilter: Column, dim: Int = 64,
-      m: Int = 8, k: Int = 16, topK: Int = 3): DataFrame = {
+  /** Exact integer squared distance of every vector's subvector `j` to
+    * every codebook centroid of subspace `j` (partial-agg'd map-side):
+    * (vec_id, j, cent_id, dist). Codes and query lookup tables are both
+    * restrictions of this one relation. */
+  def subspaceDists(emb: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
     val subDim = dim / m
-
     // (vec_id, j=subspace, i=offset, v=quantized component)
     val sub = emb
       .select(col("vec_id"),
@@ -52,41 +50,87 @@ object PqIndex {
       .select(col("vec_id"),
         (col("pos") / subDim).cast("int").as("j"),
         pmod(col("pos"), lit(subDim)).as("i"), col("v"))
-
     // codebook: subvectors of the first k corpus vectors, broadcast
     val cent = sub.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("j"), col("i"),
         col("v").as("cv"))
-
-    // exact integer squared distance of every vector's subvector j to
-    // every centroid of subspace j (partial-agg'd map-side)
-    val dists = sub.join(broadcast(cent), Seq("j", "i"))
+    sub.join(broadcast(cent), Seq("j", "i"))
       .groupBy(col("vec_id"), col("j"), col("cent_id"))
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+  }
 
-    // encode: per (vector, subspace) the nearest centroid id
+  /** Encode: per (vector, subspace) the nearest centroid id —
+    * (vec_id, j, code). The stored representation (m codes per vector). */
+  def encode(dists: DataFrame): DataFrame = {
     val wCode = Window.partitionBy("vec_id", "j")
       .orderBy(col("dist"), col("cent_id"))
-    val codes = dists.withColumn("rk", row_number().over(wCode))
+    dists.withColumn("rk", row_number().over(wCode))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("j"), col("cent_id").as("code"))
+  }
 
-    // query lookup table: the same dists, restricted to query vectors
+  /** Query lookup table: subspace distances restricted to query vectors —
+    * (q_id, j, cent_id, dist); tiny (queries × m × k rows). */
+  def queryLut(emb: DataFrame, dists: DataFrame, queryFilter: Column)
+      : DataFrame = {
     val qIds = emb.filter(queryFilter).select(col("vec_id").as("q_id"))
-    val lut = dists
-      .join(broadcast(qIds), col("vec_id") === col("q_id"))
+    dists.join(broadcast(qIds), col("vec_id") === col("q_id"))
       .select(col("q_id"), col("j"), col("cent_id"), col("dist"))
+  }
 
-    // asymmetric distance = sum of m table lookups; top-k per query
+  /** Asymmetric distance (sum of m LUT lookups) + top-k per query over a
+    * coded candidate set. `cands` = (q_id, vec_id) pairs to score (pass
+    * the full codes × queries cross for exhaustive PQ, or an IVF-pruned
+    * pair set for the cascade). */
+  def rankCoded(cands: DataFrame, codes: DataFrame, lut: DataFrame,
+      topK: Int): DataFrame = {
     val wRank = Window.partitionBy("q_id")
       .orderBy(col("approx_dist"), col("vec_id"))
-    codes.join(broadcast(lut),
-        codes("j") === lut("j") && codes("code") === lut("cent_id")
-          && codes("vec_id") =!= lut("q_id"))
+    val lutByCode = lut.select(col("q_id"), col("j"),
+      col("cent_id").as("code"), col("dist"))
+    cands.join(codes, "vec_id")
+      .join(broadcast(lutByCode), Seq("q_id", "j", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dist")).as("approx_dist"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("approx_dist"))
+  }
+
+  /** Top-`topK` neighbours per query vector under PQ asymmetric distance,
+    * exhaustively over the coded corpus. `queryFilter` selects the query
+    * vectors (over embeddings columns); output: (q_id, rank, vec_id,
+    * approx_dist) with exact integer distances. */
+  def search(emb: DataFrame, queryFilter: Column, dim: Int = 64,
+      m: Int = 8, k: Int = 16, topK: Int = 3): DataFrame = {
+    val dists = subspaceDists(emb, dim, m, k)
+    val codes = encode(dists)
+    val lut = queryLut(emb, dists, queryFilter)
+    val cands = codes.select(col("vec_id")).distinct()
+      .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
+      .filter(col("vec_id") =!= col("q_id"))
+    rankCoded(cands, codes, lut, topK)
+  }
+
+  /** IVF×PQ cascade: IVF cell probing prunes the candidate set (only
+    * vectors in the query's `nProbe` nearest cells are considered), then
+    * PQ asymmetric distance ranks the survivors — coarse quantizer for
+    * pruning, fine quantizer for scoring, the composition a production
+    * ANN index runs (IVFADC). Candidate generation is the IVF broadcast
+    * probe join; scoring adds m broadcast-LUT lookups per candidate;
+    * the corpus is never exhaustively scored. */
+  def searchIvf(emb: DataFrame, queryFilter: Column, dim: Int = 64,
+      m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 2,
+      topK: Int = 3): DataFrame = {
+    val assigned = IvfIndex.assignments(emb, nCells)
+      .select(col("vec_id"), col("cent_id"))
+    val probes = IvfIndex.cellRanks(emb, nCells)
+      .filter(queryFilter && col("rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val cands = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val dists = subspaceDists(emb, dim, m, k)
+    rankCoded(cands, encode(dists), queryLut(emb, dists, queryFilter), topK)
   }
 }

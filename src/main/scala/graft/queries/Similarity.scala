@@ -140,6 +140,18 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF×PQ cascade (IVFADC): IVF cell probing prunes candidates to the
+    // query's 2 nearest cells, PQ asymmetric distance ranks the survivors
+    // — coarse quantizer to prune, fine quantizer to score, the
+    // composition a production vector index runs. Integer-exact in both
+    // stages, so the full cascade is oracle-checked.
+    "s07_pq_ivf" -> ((s, d) => {
+      graft.operators.PqIndex
+        .searchIvf(Tables.embeddings(s, d), col("vec_id") < 5,
+          dim = Dim, m = 8, k = 16, nCells = 16, nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Brute-force similarity self-join: exact top-3 neighbours for query
     // vectors 0..9 (cross-join against a broadcast query set + windowed
     // rank — the SURVEY §2.3 similarity-join composition).
@@ -284,6 +296,44 @@ object Similarity extends QueryPack {
         |approx AS (SELECT l.q_id, c.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
         |  FROM codes c JOIN lut l ON l.j = c.j AND l.cent_id = c.code
         |  WHERE c.vec_id <> l.q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id, approx_dist,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
+        |  FROM approx)
+        |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "s07_pq_ivf" ->
+      s"""WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |icents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |idists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, icents c),
+        |iranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM idists),
+        |iassign AS (SELECT vec_id, cent_id FROM iranks WHERE rk = 1),
+        |iprobes AS (SELECT vec_id AS q_id, cent_id FROM iranks WHERE vec_id < 5 AND rk <= 2),
+        |sub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+        |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+        |  FROM q, range(0, 8) j, range(0, 8) i),
+        |pcent AS (SELECT vec_id AS cent_id, j, i, v AS cv FROM sub WHERE vec_id < 16),
+        |pdists AS (SELECT s.vec_id, s.j, c.cent_id,
+        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+        |  FROM sub s JOIN pcent c ON c.j = s.j AND c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, cent_id AS code FROM (
+        |  SELECT vec_id, j, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+        |  FROM pdists) WHERE rk = 1),
+        |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM pdists WHERE vec_id < 5),
+        |cand AS (SELECT p.q_id, a.vec_id FROM iprobes p
+        |  JOIN iassign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id),
+        |approx AS (SELECT c.q_id, c.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
+        |  FROM cand c JOIN codes cd ON cd.vec_id = c.vec_id
+        |  JOIN lut l ON l.q_id = c.q_id AND l.j = cd.j AND l.cent_id = cd.code
+        |  GROUP BY 1, 2),
         |ranked AS (SELECT q_id, vec_id, approx_dist,
         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
         |  FROM approx)

@@ -39,6 +39,21 @@ class PqIndexSpec extends SparkTestBase {
     assert(top === ((2L, 1, 100L, 0L)))
   }
 
+  test("IVF×PQ cascade scores only vectors from the query's probed cells") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = PqIndex.searchIvf(emb, col("vec_id") < 3, topK = 3)
+    val probes = graft.operators.IvfIndex.cellRanks(emb, 16)
+      .filter(col("vec_id") < 3 && col("rk") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val assign = graft.operators.IvfIndex.assignments(emb, 16)
+      .select(col("vec_id"), col("cent_id"))
+    // every returned (q, vec) pair must be probe-reachable
+    val escaped = out.join(assign, "vec_id")
+      .join(probes, Seq("q_id", "cent_id"), "left_anti")
+    assert(escaped.count() === 0, "cascade scored an unprobed vector")
+    assert(out.count() > 0)
+  }
+
   test("search never plans a cartesian product and broadcasts the LUT") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = PqIndex.search(emb, col("vec_id") < 5)
