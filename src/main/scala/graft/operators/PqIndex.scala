@@ -35,23 +35,28 @@ import graft.functions.VectorFunctions
   */
 object PqIndex {
 
-  /** Exact integer squared distance of every vector's subvector `j` to
-    * every codebook centroid of subspace `j` (partial-agg'd map-side):
-    * (vec_id, j, cent_id, dist). Codes and query lookup tables are both
-    * restrictions of this one relation. */
-  def subspaceDists(emb: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
-    val subDim = dim / m
-    // (vec_id, j=subspace, i=offset, v=quantized component)
-    val sub = emb
-      .select(col("vec_id"),
+  /** (vec_id, j=subspace, i=offset, v=quantized component) rows of an
+    * embeddings frame. */
+  private def components(emb: DataFrame, subDim: Int): DataFrame =
+    emb.select(col("vec_id"),
         posexplode(VectorFunctions.quantize1e6(col("embedding")))
           .as(Seq("pos", "v")))
       .select(col("vec_id"),
         (col("pos") / subDim).cast("int").as("j"),
         pmod(col("pos"), lit(subDim)).as("i"), col("v"))
+
+  /** Exact integer squared distance of each of `emb`'s subvectors `j` to
+    * every codebook centroid of subspace `j` (partial-agg'd map-side):
+    * (vec_id, j, cent_id, dist). The codebook is the first `k` vectors of
+    * `codebook` (pass the corpus; `emb` may be just the query rows — the
+    * query LUT then never touches corpus-scale distances). */
+  def subspaceDists(emb: DataFrame, codebook: DataFrame, dim: Int, m: Int,
+      k: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
+    val subDim = dim / m
+    val sub = components(emb, subDim)
     // codebook: subvectors of the first k corpus vectors, broadcast
-    val cent = sub.filter(col("vec_id") < k)
+    val cent = components(codebook.filter(col("vec_id") < k), subDim)
       .select(col("vec_id").as("cent_id"), col("j"), col("i"),
         col("v").as("cv"))
     sub.join(broadcast(cent), Seq("j", "i"))
@@ -60,23 +65,23 @@ object PqIndex {
   }
 
   /** Encode: per (vector, subspace) the nearest centroid id —
-    * (vec_id, j, code). The stored representation (m codes per vector). */
-  def encode(dists: DataFrame): DataFrame = {
-    val wCode = Window.partitionBy("vec_id", "j")
-      .orderBy(col("dist"), col("cent_id"))
-    dists.withColumn("rk", row_number().over(wCode))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("j"), col("cent_id").as("code"))
-  }
+    * (vec_id, j, code). The stored representation (m codes per vector).
+    * min_by over a (dist, cent_id) struct is a partial-aggregating argmin
+    * with a deterministic tie-break — map-side combine instead of the
+    * per-partition sort a window would pay. */
+  def encode(dists: DataFrame): DataFrame =
+    dists.groupBy("vec_id", "j")
+      .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id")))
+        .as("code"))
 
-  /** Query lookup table: subspace distances restricted to query vectors —
-    * (q_id, j, cent_id, dist); tiny (queries × m × k rows). */
-  def queryLut(emb: DataFrame, dists: DataFrame, queryFilter: Column)
-      : DataFrame = {
-    val qIds = emb.filter(queryFilter).select(col("vec_id").as("q_id"))
-    dists.join(broadcast(qIds), col("vec_id") === col("q_id"))
-      .select(col("q_id"), col("j"), col("cent_id"), col("dist"))
-  }
+  /** Query lookup table: subspace distances computed for the query
+    * vectors ONLY — (q_id, j, cent_id, dist); tiny (queries × m × k
+    * rows), never a corpus-scale pass. */
+  def queryLut(emb: DataFrame, queryFilter: Column, dim: Int, m: Int,
+      k: Int): DataFrame =
+    subspaceDists(emb.filter(queryFilter), emb, dim, m, k)
+      .select(col("vec_id").as("q_id"), col("j"), col("cent_id"),
+        col("dist"))
 
   /** Asymmetric distance (sum of m LUT lookups) + top-k per query over a
     * coded candidate set. `cands` = (q_id, vec_id) pairs to score (pass
@@ -103,9 +108,8 @@ object PqIndex {
     * approx_dist) with exact integer distances. */
   def search(emb: DataFrame, queryFilter: Column, dim: Int = 64,
       m: Int = 8, k: Int = 16, topK: Int = 3): DataFrame = {
-    val dists = subspaceDists(emb, dim, m, k)
-    val codes = encode(dists)
-    val lut = queryLut(emb, dists, queryFilter)
+    val codes = encode(subspaceDists(emb, emb, dim, m, k))
+    val lut = queryLut(emb, queryFilter, dim, m, k)
     val cands = codes.select(col("vec_id")).distinct()
       .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
       .filter(col("vec_id") =!= col("q_id"))
@@ -130,7 +134,7 @@ object PqIndex {
     val cands = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
-    val dists = subspaceDists(emb, dim, m, k)
-    rankCoded(cands, encode(dists), queryLut(emb, dists, queryFilter), topK)
+    rankCoded(cands, encode(subspaceDists(emb, emb, dim, m, k)),
+      queryLut(emb, queryFilter, dim, m, k), topK)
   }
 }

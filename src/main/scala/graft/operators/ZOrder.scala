@@ -40,8 +40,10 @@ object ZOrder {
 
   /** Min-max normalize `c` into [0, 2^bits) given its global min/max.
     * (Rank/quantile bucketing would resist skew better; at corpus scale
-    * you would feed sampled approx-percentile cut points instead.) */
-  private def bucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    * you would feed sampled approx-percentile cut points instead.)
+    * Deterministic cross-engine: integer inputs, one double divide and
+    * multiply, floor — DuckDB reproduces it bit-for-bit (q40 oracle). */
+  def bucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
     val buckets = 1 << bits
     least(lit(buckets - 1), greatest(lit(0),
       floor((c.cast("double") - lo) / (hi - lo + lit(1e-9)) * buckets)))

@@ -609,7 +609,9 @@ object Relational extends QueryPack {
           sum(dec2(col("value")) * col("weight")).cast("double")
             .as("weighted_value"))
         .orderBy("event_type")
-    })
+    }),
+
+    "q40_zorder_key" -> (zOrderKeyQuery _)
   )
 
   /** Per-event-type weights dim for q39 (integer weights keep the decimal
@@ -617,6 +619,27 @@ object Relational extends QueryPack {
   val EventWeights: Seq[(String, Long)] =
     Seq(("click", 2L), ("view", 1L), ("purchase", 5L), ("signup", 3L),
       ("error", 0L))
+
+  /** q40: the Z-order clustering key itself, oracle-checked — bucketing
+    * and bit-interleave are deterministic integer/IEEE steps both engines
+    * reproduce exactly, so the LAYOUT key a 100 TB table would cluster by
+    * is verified, not just exercised (the file-skipping effect of the full
+    * writer is asserted separately in ZOrderSpec). */
+  private def zOrderKeyQuery(s: SparkSession, d: String): DataFrame = {
+    val z = graft.operators.ZOrder
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val stats = li.agg(
+      min("l_orderkey").as("lo_o"), max("l_orderkey").as("hi_o"),
+      min("l_partkey").as("lo_p"), max("l_partkey").as("hi_p"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        z.zValue(Seq(
+          z.bucket(col("l_orderkey"), col("lo_o"), col("hi_o"), 8),
+          z.bucket(col("l_partkey"), col("lo_p"), col("hi_p"), 8)), 8)
+          .as("zv"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 
   override val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -800,6 +823,19 @@ object Relational extends QueryPack {
         |FROM (SELECT *, datediff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS ship_day
         |      FROM lineitem)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_day, qty_30d""".stripMargin,
+
+    "q40_zorder_key" ->
+      s"""WITH s AS (SELECT min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
+        |    min(l_partkey) AS lo_p, max(l_partkey) AS hi_p FROM lineitem),
+        |b AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  cast(least(255, greatest(0, floor((cast(l_orderkey as double) - lo_o) / (hi_o - lo_o + 1e-9) * 256))) as bigint) AS bo,
+        |  cast(least(255, greatest(0, floor((cast(l_partkey as double) - lo_p) / (hi_p - lo_p + 1e-9) * 256))) as bigint) AS bp
+        |  FROM lineitem, s)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  ${(0 until 8).map(i =>
+             s"(((bo >> $i) & 1) << ${2 * i}) | (((bp >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" | ")} AS zv
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q39_salted_join" ->
       s"""WITH w(event_type, weight) AS (VALUES ${

@@ -77,4 +77,27 @@ object IngestStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming KEYED upsert: like [[ingestAvailable]], but each
+    * micro-batch goes through the per-document dynamic-partition-overwrite
+    * upsert instead of the append-only parquet sink — a re-parsed version
+    * of an already-ingested document REPLACES its vectors (the semantics
+    * the scaladoc above routes to the batch path; `foreachBatch` brings
+    * them to the stream). Exactly-once per document version: the
+    * checkpoint dedupes input files, and a replayed micro-batch rewrites
+    * the same doc_id partitions idempotently. */
+  def upsertAvailable(spark: SparkSession, srcDir: String, indexDir: String,
+      checkpointDir: String, chunkSize: Int = 3000, overlap: Int = 200,
+      dim: Int = 64): Unit = {
+    val q = readDocuments(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = indexRows(batch, chunkSize, overlap, dim)
+        if (!rows.isEmpty) IngestionPipeline.upsertIndex(rows, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

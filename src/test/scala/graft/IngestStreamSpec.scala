@@ -57,4 +57,39 @@ class IngestStreamSpec extends SparkTestBase {
     assert(after.size - streamed.size ===
       rows(IngestionPipeline.buildIndexFrom(newDoc, 120, 20, 8)).size)
   }
+
+  test("streaming keyed upsert replaces a re-parsed document's vectors") {
+    val src = tmp("upsert_src"); val idx = tmp("upsert_idx")
+    val cp = tmp("upsert_cp")
+
+    def writeDocFile(doc: DataFrame, name: String): Unit = {
+      val stage = tmp("upsert_stage")
+      doc.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val v1 = Seq(
+      (1L, "first document original text body", "en", "a.pdf", 33L),
+      (2L, "second document stays untouched here", "en", "b.pdf", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeDocFile(v1, "docs_v1.parquet")
+    IngestStream.upsertAvailable(spark, src, idx, cp,
+      chunkSize = 20, overlap = 5, dim = 8)
+
+    // a REVISED version of doc 1 lands as a new file
+    val v2doc1 = Seq((1L, "first document revised and rather longer text body",
+      "en", "a.pdf", 50L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeDocFile(v2doc1, "docs_v2.parquet")
+    IngestStream.upsertAvailable(spark, src, idx, cp,
+      chunkSize = 20, overlap = 5, dim = 8)
+
+    val got = rows(IngestionPipeline.readIndex(spark, idx))
+    val current = v2doc1.unionByName(v1.filter($"doc_id" === 2L))
+    val want = rows(IngestionPipeline.buildIndexFrom(current, 20, 5, 8))
+    // upsert ≡ fresh rebuild of the current corpus state: doc 1's old
+    // vectors are gone (the append sink would have kept both versions)
+    assert(got === want)
+  }
 }
