@@ -70,15 +70,6 @@ object TextFunctions {
       array_min(transform(shingleCol, s => hash60(s, j)))
     }: _*)
 
-  /** LSH band key for rows of a minhash signature: concatenates rows
-    * [band*r, band*r+r) into one string key. Docs sharing any band key are
-    * near-duplicate candidates — this is what turns the O(n²) similarity
-    * self-join into an equi-join (shuffle on band key), the only shape that
-    * survives 100 TB. */
-  def bandKey(sig: Column, band: Int, r: Int): Column =
-    concat_ws(",",
-      (0 until r).map(i => element_at(sig, band * r + i + 1)): _*)
-
   /** Exact Jaccard similarity of two shingle arrays (as sets).
     * DuckDB: len(list_intersect(a,b)) / len(list_distinct(list_concat(a,b))). */
   def jaccard(a: Column, b: Column): Column = {

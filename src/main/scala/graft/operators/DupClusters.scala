@@ -32,7 +32,15 @@ object DupClusters {
 
   /** (id, cluster_id) for every vertex in `vertices` (one `id` column);
     * `pairs` needs (a_id, b_id). Vertices in no pair become singleton
-    * clusters of themselves. */
+    * clusters of themselves.
+    *
+    * Only vertices that appear in a pair can ever change label, so the
+    * iteration runs over the PAIR SUBGRAPH's vertex set alone; the
+    * (typically vastly larger) singleton remainder joins the result in
+    * one final left join. At corpus scale the dup graph is a small
+    * fraction of the corpus — iterating the full vertex table would
+    * shuffle and checkpoint the corpus once per round for rows that are
+    * fixed points by construction. */
   def assign(vertices: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
     // No distinct on the edge list: duplicate edges (a pair emitted by
@@ -43,7 +51,8 @@ object DupClusters {
       .select(col("a_id").as("s"), col("b_id").as("d"))
       .union(pairs.select(col("b_id").as("s"), col("a_id").as("d")))
       .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("lab"))
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
       .localCheckpoint(true)
     // labels only ever DECREASE (min of self + neighbours), so the label
     // sum is a fixpoint detector: unchanged sum ⟺ unchanged labels. One
@@ -80,6 +89,9 @@ object DupClusters {
     require(converged,
       s"DupClusters.assign did not converge within $maxIters rounds — " +
         "component diameter exceeds the bound; raise maxIters")
-    labels.select(col("id"), col("lab").as("cluster_id"))
+    // singletons (vertices in no pair) label themselves in one final join
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
   }
 }
