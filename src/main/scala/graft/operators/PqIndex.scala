@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,19 @@ object PqIndex {
         (col("pos") / subDim).cast("int").as("j"),
         pmod(col("pos"), lit(subDim)).as("i"), col("v"))
 
+  /** The codebook in exploded relational form — (cent_id, j, i, cv): the
+    * subvector components of `codebook`'s first `k` vectors. This is also
+    * the at-rest representation [[writeIndex]] persists. */
+  def codebookRows(codebook: DataFrame, subDim: Int, k: Int): DataFrame =
+    components(codebook.filter(col("vec_id") < k), subDim)
+      .select(col("vec_id").as("cent_id"), col("j"), col("i"),
+        col("v").as("cv"))
+
+  private def distsAgainst(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), Seq("j", "i"))
+      .groupBy(col("vec_id"), col("j"), col("cent_id"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+
   /** Exact integer squared distance of each of `emb`'s subvectors `j` to
     * every codebook centroid of subspace `j` (partial-agg'd map-side):
     * (vec_id, j, cent_id, dist). The codebook is the first `k` vectors of
@@ -54,14 +67,7 @@ object PqIndex {
       k: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
     val subDim = dim / m
-    val sub = components(emb, subDim)
-    // codebook: subvectors of the first k corpus vectors, broadcast
-    val cent = components(codebook.filter(col("vec_id") < k), subDim)
-      .select(col("vec_id").as("cent_id"), col("j"), col("i"),
-        col("v").as("cv"))
-    sub.join(broadcast(cent), Seq("j", "i"))
-      .groupBy(col("vec_id"), col("j"), col("cent_id"))
-      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+    distsAgainst(components(emb, subDim), codebookRows(codebook, subDim, k))
   }
 
   /** Encode: per (vector, subspace) the nearest centroid id —
@@ -112,6 +118,37 @@ object PqIndex {
     val lut = queryLut(emb, queryFilter, dim, m, k)
     val cands = codes.select(col("vec_id")).distinct()
       .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
+      .filter(col("vec_id") =!= col("q_id"))
+    rankCoded(cands, codes, lut, topK)
+  }
+
+  /** Materialize the PQ index at rest: `<path>/codes` (m rows per corpus
+    * vector — the 32× compressed representation) and `<path>/codebook`
+    * (m·k exploded centroid component rows). Encode runs ONCE here;
+    * queries against the stored index never touch corpus embeddings. */
+  def writeIndex(emb: DataFrame, path: String, dim: Int = 64, m: Int = 8,
+      k: Int = 16): Unit = {
+    codebookRows(emb, dim / m, k)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    encode(subspaceDists(emb, emb, dim, m, k))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a [[writeIndex]]-materialized index: the lookup table comes
+    * from the query vectors × the stored codebook (tiny, broadcast), the
+    * candidates from the stored codes — the corpus embeddings are never
+    * read. `queries` needs (vec_id, embedding) with `dim`-sized vectors
+    * matching the written index's `dim`/`m`. */
+  def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      dim: Int = 64, m: Int = 8, topK: Int = 3): DataFrame = {
+    val cent = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val lut = distsAgainst(components(queries, dim / m), cent)
+      .select(col("vec_id").as("q_id"), col("j"), col("cent_id"),
+        col("dist"))
+    val cands = codes.select(col("vec_id")).distinct()
+      .crossJoin(broadcast(
+        queries.select(col("vec_id").as("q_id")).distinct()))
       .filter(col("vec_id") =!= col("q_id"))
     rankCoded(cands, codes, lut, topK)
   }

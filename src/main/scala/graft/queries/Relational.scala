@@ -611,7 +611,28 @@ object Relational extends QueryPack {
         .orderBy("event_type")
     }),
 
-    "q40_zorder_key" -> (zOrderKeyQuery _)
+    "q40_zorder_key" -> (zOrderKeyQuery _),
+
+    // Correlated scalar subquery — Catalyst must DECORRELATE it into an
+    // aggregate + join (a per-row subquery execution would be O(n·m) and
+    // cannot distribute); the oracle runs the identical SQL text, so both
+    // the decorrelation semantics and the null handling (orders with no
+    // lineitems drop via the > comparison) are checked.
+    "q41_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_corr")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_corr")
+      // the subquery aggregate follows the float policy (exact decimal
+      // sum / count) so the correlated average is bit-identical in DuckDB
+      s.sql("""
+        SELECT o_orderkey, cast(o_totalprice as double) AS total
+        FROM graft_orders_corr o
+        WHERE o_totalprice > 2 * (
+          SELECT cast(sum(cast(l_extendedprice as decimal(12,2))) as double)
+                   / count(*)
+          FROM graft_lineitem_corr
+          WHERE l_orderkey = o.o_orderkey)
+        ORDER BY o_orderkey""")
+    })
   )
 
   /** Per-event-type weights dim for q39 (integer weights keep the decimal
@@ -823,6 +844,16 @@ object Relational extends QueryPack {
         |FROM (SELECT *, datediff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS ship_day
         |      FROM lineitem)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_day, qty_30d""".stripMargin,
+
+    "q41_correlated_subquery" ->
+      """SELECT o_orderkey, cast(o_totalprice as double) AS total
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT cast(sum(cast(l_extendedprice as decimal(12,2))) as double)
+        |           / count(*)
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q40_zorder_key" ->
       s"""WITH s AS (SELECT min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,

@@ -54,6 +54,27 @@ class PqIndexSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("stored index search equals in-memory search and never reads the corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    PqIndex.writeIndex(emb, path)
+
+    // literal query rows: the plan must then touch ONLY the stored index
+    val qRows = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect().toSeq
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows),
+      emb.select("vec_id", "embedding").schema)
+
+    val stored = PqIndex.searchIndexed(spark, path, queries)
+    val live = PqIndex.search(emb, col("vec_id") < 5)
+    assert(stored.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === live.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"stored-index search scanned the corpus:\n$plan")
+  }
+
   test("search never plans a cartesian product and broadcasts the LUT") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = PqIndex.search(emb, col("vec_id") < 5)
