@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data-quality validation gate (the Deequ-style check suite a
+  * pipeline runs before committing a partition of a 100 TB table — the
+  * reference has no validation at all; a malformed PDF extraction lands in
+  * Pinecone silently).
+  *
+  * Every row-level constraint compiles to ONE conditional count inside a
+  * single aggregate over the frame, and uniqueness constraints ride the
+  * same pass as count − count(distinct …) — so an arbitrary number of
+  * checks costs exactly one scan + one (1-row) aggregation, and the wide
+  * verdict row unpivots into one row per check. No per-check jobs, no
+  * driver-side row inspection.
+  */
+object DataChecks {
+
+  /** Run row-level predicates (`name` → must-hold predicate) and
+    * uniqueness checks (`name` → key column) in one pass. Output, one row
+    * per check: (check, violations, total, pass) ordered by check name. */
+  def run(df: DataFrame, rowChecks: Seq[(String, Column)],
+      uniqueChecks: Seq[(String, Column)] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueChecks.nonEmpty, "no checks given")
+    val rowAggs = rowChecks.map { case (name, pred) =>
+      sum(when(pred, 0L).otherwise(1L)).as(name)
+    }
+    // a duplicated key contributes (occurrences − 1) violations
+    val uniqAggs = uniqueChecks.map { case (name, key) =>
+      (count(key) - count_distinct(key)).as(name)
+    }
+    val aggs = rowAggs ++ uniqAggs
+    val wide = df.agg(count(lit(1)).as("graft_total"),
+      (aggs.head +: aggs.tail): _*)
+    wide.unpivot(
+        Array(col("graft_total")),
+        (rowChecks ++ uniqueChecks).map { case (n, _) => col(n) }.toArray,
+        "check_name", "violations")
+      .select(col("check_name"), col("violations"),
+        col("graft_total").as("total"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy("check_name")
+  }
+}

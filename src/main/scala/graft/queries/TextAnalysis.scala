@@ -176,6 +176,22 @@ object TextAnalysis extends QueryPack {
           lit(1000L)) < col("permille"))
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
+    }),
+
+    // Data-quality gate (graft.operators.DataChecks): five constraints —
+    // four row predicates + one uniqueness — validated in ONE scan + one
+    // 1-row aggregate, then unpivoted to a verdict row per check. The
+    // text_min_length constraint intentionally fails on the fixture
+    // (shortest doc is 48 chars), exercising violation reporting.
+    "t10_data_checks" -> ((s, d) => {
+      graft.operators.DataChecks.run(
+        Tables.documents(s, d),
+        rowChecks = Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "lang_known" -> col("lang").isin("en", "de", "es", "fr", "zh"),
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "text_min_length" -> (length(col("text")) >= 100)),
+        uniqueChecks = Seq("doc_id_unique" -> col("doc_id")))
     })
   )
 
@@ -273,6 +289,22 @@ object TextAnalysis extends QueryPack {
         |kept AS (SELECT d.doc_id, d.source, d.lang FROM documents d JOIN w USING (source)
         |  WHERE ${graft.functions.CrossHash.duckHash60("'mix#' || cast(d.doc_id as varchar)")} % 1000 < permille)
         |SELECT doc_id, source, lang FROM kept ORDER BY doc_id""".stripMargin,
+
+    "t10_data_checks" ->
+      """WITH m AS (SELECT count(*) AS total,
+        |  cast(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) as bigint) AS v_notnull,
+        |  cast(sum(CASE WHEN lang IN ('en','de','es','fr','zh') THEN 0 ELSE 1 END) as bigint) AS v_lang,
+        |  cast(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) as bigint) AS v_nchars,
+        |  cast(sum(CASE WHEN length(text) >= 100 THEN 0 ELSE 1 END) as bigint) AS v_minlen,
+        |  cast(count(doc_id) - count(DISTINCT doc_id) as bigint) AS v_unique
+        |  FROM documents)
+        |SELECT check_name, violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'doc_id_not_null' AS check_name, v_notnull AS violations, total FROM m
+        |  UNION ALL SELECT 'lang_known', v_lang, total FROM m
+        |  UNION ALL SELECT 'n_chars_consistent', v_nchars, total FROM m
+        |  UNION ALL SELECT 'text_min_length', v_minlen, total FROM m
+        |  UNION ALL SELECT 'doc_id_unique', v_unique, total FROM m)
+        |ORDER BY check_name""".stripMargin,
 
     "t06_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

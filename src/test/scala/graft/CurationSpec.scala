@@ -46,6 +46,29 @@ class CurationSpec extends SparkTestBase {
     assert(out === Seq((11L, 0L, 13L)))
   }
 
+  test("data checks count planted violations exactly, one pass") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(1L), "ok row"), (Some(1L), "dup id"),   // duplicate id
+      (None, "null id"), (Some(3L), ""))            // null id, empty text
+      .toDF("id", "text")
+    val out = graft.operators.DataChecks.run(df,
+        rowChecks = Seq(
+          "id_not_null" -> col("id").isNotNull,
+          "text_nonempty" -> (length(col("text")) > 0)),
+        uniqueChecks = Seq("id_unique" -> col("id")))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("id_not_null", 1L, 4L, false),
+      ("id_unique", 1L, 4L, false),   // count(id)=3, distinct=2
+      ("text_nonempty", 1L, 4L, false)))
+
+    val clean = graft.operators.DataChecks.run(df.filter(col("id") === 1L),
+      rowChecks = Seq("text_nonempty" -> (length(col("text")) > 0)))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(clean === Seq(("text_nonempty", 0L, 2L, true)))
+  }
+
   test("t09 keeps full-weight sources entirely, downsamples the rest") {
     val docs = Tables.documents(spark, sf0001)
     val kept = SparkEntry.queries("t09_mixture_sample")(spark, sf0001)
