@@ -25,13 +25,13 @@ import graft.functions.VectorFunctions
   * that IvfIndex also uses).
   *
   * Scale shape: the corpus is never self-joined and never shuffled whole —
-  * encode is explode → broadcast-codebook join → partial-agg argmin
-  * (O(n·d·k) work, the standard PQ encode cost; at rest codes would be
-  * written once and reused per query); search joins the tiny broadcast
-  * lookup table against codes and partial-aggregates m rows per
-  * (query, vector). A fused codegen expression for the per-subspace argmin
-  * (the IvfCellDistsExpr pattern) is the next constant-factor step if
-  * encode ever dominates.
+  * encode is ONE map-only scan (per-subspace distances and argmin fused
+  * into an [[graft.plans.IvfCellDistsExpr]] codegen projection against
+  * the collected k-row codebook — O(n·d·k) arithmetic, zero shuffle);
+  * search joins the tiny broadcast lookup table against codes and
+  * partial-aggregates m rows per (query, vector). The relational
+  * [[subspaceDists]] form remains for the query-side LUT, where the
+  * input is queries-only and distances (not just the argmin) are needed.
   */
 object PqIndex {
 
@@ -70,15 +70,43 @@ object PqIndex {
     distsAgainst(components(emb, subDim), codebookRows(codebook, subDim, k))
   }
 
+  /** The codebook collected to the driver: the first `k` corpus vectors,
+    * quantized — k rows, the moral equivalent of broadcasting the
+    * codebook (the IvfIndex.centroids pattern), which is what lets encode
+    * run as a fused map-only expression. */
+  def collectCodebook(emb: DataFrame, k: Int): Array[(Long, Array[Long])] =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"),
+        VectorFunctions.quantize1e6(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
   /** Encode: per (vector, subspace) the nearest centroid id —
-    * (vec_id, j, code). The stored representation (m codes per vector).
-    * min_by over a (dist, cent_id) struct is a partial-aggregating argmin
-    * with a deterministic tie-break — map-side combine instead of the
-    * per-partition sort a window would pay. */
-  def encode(dists: DataFrame): DataFrame =
-    dists.groupBy("vec_id", "j")
-      .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id")))
-        .as("code"))
+    * (vec_id, j, code) — as ONE fused map-only projection: each
+    * subspace's k distances come from an
+    * [[graft.plans.IvfCellDistsExpr]] codegen loop over the embedding
+    * slice, the argmin is array_position of the min (first occurrence =
+    * lowest cent_id, the deterministic tie-break), and the m codes
+    * posexplode to rows. No join, no shuffle, no corpus-scale
+    * aggregation — the encode cost is exactly one scan. */
+  def encodeFused(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
+    val subDim = dim / m
+    val centIds = array(cents.map(c => lit(c._1)): _*)
+    val codeCols = (0 until m).map { j =>
+      val subCents = cents.map(_._2.slice(j * subDim, (j + 1) * subDim)
+        .toSeq).toSeq
+      val dists = graft.plans.IvfCellDistsExpr.ivf_cell_dists(
+        slice(col("embedding"), j * subDim + 1, subDim), subCents)
+      element_at(centIds, array_position(dists, array_min(dists))
+        .cast("int"))
+    }
+    emb.select(col("vec_id"),
+        posexplode(array(codeCols: _*)).as(Seq("j", "code")))
+      .select(col("vec_id"), col("j").cast("int").as("j"), col("code"))
+  }
 
   /** Query lookup table: subspace distances computed for the query
     * vectors ONLY — (q_id, j, cent_id, dist); tiny (queries × m × k
@@ -114,7 +142,7 @@ object PqIndex {
     * approx_dist) with exact integer distances. */
   def search(emb: DataFrame, queryFilter: Column, dim: Int = 64,
       m: Int = 8, k: Int = 16, topK: Int = 3): DataFrame = {
-    val codes = encode(subspaceDists(emb, emb, dim, m, k))
+    val codes = encodeFused(emb, collectCodebook(emb, k), dim, m)
     val lut = queryLut(emb, queryFilter, dim, m, k)
     val cands = codes.select(col("vec_id")).distinct()
       .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
@@ -130,7 +158,7 @@ object PqIndex {
       k: Int = 16): Unit = {
     codebookRows(emb, dim / m, k)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    encode(subspaceDists(emb, emb, dim, m, k))
+    encodeFused(emb, collectCodebook(emb, k), dim, m)
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -171,7 +199,7 @@ object PqIndex {
     val cands = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
-    rankCoded(cands, encode(subspaceDists(emb, emb, dim, m, k)),
+    rankCoded(cands, encodeFused(emb, collectCodebook(emb, k), dim, m),
       queryLut(emb, queryFilter, dim, m, k), topK)
   }
 }
