@@ -144,7 +144,16 @@ object IvfIndex {
     * scan the broadcast guard counts. Violations fail fast here with a
     * named-column error instead of a deep AnalysisException. */
   def search(emb: DataFrame, queryFilter: Column, k: Int, nProbe: Int,
-      topK: Int, maxBroadcastProbes: Long = 1000000L): DataFrame = {
+      topK: Int, maxBroadcastProbes: Long = 1000000L): DataFrame =
+    searchWith(emb, queryFilter, centroids(emb, k), nProbe, topK,
+      maxBroadcastProbes)
+
+  /** [[search]] against an explicit centroid set (e.g.
+    * [[trainCentroids]]-trained, or read back from a persisted sidecar) —
+    * query-time never re-derives centroids from the corpus. */
+  def searchWith(emb: DataFrame, queryFilter: Column,
+      cents: Array[(Long, Array[Long])], nProbe: Int, topK: Int,
+      maxBroadcastProbes: Long = 1000000L): DataFrame = {
     try emb.where(queryFilter).queryExecution.analyzed
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
@@ -154,7 +163,7 @@ object IvfIndex {
             "query SET, not the cell ranking (rk/cent_id/dist are produced " +
             s"internally). Analysis said: ${e.getMessage}", e)
     }
-    val ranks = cellRanks(emb, k)
+    val ranks = cellRanksWith(emb, cents)
     val assigned = ranks.filter(col("rk") === 1)
       .select("vec_id", "embedding", "cent_id")
     val probes = ranks.filter(queryFilter && col("rk") <= nProbe)

@@ -103,6 +103,21 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF with Lloyd-TRAINED centroids (2 iterations from the
+    // deterministic seeds): training balances cell populations, which is
+    // what bounds per-probe work at corpus scale. Every training step is
+    // deterministic (exact integer assignment, exact long-sum averages,
+    // floor(x+0.5) rounding), so the oracle replays the full training in
+    // SQL and checks the trained index's search results end to end.
+    "s08_ann_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.IvfIndex
+        .trainCentroids(emb, k = 16, iters = 2)
+      graft.operators.IvfIndex
+        .searchWith(emb, col("vec_id") < 5, cents, nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // INT8-quantized similarity: top-3 by cosine over symmetric int8
     // quantized embeddings (VectorFunctions.quantizeInt8 — the 4× index
     // compression path). Integer-exact construction end to end: the
@@ -261,6 +276,52 @@ object Similarity extends QueryPack {
         |  SELECT 'ivf' AS method, e.q_id, round(cast(count(v.vec_id) as double) / 3.0, 6) AS recall
         |  FROM ex e LEFT JOIN ivf v ON v.q_id = e.q_id AND v.vec_id = e.vec_id GROUP BY e.q_id)
         |SELECT method, q_id, recall FROM r ORDER BY method, q_id""".stripMargin),
+
+    "s08_ann_ivf_trained" -> {
+      // one Lloyd iteration in SQL: assign to nearest cents, recompute
+      // per-cell integer means (exact long-sum avg, floor(x+0.5) — the
+      // Math.round formula), empty cells keep their previous centroid
+      def iter(t: Int): String = {
+        val p = t; val n = t + 1
+        s"""d$p AS (SELECT a.vec_id, c.cent_id,
+          |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+          |  FROM q a, c$p c),
+          |a$p AS (SELECT vec_id, cent_id FROM (
+          |  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+          |  FROM d$p) WHERE rk = 1),
+          |m$p AS (SELECT a.cent_id, i.range AS ord,
+          |    cast(floor(avg(qq.qe[cast(i.range as int)]) + 0.5) as bigint) AS v
+          |  FROM a$p a JOIN q qq ON qq.vec_id = a.vec_id, range(1, ${Dim + 1}) i
+          |  GROUP BY a.cent_id, i.range),
+          |n$p AS (SELECT cent_id, list(v ORDER BY ord) AS qc FROM m$p GROUP BY cent_id),
+          |c$n AS (SELECT c.cent_id, coalesce(n.qc, c.qc) AS qc FROM c$p c LEFT JOIN n$p n USING (cent_id))""".stripMargin
+      }
+      s"""WITH q AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |${iter(0)},
+        |${iter(1)},
+        |fd AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, c2 c),
+        |fr AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM fd),
+        |fassign AS (SELECT vec_id, cent_id FROM fr WHERE rk = 1),
+        |fprobes AS (SELECT vec_id AS q_id, cent_id FROM fr WHERE vec_id < 5 AND rk <= 2),
+        |cand AS (SELECT p.q_id, a.vec_id,
+        |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim
+        |  FROM fprobes p
+        |  JOIN fassign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+        |  JOIN embeddings eq ON eq.vec_id = p.q_id
+        |  JOIN embeddings ev ON ev.vec_id = a.vec_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin
+    },
 
     "s05_int8_topk" ->
       s"""WITH e8 AS (SELECT vec_id,
