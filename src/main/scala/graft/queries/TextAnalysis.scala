@@ -192,6 +192,18 @@ object TextAnalysis extends QueryPack {
           "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
           "text_min_length" -> (length(col("text")) >= 100)),
         uniqueChecks = Seq("doc_id_unique" -> col("doc_id")))
+    }),
+
+    // Two-pass EXACT heavy hitters (operators/HeavyHitters): Misra–Gries
+    // candidates per partition (map-only, no false negatives for
+    // freq > N/k), then an exact recount of only the candidate terms —
+    // the only full-distinct-key shuffle a naive groupBy-count would pay
+    // is avoided, yet the output is bit-exact, so DuckDB checks it.
+    "t11_heavy_hitters" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      graft.operators.HeavyHitters.exact(terms, "term", k = 200)
     })
   )
 
@@ -317,6 +329,14 @@ object TextAnalysis extends QueryPack {
         |ranked AS (SELECT doc_id, term, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
         |  FROM scored)
-        |SELECT doc_id, term, score FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, term, score FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "t11_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |f AS (SELECT term, count(*) AS freq FROM t GROUP BY term)
+        |SELECT term, freq, n_total FROM f, n
+        |WHERE freq * 200 > n_total
+        |ORDER BY freq DESC, term""".stripMargin
   )
 }

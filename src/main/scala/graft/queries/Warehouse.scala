@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic decision-support queries (TPC-H Q3/Q5/Q10 shapes) plus the
+  * bloom-pruned join — the multi-join workloads a warehouse engine lives
+  * on, and the plans whose scale shape matters most:
+  *
+  *  - dims (customer/nation/region/supplier at real scale: small) broadcast;
+  *    the one unavoidable big-big join (lineitem ⋈ orders) shuffles ON THE
+  *    JOIN KEY, once — no other fact-width exchange exists in any of these
+  *    plans;
+  *  - selective dim filters are applied BEFORE their join (Catalyst pushes
+  *    them into the scan: PushedFilters) so the broadcast side is the
+  *    filtered remainder, not the full dim;
+  *  - top-k results end in TakeOrderedAndProject — never a full sort of
+  *    the aggregate output;
+  *  - q45 prunes the fact side with a bloom of the dim keys before the
+  *    shuffle (operators/BloomPrune) — the manual form of AQE's runtime
+  *    bloom filter, for the dim-too-big-to-broadcast case.
+  *
+  * Float/type policy follows Relational: exact decimal sums surfaced as
+  * doubles, timestamps emitted as formatted strings, total ORDER BY.
+  */
+object Warehouse extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private val one2: Column = lit(1).cast("decimal(3,2)")
+  private def revenue(price: Column, disc: Column): Column =
+    sum(dec2(price) * (one2 - dec2(disc))).cast("double")
+
+  override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q3 — shipping priority: orders not yet shipped for one market
+    // segment, top 10 by outstanding revenue. lineitem ⋈ orders shuffles
+    // on the order key; the filtered customer dim broadcasts into orders.
+    "q42_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 — local supplier volume: revenue per nation where the
+    // supplier and the customer share the nation, one region, one year.
+    // All four dims broadcast; the only shuffle is lineitem ⋈ orders.
+    "q43_local_supplier_volume" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 — returned items: customers ranked by revenue lost to
+    // returns in a 6-month window. Same single-shuffle shape as q42 with
+    // the customer⋈nation dim broadcast into the aggregate's output side.
+    "q44_returned_items" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Bloom-pruned join: orders (fact) × high-balance customers (selective
+    // dim), the dim-too-big-to-broadcast scenario — fact rows that cannot
+    // match are dropped map-side by a bloom of the dim keys BEFORE the
+    // sort-merge join's shuffle. The bloom is invisible in the result
+    // (false positives die in the exact join), so the oracle is the plain
+    // join.
+    "q45_bloom_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_mktsegment")
+      graft.operators.BloomPrune
+        .prunedJoin(Tables.orders(s, d), dim, "o_custkey", "c_custkey",
+          expectedKeys = 100000L)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q42_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q43_local_supplier_volume" ->
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q44_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q45_bloom_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000.0
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+  )
+}
