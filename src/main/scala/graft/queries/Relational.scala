@@ -632,6 +632,34 @@ object Relational extends QueryPack {
           FROM graft_lineitem_corr
           WHERE l_orderkey = o.o_orderkey)
         ORDER BY o_orderkey""")
+    }),
+
+    // Mergeable-sketch rollup: per-DAY HLL sketches of distinct users,
+    // UNIONED into per-month distinct-count estimates — the incremental
+    // pattern for COUNT(DISTINCT) at 100 TB: daily sketches are the
+    // materialized state (a few KB each), a month is a merge of ~30
+    // sketches, and no raw event is ever rescanned (IncrementalAgg's
+    // monoid-state idea, for the non-distributive aggregate). Accuracy is
+    // asserted as a 5% contract next to the exact count (the q22/q38
+    // de-flake pattern: DuckDB checks its own HLL against the same exact
+    // value, so the boolean matches without bit-identical sketches).
+    "q46_hll_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+      val daily = ev.groupBy("month", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val monthly = daily.groupBy("month")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
+      val exact = ev.groupBy("month")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(monthly, Seq("month"))
+        .select(col("month"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("ok"))
+        .orderBy("month")
     })
   )
 
@@ -854,6 +882,14 @@ object Relational extends QueryPack {
         |  FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q46_hll_rollup" ->
+      """SELECT strftime(date_trunc('month', cast(ts as timestamp)), '%Y-%m') AS month,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id) * 0.05 AS ok
+        |FROM events
+        |GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q40_zorder_key" ->
       s"""WITH s AS (SELECT min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
