@@ -175,6 +175,52 @@ object IvfIndex {
     rankCandidates(assigned.join(probeSide, Seq("cent_id")), topK)
   }
 
+  /** Metadata-FILTERED ANN: top-`topK` neighbours among only the corpus
+    * rows matching `corpusFilter` — the vector-store "filtered search"
+    * feature (Pinecone metadata filters, reference's per-index routing
+    * generalised to arbitrary predicates).
+    *
+    * This is PRE-filtering, not post-filtering: the predicate lands on the
+    * corpus before candidate generation, so a selective filter cannot
+    * starve the top-k (post-filtering an unfiltered top-k can return fewer
+    * than topK survivors, silently). Cell assignment per vector is
+    * independent of the rest of the corpus, so filter-then-assign equals
+    * assign-then-filter — and at rest the same predicate pushes down into
+    * the stored index scan, where it composes with cent_id partition
+    * pruning (probe prunes partitions, metadata prunes row groups).
+    *
+    * Centroids are still derived from the FULL corpus: the cell layout
+    * stays stable across filters, so one stored index serves every
+    * predicate. Queries are drawn from the unfiltered corpus (a query
+    * need not satisfy the filter it searches under). */
+  def searchFiltered(emb: DataFrame, queryFilter: Column,
+      corpusFilter: Column, k: Int, nProbe: Int, topK: Int,
+      maxBroadcastProbes: Long = 1000000L): DataFrame = {
+    for ((f, what) <- Seq(queryFilter -> "queryFilter",
+        corpusFilter -> "corpusFilter")) {
+      try emb.where(f).queryExecution.analyzed
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"IvfIndex.searchFiltered $what may only reference embeddings " +
+              s"columns ${emb.columns.mkString("(", ", ", ")")}. " +
+              s"Analysis said: ${e.getMessage}", e)
+      }
+    }
+    val cents = centroids(emb, k)
+    val assigned = cellRanksWith(emb.where(corpusFilter), cents)
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cent_id")
+    val probes = cellRanksWith(emb, cents)
+      .filter(queryFilter && col("rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id"))
+    val probeEstimate = emb.filter(queryFilter).count() * nProbe
+    val probeSide =
+      if (probeEstimate <= maxBroadcastProbes) broadcast(probes) else probes
+    rankCandidates(assigned.join(probeSide, Seq("cent_id")), topK)
+  }
+
   /** Materialize the index at rest: rows partitioned BY cent_id (the probe
     * key becomes the storage partition key), plus a self-contained
     * centroid sidecar so query-time never re-derives centroids from the

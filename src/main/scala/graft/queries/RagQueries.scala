@@ -61,6 +61,38 @@ object RagQueries extends QueryPack {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion: the keyword top-20
+    // (r04's scoring) and the vector top-20 (r01's cosine) fused by
+    // rrf = Σ 1/(60+rank) — the standard hybrid-search combiner. Both
+    // inputs are top-N lists bounded BY CONSTRUCTION (each ends in
+    // TakeOrderedAndProject), so the fusion join touches ≤ 40 rows no
+    // matter the corpus size — the retrieval stages carry all the scale.
+    // Ranks are integers and 1/(60+rank) is one IEEE op per side, so the
+    // fused score is oracle-exact; absent ranks surface as 0, not null.
+    "r13_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val kw = graft.Api.searchByTopic(s, d, Seq("spark", "join", "stream"), 20)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("kw_rank"))
+      val vec = topkSim(s, d, 20)
+        .select(col("vec_id").as("doc_id"), row_number()
+          .over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .as("vec_rank"))
+      kw.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("kw_rank"), lit(0)).as("kw_rank"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+          round(
+            when(col("kw_rank").isNull, lit(0.0))
+              .otherwise(lit(1.0) / (lit(60) + col("kw_rank"))) +
+            when(col("vec_rank").isNull, lit(0.0))
+              .otherwise(lit(1.0) / (lit(60) + col("vec_rank"))), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Document catalog: distinct sources with first-doc-per-source dedup —
     // the deterministic form of ra/server.py:36-43's first-seen-wins.
     "r03_doc_listing" -> ((s, d) => {
@@ -228,6 +260,28 @@ object RagQueries extends QueryPack {
     "r03_doc_listing" ->
       """SELECT source, min(doc_id) AS first_doc, count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "r13_hybrid_rrf" ->
+      (duckTopk.replace("%K%", "20") +
+        """,
+          |kwtop AS (SELECT doc_id, score FROM (
+          |  SELECT doc_id,
+          |    cast(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+          |       + len(list_filter(string_split(text, ' '), x -> x = 'join'))
+          |       + len(list_filter(string_split(text, ' '), x -> x = 'stream')) as int) AS score
+          |  FROM documents)
+          |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+          |kwr AS (SELECT doc_id,
+          |  cast(row_number() OVER (ORDER BY score DESC, doc_id) as int) AS kw_rank FROM kwtop),
+          |vr AS (SELECT vec_id AS doc_id,
+          |  cast(row_number() OVER (ORDER BY sim DESC, vec_id) as int) AS vec_rank FROM topk),
+          |f AS (SELECT coalesce(kwr.doc_id, vr.doc_id) AS doc_id,
+          |  coalesce(kw_rank, 0) AS kw_rank, coalesce(vec_rank, 0) AS vec_rank,
+          |  round((CASE WHEN kw_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + kw_rank) END)
+          |      + (CASE WHEN vec_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + vec_rank) END), 6) AS rrf
+          |  FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id)
+          |SELECT doc_id, kw_rank, vec_rank, rrf FROM f
+          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
 
     "r04_keyword_search" ->
       """SELECT doc_id, score FROM (

@@ -167,6 +167,21 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // Metadata-FILTERED ANN (the vector-store filtered-search feature):
+    // top-3 IVF neighbours among only label∈{1,2,3} corpus vectors —
+    // PRE-filtered, so a selective predicate cannot starve the top-k, and
+    // centroids stay those of the full corpus so one index layout serves
+    // every filter. Assignment is per-vector, so the oracle replays the
+    // unfiltered assignment and filters candidates by label.
+    "s09_filtered_ann" -> ((s, d) => {
+      graft.operators.IvfIndex
+        .searchFiltered(Tables.embeddings(s, d),
+          queryFilter = col("vec_id") < 5,
+          corpusFilter = col("label").isin(1, 2, 3),
+          k = 16, nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Brute-force similarity self-join: exact top-3 neighbours for query
     // vectors 0..9 (cross-join against a broadcast query set + windowed
     // rank — the SURVEY §2.3 similarity-join composition).
@@ -220,6 +235,33 @@ object Similarity extends QueryPack {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
         |  FROM dists),
         |assign AS (SELECT vec_id, cent_id FROM ranks WHERE rk = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id FROM ranks WHERE vec_id < 5 AND rk <= 2),
+        |cand AS (SELECT p.q_id, a.vec_id,
+        |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+        |  JOIN embeddings eq ON eq.vec_id = p.q_id
+        |  JOIN embeddings ev ON ev.vec_id = a.vec_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "s09_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |dists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, cents c),
+        |ranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM dists),
+        |assign AS (SELECT r.vec_id, r.cent_id FROM ranks r
+        |  JOIN embeddings el ON el.vec_id = r.vec_id
+        |  WHERE r.rk = 1 AND el.label IN (1, 2, 3)),
         |probes AS (SELECT vec_id AS q_id, cent_id FROM ranks WHERE vec_id < 5 AND rk <= 2),
         |cand AS (SELECT p.q_id, a.vec_id,
         |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim

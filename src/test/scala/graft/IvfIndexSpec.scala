@@ -88,4 +88,40 @@ class IvfIndexSpec extends SparkTestBase {
       plan.matches("(?s).*PartitionFilters: \\[.*cent_id.*"),
       s"cent_id IN (...) did not become a partition filter:\n$plan")
   }
+
+  test("filtered search returns only matching corpus rows, at full topK") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = IvfIndex.searchFiltered(emb,
+      queryFilter = col("vec_id") < 5,
+      corpusFilter = col("label").isin(1, 2, 3),
+      k = 16, nProbe = 2, topK = 3)
+    // every neighbour satisfies the metadata predicate
+    val offLabel = res.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .filter(!col("label").isin(1, 2, 3)).count()
+    assert(offLabel === 0)
+    // PRE-filtering keeps the top-k full: each query still gets 3
+    // neighbours (post-filtering the unfiltered top-3 would starve —
+    // only ~30% of its survivors carry these labels)
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.length === 5 && perQuery.forall(_.getLong(1) === 3L),
+      perQuery.mkString(", "))
+    // and post-filtering WOULD have starved at least one query, so the
+    // test distinguishes the two semantics rather than passing for both
+    val postFiltered = IvfIndex.search(emb, col("vec_id") < 5,
+        k = 16, nProbe = 2, topK = 3)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label").isin(1, 2, 3))
+    assert(postFiltered.count() < 15, "fixture no longer discriminates " +
+      "pre- from post-filtering; pick a rarer label set")
+  }
+
+  test("searchFiltered rejects a corpusFilter over non-embedding columns") {
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.searchFiltered(Tables.embeddings(spark, sf0001),
+        queryFilter = col("vec_id") < 5,
+        corpusFilter = col("cent_id") === 1,
+        k = 16, nProbe = 2, topK = 3)
+    }
+    assert(e.getMessage.contains("corpusFilter"))
+  }
 }
