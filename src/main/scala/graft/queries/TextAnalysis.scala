@@ -204,6 +204,74 @@ object TextAnalysis extends QueryPack {
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("term"))
       graft.operators.HeavyHitters.exact(terms, "term", k = 200)
+    }),
+
+    // BM25 keyword relevance (t06's tf-idf upgraded to the real ranking
+    // function): Lucene-form idf, k1=1.2, b=0.75 length normalisation.
+    // Each per-term score is rounded to 6 dp FIRST and summed as an exact
+    // decimal — the ≤|query| addends then combine order-independently, so
+    // the fused score never depends on partial-agg merge order. Two
+    // shuffles total (doc-length agg, per-(doc,term) tf); df and corpus
+    // stats ride in as 1-row/|query|-row broadcasts.
+    "t12_bm25" -> ((s, d) => {
+      val qTerms = Seq("spark", "join", "stream")
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+          .as("term"))
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).cast("double").as("n_docs"))
+      val tf = terms.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * (k1 + 1.0))
+              / (col("tf") + k1 * (lit(1.0) - b
+                  + b * col("dl") / col("avgdl"))), 6)
+            .as("s"))
+        .groupBy("doc_id")
+        .agg(sum(col("s").cast("decimal(18,6)")).cast("double").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Winsorization (outlier clipping) with EXACT percentiles: per key,
+    // p05/p95 defined by the explicit rank formula (value at row
+    // ceil(p·n) — the q38 pattern, so both engines pick the same raw
+    // datum), then one more pass counts/clips against the broadcast
+    // thresholds. The curation step that tames heavy-tailed numeric
+    // features before training; two passes total, no full sort at scale
+    // beyond the per-key window (at 100 TB the rank formula would ride on
+    // the stored sort order or a sketch + exact re-rank of one bucket).
+    "t13_outlier_clip" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val wRank = Window.partitionBy("event_type").orderBy("value")
+      val wAll = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val pct = ranked.groupBy("event_type").agg(
+        max(when(col("rn") === ceil(col("n") * 0.05), col("value")))
+          .as("p05"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("value")))
+          .as("p95"),
+        max("n").as("n"))
+      ev.join(broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("p05").as("p05"), max("p95").as("p95"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+          sum(least(greatest(col("value"), col("p05")), col("p95"))
+            .cast("decimal(12,2)")).cast("double").as("clipped_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -337,6 +405,40 @@ object TextAnalysis extends QueryPack {
         |f AS (SELECT term, count(*) AS freq FROM t GROUP BY term)
         |SELECT term, freq, n_total FROM f, n
         |WHERE freq * 200 > n_total
-        |ORDER BY freq DESC, term""".stripMargin
+        |ORDER BY freq DESC, term""".stripMargin,
+
+    "t12_bm25" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |stats AS (SELECT cast(sum(dl) as double) / count(*) AS avgdl,
+        |    cast(count(*) as double) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)), 6) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, cast(sum(cast(s as decimal(18,6))) as double) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "t13_outlier_clip" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |    max(CASE WHEN rn = ceil(n * 0.05) THEN value END) AS p05,
+        |    max(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95,
+        |    max(n) AS n
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_type, p.n, p.p05, p.p95,
+        |  cast(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) as bigint) AS n_low,
+        |  cast(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) as bigint) AS n_high,
+        |  cast(sum(cast(least(greatest(value, p05), p95) as decimal(12,2))) as double) AS clipped_sum
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin
   )
 }
