@@ -660,6 +660,68 @@ object Relational extends QueryPack {
           (abs(col("n_approx") - col("n_exact"))
             <= col("n_exact") * 0.05).as("ok"))
         .orderBy("month")
+    }),
+
+    // Gap-filled hourly resample: the (event_type × hour) grid is built
+    // from a 1-row span aggregate + sequence/explode — a TINY generated
+    // dimension regardless of fact size — and the only fact-width work is
+    // the hourly count aggregate; missing hours surface as 0 via the left
+    // join, never by scanning for absence.
+    "q47_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val hourly = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      val span = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      val hours = span.select(explode(
+        sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val grid = ev.select("event_type").distinct().crossJoin(hours)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "hour_start")
+    }),
+
+    // Cumulative distinct users per day — the SCALABLE formulation: a
+    // running COUNT(DISTINCT) window over raw events holds every seen id
+    // in window state; instead, distinct collapses FIRST (min event day
+    // per user), so the running sum ranges over days, not events, and the
+    // single-partition window is over ~365 rows/year no matter the fact
+    // size.
+    "q48_cumulative_users" -> ((s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstSeen.groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum("new_users").over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy("day")
+    }),
+
+    // Ordered funnel (signup → first click after it → first purchase
+    // after that): one groupBy collapses each user to three stage
+    // timestamps (conditional min — map-side combinable), the funnel
+    // logic is then row-local comparisons on the tiny per-user table.
+    "q49_funnel" -> ((s, d) => {
+      val stages = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          min(when(col("event_type") === "click", col("ts"))).as("t2"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      stages.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1"), 1L)
+          .otherwise(0L)).as("n_click_after"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1")
+            && col("t3") > col("t2"), 1L)
+          .otherwise(0L)).as("n_purchase_after"))
     })
   )
 
@@ -882,6 +944,38 @@ object Relational extends QueryPack {
         |  FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q47_gapfill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', cast(ts as timestamp)) AS h FROM events),
+        |span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |hourly AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT t.event_type, strftime(hh.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  coalesce(hourly.n, 0) AS n
+        |FROM types t CROSS JOIN hours hh
+        |LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = hh.h
+        |ORDER BY t.event_type, hour_start""".stripMargin,
+
+    "q48_cumulative_users" ->
+      """WITH fs AS (SELECT user_id, min(cast(cast(ts as timestamp) as date)) AS day FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  cast(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "q49_funnel" ->
+      """WITH s AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN cast(ts as timestamp) END) AS t1,
+        |    min(CASE WHEN event_type = 'click' THEN cast(ts as timestamp) END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' THEN cast(ts as timestamp) END) AS t3
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  cast(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_signup,
+        |  cast(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) as bigint) AS n_click_after,
+        |  cast(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) as bigint) AS n_purchase_after
+        |FROM s""".stripMargin,
 
     "q46_hll_rollup" ->
       """SELECT strftime(date_trunc('month', cast(ts as timestamp)), '%Y-%m') AS month,
