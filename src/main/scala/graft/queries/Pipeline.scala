@@ -60,6 +60,30 @@ object Pipeline extends QueryPack {
         .orderBy("user_id", "event_type")
     }),
 
+    // Late-interaction (multi-vector) retrieval: each document is
+    // represented by ALL its chunk vectors, and a document's score is the
+    // MAX chunk similarity (the MaxSim reduction ColBERT-style retrieval
+    // uses, over the same chunk index i01 builds). The reduction is an
+    // ordinary partial-aggregating groupBy — max is map-side combinable —
+    // so multi-vector scoring costs one agg over the scored chunks, and
+    // the query vector rides in as a literal (no join). Top-10 via
+    // TakeOrderedAndProject.
+    "i04_maxsim" -> ((s, d) => {
+      val dim = 8
+      val idx = IngestionPipeline.buildIndex(s, d, chunkSize = 120,
+        overlap = 20, dim = dim)
+      val qv = graft.functions.Embedder.embedQuery("spark stream", dim)
+      val qLit = array(qv.map(lit): _*)
+      idx
+        .select(col("doc_id"),
+          round(graft.functions.VectorFunctions.cosine(col("embedding"),
+            qLit), 6).as("sim"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), max("sim").as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary blob
     // with typed metadata — the schema/partitioning shape used for
     // image/audio payloads (decode itself is stubbed; see
@@ -101,6 +125,23 @@ object Pipeline extends QueryPack {
          |  ${embComponent(2)} AS e2,
          |  ${embComponent(3)} AS e3
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "i04_maxsim" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+         |  FROM documents),
+         |c AS (SELECT doc_id, cast(i as int) AS chunk_idx,
+         |    substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+         |  FROM (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM t)),
+         |q AS (SELECT [${(0 until 8).map(i =>
+                placeholderComponent("spark stream", i)).mkString(", ")}] AS qv),
+         |sims AS (SELECT doc_id,
+         |    round(list_cosine_similarity([${(0 until 8).map(embComponent)
+                .mkString(", ")}], qv), 6) AS sim
+         |  FROM c, q)
+         |SELECT doc_id, count(*) AS n_chunks, max(sim) AS maxsim
+         |FROM sims GROUP BY 1
+         |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin,
 
     "i02_extraction_refs" ->
       s"""WITH refs AS (

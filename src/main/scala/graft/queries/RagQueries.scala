@@ -93,6 +93,34 @@ object RagQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Two-stage retrieval (retrieve → rerank), "more-like-this" form:
+    // stage 1 pulls the cosine top-100 for document 0's vector (bounded by
+    // TakeOrderedAndProject); stage 2 joins ONLY those candidates back to
+    // their text (broadcast semi-pattern — the corpus streams past 100
+    // ids) and rescores with a lexical cross-signal, Jaccard token overlap
+    // with the query document. Rerank cost scales with the candidate
+    // count, never the corpus — the whole point of the two-stage shape.
+    // Every signal is integer-ratio or pre-rounded, so the composite
+    // 0.7·sim + 0.3·lex is oracle-exact.
+    "r14_rerank" -> ((s, d) => {
+      val cands = topkSim(s, d, 100)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      val qTokens = docs.filter(col("doc_id") === 0)
+        .select(array_distinct(toks).as("q_toks"))
+      docs
+        .join(broadcast(cands), col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qTokens))
+        .select(col("doc_id"), col("sim"),
+          round(
+            size(array_intersect(toks, col("q_toks"))).cast("double")
+              / size(array_union(toks, col("q_toks"))), 6).as("lex"))
+        .withColumn("score",
+          round(lit(0.7) * col("sim") + lit(0.3) * col("lex"), 6))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Document catalog: distinct sources with first-doc-per-source dedup —
     // the deterministic form of ra/server.py:36-43's first-seen-wins.
     "r03_doc_listing" -> ((s, d) => {
@@ -260,6 +288,18 @@ object RagQueries extends QueryPack {
     "r03_doc_listing" ->
       """SELECT source, min(doc_id) AS first_doc, count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "r14_rerank" ->
+      (duckTopk.replace("%K%", "100") +
+        """,
+          |qt AS (SELECT list_distinct(string_split(text, ' ')) AS q_toks
+          |  FROM documents WHERE doc_id = 0),
+          |rer AS (SELECT d.doc_id, t.sim,
+          |    round(cast(len(list_intersect(string_split(d.text, ' '), q_toks)) as double)
+          |        / len(list_distinct(list_concat(string_split(d.text, ' '), q_toks))), 6) AS lex
+          |  FROM topk t JOIN documents d ON d.doc_id = t.vec_id, qt)
+          |SELECT doc_id, sim, lex, round(0.7 * sim + 0.3 * lex, 6) AS score
+          |FROM rer ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
 
     "r13_hybrid_rrf" ->
       (duckTopk.replace("%K%", "20") +
