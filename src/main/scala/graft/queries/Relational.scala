@@ -662,6 +662,28 @@ object Relational extends QueryPack {
         .orderBy("month")
     }),
 
+    // TPC-H Q18 shape — large-volume orders: the IN-subquery over an
+    // aggregate (orders whose lineitems total > 150 units) becomes a join
+    // against the aggregated key set; the aggregate is partial (map-side
+    // combine) on the natural l_orderkey partitioning, so the "subquery"
+    // costs one fact-width shuffle shared with the outer join key — no
+    // second shuffle of lineitem.
+    "q50_big_orders" -> ((s, d) => {
+      val bigKeys = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      Tables.orders(s, d)
+        .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Gap-filled hourly resample: the (event_type × hour) grid is built
     // from a 1-row span aggregate + sequence/explode — a TINY generated
     // dimension regardless of fact size — and the only fact-width work is
@@ -944,6 +966,20 @@ object Relational extends QueryPack {
         |  FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q50_big_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |    cast(sum(cast(l_quantity as decimal(12,2))) as double) AS total_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN q ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 150.0
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
 
     "q47_gapfill" ->
       """WITH ev AS (SELECT event_type, date_trunc('hour', cast(ts as timestamp)) AS h FROM events),

@@ -63,4 +63,43 @@ class ScaleToolsSpec extends SparkTestBase {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // salting (above) is the deterministic pre-planned fix; AQE skew-join
+    // is the runtime fix for skew nobody predicted. Pin that it actually
+    // engages: one key carries ~80% of the rows, thresholds lowered to
+    // test scale, broadcast disabled so the join is sort-merge.
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = (0 until 40000)
+        .map(i => (if (i < 32000) 0L else (i % 1999L) + 1L, i.toString * 8))
+        .toDF("k", "pad")
+      val right = (0L until 2000L).map(k => (k, s"r$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // materialize THIS plan (count() would execute a different query
+      // execution and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length === 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
