@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
+import graft.operators.Redact
 
 /** Text-analysis operator family (LLM-pipeline north star): language ID,
   * quality scoring, token counting, fingerprinting. All map-only —
@@ -272,6 +273,74 @@ object TextAnalysis extends QueryPack {
           sum(least(greatest(col("value"), col("p05")), col("p95"))
             .cast("decimal(12,2)")).cast("double").as("clipped_sum"))
         .orderBy("event_type")
+    }),
+
+    // PII / denylist scrubbing (operators/Redact): map-only codegen'd
+    // projection — per-pattern hit counts on the original text plus the
+    // sequentially redacted text, digested with md5 so the oracle checks
+    // the full redacted payload without hauling it. The corpus has no
+    // planted PII (counts 0 for email/ipv4/phone — the mechanism is
+    // exercised on planted fixtures in CurationSpec); the denylist rule
+    // hits real tokens so the digest is non-trivial.
+    "t14_redact" -> ((s, d) => {
+      Redact.scrub(Tables.documents(s, d), "text", ScrubPatterns)
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+          col("n_phone"), col("n_denylist"),
+          length(col("redacted")).as("red_len"),
+          md5(col("redacted")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-boilerplate detection (the CCNet "drop too-common lines"
+    // step at n-gram granularity): bigrams present in > 60% of documents
+    // are boilerplate; each doc reports its boilerplate fraction. Shape:
+    // one shuffle for document frequencies (partial-agg count-distinct on
+    // the gram key), the boilerplate set is vocabulary-bounded and tiny
+    // by its own > 60%-of-docs definition → broadcast back; one shuffle
+    // for the per-doc rollup. The df threshold compares integers
+    // (df·10 > n_docs·6) so both engines make the same boundary call.
+    "t15_boilerplate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val boiler = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 > col("n_docs") * 6)
+        .select("gram")
+      grams.join(broadcast(boiler.withColumn("is_boiler", lit(1L))),
+          Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_grams"), 6)
+            .as("boiler_frac"))
+        .withColumn("flagged", col("boiler_frac") > 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Greedy contiguous sequence packing: documents fill fixed 2048-token
+    // training sequences in doc_id order within each source (a doc whose
+    // EXCLUSIVE token prefix-sum lands in bin k starts there — the
+    // deterministic streaming-concat semantics a tokenized-dataset writer
+    // uses). One window (partitioned by source — bounded state) + one
+    // rollup shuffle; bin assignment is integer division, exact in both
+    // engines.
+    "t16_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .withColumn("prior", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("bin", expr(s"prior div $PackTargetTokens"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
     })
   )
 
@@ -279,6 +348,15 @@ object TextAnalysis extends QueryPack {
     * curation pipeline feeds in (sources 0–9 at 100%, the rest at 40%). */
   val MixtureWeights: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", if (i < 10) 1000L else 400L))
+
+  /** t14 scrub rules: the PII defaults plus a corpus-hitting denylist
+    * (stand-in for a known-bad-terms list) so the digest check is
+    * non-trivial on the synthetic word corpus. */
+  val ScrubPatterns: Seq[Redact.Pattern] = Redact.PiiPatterns :+
+    Redact.Pattern("denylist", "\\b(?:customer|value|table)\\b", "[X]")
+
+  /** t16 training-sequence length (tokens per packed bin). */
+  val PackTargetTokens: Long = 2048L
 
   private def duckMarker(words: Seq[String]): String =
     s"cast(len(list_filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")}))) as int)"
@@ -439,6 +517,51 @@ object TextAnalysis extends QueryPack {
         |  cast(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) as bigint) AS n_high,
         |  cast(sum(cast(least(greatest(value, p05), p95) as decimal(12,2))) as double) AS clipped_sum
         |FROM events e JOIN p USING (event_type)
-        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    // Oracle built from the same ScrubPatterns the Spark side uses, so the
+    // regexes and replacement order cannot drift apart.
+    "t14_redact" -> {
+      val redacted = ScrubPatterns.foldLeft("text") { (acc, p) =>
+        s"regexp_replace($acc, '${p.regex}', '${p.replacement}', 'g')"
+      }
+      val counts = ScrubPatterns.map { p =>
+        s"cast(len(regexp_extract_all(text, '${p.regex}')) as int) AS n_${p.name}"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $counts,
+         |  cast(length($redacted) as int) AS red_len,
+         |  md5($redacted) AS digest
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "t15_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END AS sh
+        |  FROM tok),
+        |g AS (SELECT doc_id, unnest(sh) AS gram FROM shl),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+        |boiler AS (SELECT gram FROM df, n WHERE df * 10 > n_docs * 6),
+        |m AS (SELECT g.doc_id, count(*) AS n_grams,
+        |    cast(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_boiler
+        |  FROM g LEFT JOIN boiler b ON g.gram = b.gram GROUP BY 1),
+        |r AS (SELECT doc_id, n_grams, n_boiler,
+        |    round(cast(n_boiler as double) / n_grams, 6) AS boiler_frac FROM m)
+        |SELECT doc_id, n_grams, n_boiler, boiler_frac, boiler_frac > 0.5 AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t16_pack_sequences" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    cast(len(string_split(text, ' ')) as bigint) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    cast(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS prior
+         |  FROM tok)
+         |SELECT source, cast(prior // $PackTargetTokens as bigint) AS bin,
+         |  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
   )
 }
