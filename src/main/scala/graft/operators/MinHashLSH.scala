@@ -35,7 +35,7 @@ object MinHashLSH {
 
   /** (doc_id, m0…m{k−1}) MinHash signature columns via flat aggregation. */
   def signatures(docs: DataFrame, k: Int): DataFrame = {
-    val flat = docs
+    val flat = SkewTools.fanOut(docs)
       .select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), (CrossHash.hash60(col("s")) % P).as("h"))

@@ -42,7 +42,7 @@ object NgramJaccard {
   /** Distinct (doc_id, h) postings: h = 60-bit md5 hash of each word
     * n-gram shingle. */
   def postings(docs: DataFrame, n: Int): DataFrame =
-    docs
+    SkewTools.fanOut(docs)
       .select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), CrossHash.hash60(col("s")).as("h"))

@@ -19,7 +19,7 @@ object SimHash {
 
   /** (doc_id, simhash): majority-vote signature over token hashes. */
   def signatures(docs: DataFrame): DataFrame = {
-    val flat = docs
+    val flat = SkewTools.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), CrossHash.hash60(col("tok")).as("h"))
     val votes = (0 until Bits).map(b =>

@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** Round-robin fan-out for CPU-heavy map stages over NARROW inputs.
+    *
+    * A scan's parallelism is bounded by its split count: one small file
+    * (or one gzip member, or a single parquet row group) scans as ONE
+    * partition, so an expensive per-row pipeline above it — shingling,
+    * per-token md5, signature generation — runs on one core no matter
+    * how many the executor has. Splitting configs can't help
+    * (`files.maxPartitionBytes` cannot split below a row group);
+    * repartition is the only way to widen.
+    *
+    * No-op whenever the input already has at least `defaultParallelism`
+    * partitions — the 100 TB case, where scans arrive pre-split into
+    * thousands of tasks and an extra corpus-wide shuffle would be pure
+    * waste. The shuffle is paid only when it buys idle cores. Spark's
+    * round-robin repartition locally sorts rows first, so retried tasks
+    * repartition identically (deterministic under failure). */
+  def fanOut(df: DataFrame): DataFrame = {
+    // Streaming plans can't answer getNumPartitions (no RDD until each
+    // micro-batch); their parallelism is the source's, so pass through.
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: String, salts: Int): DataFrame = {
     require(salts > 0)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Redact
+import graft.operators.{Redact, SkewTools}
 
 /** Text-analysis operator family (LLM-pipeline north star): language ID,
   * quality scoring, token counting, fingerprinting. All map-only —
@@ -147,7 +147,7 @@ object TextAnalysis extends QueryPack {
     // shuffle — the shape that decontaminates a 100 TB corpus against a
     // fixed eval suite.
     "t08_decontaminate" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      val grams = SkewTools.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(TextFunctions.shingles(col("text"), 8)).as("g"))
         .select(col("doc_id"), graft.functions.CrossHash.hash60(col("g"))

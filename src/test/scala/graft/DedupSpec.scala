@@ -80,9 +80,26 @@ class DedupSpec extends SparkTestBase {
       .toDF("a_id", "b_id")
     val verts = (1L to 6L).toDF("id")
     val err = intercept[IllegalArgumentException] {
-      graft.operators.DupClusters.assign(verts, pairs, maxIters = 1)
+      graft.operators.DupClusters.assign(verts, pairs, maxIters = 1,
+        driverEdgeLimit = 0L) // force the distributed tier
     }
     assert(err.getMessage.contains("converge"))
+  }
+
+  test("dup clusters: driver union-find tier ≡ distributed iteration tier") {
+    // path (diameter 4) + triangle + pair + singletons, mixed direction
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (11L, 12L), (12L, 13L), (13L, 11L), (9L, 8L))
+      .toDF("a_id", "b_id")
+    val verts = (1L to 13L).toDF("id")
+    val small = graft.operators.DupClusters.assign(verts, pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val dist = graft.operators.DupClusters
+      .assign(verts, pairs, driverEdgeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(small === dist)
+    assert(small.toMap.apply(5L) === 1L) // chain end reaches the min label
+    assert(small.toMap.apply(13L) === 11L)
   }
 
   test("dup clusters agree with a union-find reference on random graphs") {
@@ -101,8 +118,13 @@ class DedupSpec extends SparkTestBase {
         if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
       }
       val expected = (0L to n.toLong).map(v => v -> find(v.toInt).toLong)
+      // odd trials force the distributed tier so BOTH code paths meet the
+      // union-find reference
+      val limit = if (trial % 2 == 1) 0L
+        else graft.operators.DupClusters.DriverEdgeLimit
       val got = graft.operators.DupClusters.assign(
-        (0L to n.toLong).toDF("id"), pairs.toDF("a_id", "b_id"))
+        (0L to n.toLong).toDF("id"), pairs.toDF("a_id", "b_id"),
+        driverEdgeLimit = limit)
         .orderBy("id").as[(Long, Long)].collect().toSeq
       assert(got === expected, s"trial $trial mismatch")
     }
