@@ -1,0 +1,242 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Atomic, versioned publication for a parquet-backed index — the
+  * transactional edge the plain directory layouts
+  * ([[IngestionPipeline.writeIndexBucketed]]) cannot give: a reader that
+  * starts during an upsert must see a complete, consistent snapshot,
+  * never a half-rewritten partition dir.
+  *
+  * Same manifest idea as the log-structured table formats (Delta/Iceberg
+  * commit logs): data files are IMMUTABLE once written, and a version is
+  * published by atomically renaming a MANIFEST (the list of files that
+  * make up that snapshot) into `_versions/`. Readers resolve the newest
+  * manifest and read exactly its files; a writer crash after data files
+  * are written but before the manifest rename leaves garbage bytes (for
+  * [[vacuum]]) but never a visible torn table.
+  *
+  * Layout under `root`:
+  * {{{
+  *   data/v00001/bucket=<b>/part-*.parquet   — version 1's new files
+  *   data/v00002/bucket=<b>/part-*.parquet   — only the buckets v2 rewrote
+  *   _versions/v00001.manifest               — "<bucket>\t<relpath>" lines
+  *   _versions/v00002.manifest               — untouched v1 files + v2's
+  * }}}
+  *
+  * An upsert rewrites ONLY the touched buckets' rows into the new
+  * version's data dir; the new manifest carries every untouched bucket's
+  * entries forward verbatim — file-level reuse, so commit cost scales
+  * with the delta, not the index. Because old files are never mutated or
+  * deleted by a commit, prior versions stay readable (time travel) until
+  * [[vacuum]] drops them, and no localCheckpoint fence is needed (the
+  * bucketed dynamic-overwrite upsert must materialize its merge before
+  * deleting what it reads; here nothing is ever deleted on commit).
+  *
+  * Concurrency contract: SINGLE WRITER (the same assumption a Delta
+  * table makes on object stores without a commit coordinator); rename
+  * makes each publish all-or-nothing and last-writer-wins. Readers are
+  * unlimited and never block.
+  */
+object SnapshotStore {
+
+  private val VersionRe = "v(\\d{5})\\.manifest".r
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vdir(v: Long) = f"data/v$v%05d"
+  private def manifestPath(root: String, v: Long) =
+    new Path(root, f"_versions/v$v%05d.manifest")
+
+  private def withBucket(df: DataFrame, buckets: Int): DataFrame =
+    df.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+
+  /** Newest published version, if any manifest exists. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val dir = new Path(root, "_versions")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return None
+    val vs = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toLong
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** (bucket, relpath) entries of a version's manifest. */
+  private def readManifest(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, String)] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split("\t", 2)
+      (b.toLong, p)
+    }.toSeq
+  }
+
+  /** List a just-written version dir as manifest entries. */
+  private def listVersionFiles(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, String)] = {
+    val f = fs(spark, root)
+    val base = new Path(root, vdir(v))
+    val out = mutable.ArrayBuffer.empty[(Long, String)]
+    f.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bucket=")) {
+        val b = name.stripPrefix("bucket=").toLong
+        f.listStatus(st.getPath).foreach { p =>
+          if (p.getPath.getName.endsWith(".parquet"))
+            out += ((b, s"${vdir(v)}/$name/${p.getPath.getName}"))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Atomically publish `entries` as version `v`: temp write + rename. */
+  private def publish(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(Long, String)]): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(root, f"_versions/.tmp-v$v%05d-${java.util.UUID.randomUUID()}")
+    val outStream = f.create(tmp, true)
+    try outStream.write(entries.sortBy(e => (e._1, e._2))
+      .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally outStream.close()
+    if (!f.rename(tmp, manifestPath(root, v)))
+      throw new IllegalStateException(
+        s"SnapshotStore: failed to publish version $v at $root " +
+          "(concurrent writer?)")
+  }
+
+  /** Full-snapshot commit: write `index` (needs a `doc_id` column) as the
+    * next version. Returns the published version number. */
+  def commit(index: DataFrame, root: String, buckets: Int): Long = {
+    val spark = index.sparkSession
+    val v = currentVersion(spark, root).getOrElse(0L) + 1
+    withBucket(index, buckets).write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    publish(spark, root, v, listVersionFiles(spark, root, v))
+    v
+  }
+
+  /** Read a published snapshot (`version` < 0 ⇒ newest). Scans exactly
+    * the manifest's files — file-level pruning happened at commit time,
+    * so no directory listing of the whole table ever runs. */
+  def read(spark: SparkSession, root: String, version: Long = -1L)
+      : DataFrame = {
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val entries = readManifest(spark, root, v)
+    require(entries.nonEmpty, s"version $v at $root is empty")
+    // one scan per contributing version dir (basePath restores the bucket
+    // partition column); dirs ≤ retained versions, so the union stays tiny
+    entries.groupBy(_._2.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      .map { case (dir, es) =>
+        spark.read.option("basePath", s"$root/$dir")
+          .parquet(es.map(e => s"$root/${e._2}"): _*)
+      }
+      .reduce(_ unionByName _)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("bucket", col("bucket").cast("long"))
+  }
+
+  /** Keyed upsert as a new version: every doc_id in `reingestedDocs` has
+    * its old vectors dropped and `newRows`' replacements added, touching
+    * only the buckets those documents hash to; all other buckets' files
+    * carry forward into the new manifest unrewritten. A re-ingest that
+    * yields zero rows for a document deletes its vectors ("upsert equals
+    * fresh rebuild" holds in the empty edge). Returns the new version. */
+  def upsert(spark: SparkSession, newRows: DataFrame,
+      reingestedDocs: DataFrame, root: String, buckets: Int): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — commit() an initial snapshot first"))
+    val fresh = withBucket(newRows, buckets)
+    val upserted = reingestedDocs.select(col("doc_id").cast("long")
+      .as("doc_id")).distinct()
+    val touched = withBucket(upserted, buckets).select("bucket")
+      .union(fresh.select("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val entries = readManifest(spark, root, cur)
+    val (touchedEntries, keptEntries) =
+      entries.partition(e => touched.contains(e._1))
+    val v = cur + 1
+    val merged = {
+      val kept =
+        if (touchedEntries.isEmpty) None
+        else Some(
+          entries.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
+            .map { case (dir, es) =>
+              val mine = es.filter(e => touched.contains(e._1))
+              if (mine.isEmpty) None
+              else Some(spark.read.option("basePath", s"$root/$dir")
+                .parquet(mine.map(e => s"$root/${e._2}"): _*))
+            }.flatten.reduce(_ unionByName _)
+            .withColumn("doc_id", col("doc_id").cast("long"))
+            .withColumn("bucket", col("bucket").cast("long"))
+            .join(upserted, Seq("doc_id"), "left_anti"))
+      kept.map(_.unionByName(fresh)).getOrElse(fresh)
+    }
+    // old files are immutable — no checkpoint fence needed before writing
+    merged.write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    publish(spark, root, v,
+      keptEntries ++ listVersionFiles(spark, root, v))
+    v
+  }
+
+  /** Drop all but the newest `keepVersions` manifests and delete every
+    * data file no retained manifest references (including files from
+    * crashed commits that never published). Returns the deleted paths. */
+  def vacuum(spark: SparkSession, root: String,
+      keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val f = fs(spark, root)
+    val dir = new Path(root, "_versions")
+    if (!f.exists(dir)) return Nil
+    val versions = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toLong
+    }.sorted
+    val (drop, keep) =
+      versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep.flatMap(v => readManifest(spark, root, v))
+      .map(_._2).toSet
+    val deleted = mutable.ArrayBuffer.empty[String]
+    val dataDir = new Path(root, "data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { vd =>
+      f.listStatus(vd.getPath).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket=")
+        ).foreach { bd =>
+        f.listStatus(bd.getPath).foreach { file =>
+          val rel = s"data/${vd.getPath.getName}/${bd.getPath.getName}/" +
+            file.getPath.getName
+          val isData = file.getPath.getName.endsWith(".parquet")
+          if (isData && !referenced.contains(rel)) {
+            f.delete(file.getPath, false)
+            deleted += rel
+          }
+        }
+        if (f.listStatus(bd.getPath)
+            .forall(s => !s.getPath.getName.endsWith(".parquet")))
+          f.delete(bd.getPath, true) // only non-data remnants left
+      }
+      // a version dir reduced to _SUCCESS/checksum remnants goes whole
+      if (!f.listStatus(vd.getPath).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket=")))
+        f.delete(vd.getPath, true)
+    }
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      deleted += f"_versions/v$v%05d.manifest"
+    }
+    deleted.toSeq
+  }
+}

@@ -84,6 +84,38 @@ object Pipeline extends QueryPack {
         .limit(10)
     }),
 
+    // Transactional index maintenance end-to-end: commit a full snapshot
+    // of the chunk→embed index (manifest-published, graft.operators
+    // .SnapshotStore), then keyed-upsert ONE amended document as version
+    // 2 and read the published snapshot back. The oracle is a fresh
+    // rebuild over the mutated corpus — "upsert equals fresh rebuild"
+    // checked through the versioned store, file reuse and all. Runs
+    // against a scratch dir (wiped first, so the query is one
+    // deterministic function of sfDir).
+    "i05_snapshot_upsert" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i05-snapshot").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+      val amended = concat(col("text"), lit(" amended"))
+      val doc3 = docs.filter(col("doc_id") === 3)
+        .withColumn("text", amended)
+      graft.operators.SnapshotStore.commit(
+        IngestionPipeline.buildIndexFrom(docs, 120, 20, 8), root,
+        buckets = 8)
+      graft.operators.SnapshotStore.upsert(s,
+        IngestionPipeline.buildIndexFrom(doc3, 120, 20, 8),
+        doc3.select("doc_id"), root, buckets = 8)
+      graft.operators.SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("chunk_idx"), col("vec_key"),
+          col("vec_uid"), col("title"), col("content"),
+          element_at(col("embedding"), 1).as("e0"),
+          element_at(col("embedding"), 2).as("e1"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary blob
     // with typed metadata — the schema/partitioning shape used for
     // image/audio payloads (decode itself is stubbed; see
@@ -124,6 +156,27 @@ object Pipeline extends QueryPack {
          |  ${embComponent(1)} AS e1,
          |  ${embComponent(2)} AS e2,
          |  ${embComponent(3)} AS e3
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Fresh rebuild over the MUTATED corpus (doc 3's text amended) — what
+    // the post-upsert snapshot must equal, file-level reuse and all.
+    "i05_snapshot_upsert" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id = 3 THEN text || ' amended' ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, text,
+         |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+         |  FROM m),
+         |c AS (SELECT doc_id, source, cast(i as int) AS chunk_idx,
+         |    substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+         |  FROM (SELECT doc_id, source, text, unnest(range(0, nc)) AS i FROM t))
+         |SELECT doc_id, chunk_idx,
+         |  concat_ws('_', source, 'text', chunk_idx) AS vec_key,
+         |  ${graft.functions.CrossHash.duckHash60("concat_ws('_', doc_id, chunk_idx, chunk)")} AS vec_uid,
+         |  substring(source, 1, 50) AS title,
+         |  substring(chunk, 1, 200) AS content,
+         |  ${embComponent(0)} AS e0,
+         |  ${embComponent(1)} AS e1
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "i04_maxsim" ->

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IngestionPipeline, SnapshotStore}
+
+/** Manifest-committed versioned index: atomic publish, time travel,
+  * file-reusing keyed upsert, crash invisibility, vacuum. */
+class SnapshotStoreSpec extends SparkTestBase {
+
+  private def cleanup(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively()
+    }
+  }
+
+  private def index(docs: DataFrame): DataFrame =
+    IngestionPipeline.buildIndexFrom(docs, 120, 20, 8)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.select("doc_id", "chunk_idx", "vec_key", "vec_uid", "title", "content")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+
+  test("commit → read round-trips; versions are monotonic") {
+    val root = "target/snap-roundtrip"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    assert(SnapshotStore.currentVersion(spark, root).isEmpty)
+    val v1 = SnapshotStore.commit(index(docs), root, buckets = 4)
+    assert(v1 === 1L)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    assert(rows(SnapshotStore.read(spark, root)) === rows(index(docs)))
+  }
+
+  test("upsert ≡ fresh rebuild; prior version stays readable (time travel)") {
+    val root = "target/snap-upsert"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 3, concat(col("text"), lit(" amended")))
+        .otherwise(col("text")))
+    val before = rows(index(docs))
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val v2 = SnapshotStore.upsert(spark,
+      index(mutated.filter(col("doc_id") === 3)),
+      mutated.filter(col("doc_id") === 3).select("doc_id"),
+      root, buckets = 4)
+    assert(v2 === 2L)
+    assert(rows(SnapshotStore.read(spark, root)) === rows(index(mutated)))
+    // the superseded snapshot is still exactly what was committed
+    assert(rows(SnapshotStore.read(spark, root, version = 1L)) === before)
+  }
+
+  test("upsert reuses untouched buckets' files from the previous version") {
+    val root = "target/snap-reuse"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    SnapshotStore.upsert(spark,
+      index(docs.filter(col("doc_id") === 3)),
+      docs.filter(col("doc_id") === 3).select("doc_id"),
+      root, buckets = 4)
+    val manifest = scala.io.Source.fromFile(
+      s"$root/_versions/v00002.manifest").mkString
+    assert(manifest.contains("data/v00001/"),
+      "untouched buckets must carry the old version's files forward")
+    assert(manifest.contains("data/v00002/"))
+  }
+
+  test("a re-ingest that yields zero rows deletes the document's vectors") {
+    val root = "target/snap-delete"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    import spark.implicits._
+    SnapshotStore.upsert(spark,
+      index(docs).filter(lit(false)), // empty replacement set
+      Seq(3L).toDF("doc_id"), root, buckets = 4)
+    assert(rows(SnapshotStore.read(spark, root)) ===
+      rows(index(docs.filter(col("doc_id") =!= 3))))
+  }
+
+  test("data files without a published manifest are invisible; vacuum reaps them") {
+    val root = "target/snap-crash"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val wanted = rows(SnapshotStore.read(spark, root))
+    // simulate a writer that crashed after data files, before the rename
+    index(docs).limit(5)
+      .withColumn("bucket", lit(0L))
+      .write.partitionBy("bucket").parquet(s"$root/data/v00099")
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    assert(rows(SnapshotStore.read(spark, root)) === wanted)
+    val deleted = SnapshotStore.vacuum(spark, root, keepVersions = 2)
+    assert(deleted.exists(_.startsWith("data/v00099/")),
+      s"orphaned files must be reaped, got $deleted")
+    assert(rows(SnapshotStore.read(spark, root)) === wanted)
+  }
+
+  test("vacuum keeps the newest versions readable, drops the rest") {
+    val root = "target/snap-vacuum"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val only3 = index(docs.filter(col("doc_id") === 3))
+    SnapshotStore.upsert(spark, only3, only3.select("doc_id"),
+      root, buckets = 4) // v2 (content unchanged: same rows re-ingested)
+    import spark.implicits._
+    SnapshotStore.upsert(spark, only3.filter(lit(false)),
+      Seq(3L).toDF("doc_id"), root, buckets = 4) // v3 deletes doc 3
+    val v3Rows = rows(SnapshotStore.read(spark, root, version = 3L))
+    val deleted = SnapshotStore.vacuum(spark, root, keepVersions = 2)
+    assert(deleted.contains("_versions/v00001.manifest"))
+    assert(rows(SnapshotStore.read(spark, root, version = 2L)) ===
+      rows(index(docs)))
+    assert(rows(SnapshotStore.read(spark, root, version = 3L)) === v3Rows)
+    intercept[Exception] {
+      SnapshotStore.read(spark, root, version = 1L).collect()
+    }
+  }
+}
