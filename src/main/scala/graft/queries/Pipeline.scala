@@ -116,6 +116,37 @@ object Pipeline extends QueryPack {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // SCD Type-2 dimension maintenance (graft.operators.Scd2): one update
+    // batch applied to a customer dimension snapshot — even keys change
+    // (acctbal bumped), odd keys arrive unchanged (must no-op), and a
+    // synthetic-key slice inserts brand-new rows. The oracle recomputes the
+    // evolved table set-theoretically (kept-open / closed-out / new-version
+    // rows), so change detection, close-out timestamps, and the no-op path
+    // are all value-checked. History rows never shuffle (none exist here;
+    // the pass-through is spec-tested in Scd2Spec).
+    "i06_scd2" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val base = cust.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("seg"),
+        to_timestamp(lit("1995-01-01")).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd = cust.select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 2 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("acctbal"),
+          col("c_mktsegment").as("seg"))
+        .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 10000000L).as("k"),
+            col("c_acctbal").as("acctbal"), lit("NEWSEG").as("seg")))
+      graft.operators.Scd2.evolve(base, upd, "k", Seq("acctbal", "seg"),
+          to_timestamp(lit("1996-06-01")))
+        .select(col("k"), col("acctbal"), col("seg"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("k", "valid_from")
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary blob
     // with typed metadata — the schema/partitioning shape used for
     // image/audio payloads (decode itself is stubbed; see
@@ -221,6 +252,32 @@ object Pipeline extends QueryPack {
         |FROM events
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "i06_scd2" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_acctbal AS acctbal, c_mktsegment AS seg
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
+        |         ELSE c_acctbal END AS acctbal,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_acctbal, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |chg AS (
+        |  SELECT u.k, u.acctbal, u.seg
+        |  FROM upd u LEFT JOIN base b ON u.k = b.k
+        |  WHERE b.k IS NULL OR u.acctbal IS DISTINCT FROM b.acctbal
+        |     OR u.seg IS DISTINCT FROM b.seg)
+        |SELECT b.k, b.acctbal, b.seg, '1995-01-01' AS valid_from,
+        |  CASE WHEN c.k IS NULL THEN NULL ELSE '1996-06-01' END AS valid_to,
+        |  c.k IS NULL AS is_current
+        |FROM base b LEFT JOIN chg c ON b.k = c.k
+        |UNION ALL
+        |SELECT k, acctbal, seg, '1996-06-01', NULL, true FROM chg
+        |ORDER BY k, valid_from""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
