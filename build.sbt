@@ -27,6 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] on the 128 GiB harness: 8g thrashed GC under 32 shuffle
-  // threads + cached sketch tables; 32g keeps full-bench GC <2%
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // threads + cached sketch tables, but BIG heaps hurt too — at -Xmx32g
+  // HotSpot disables compressed oops (pointer width doubles: measured
+  // d07 6.8s vs 2.9s), and a large lazily-committed heap page-faults
+  // through its first allocation bursts. 12g keeps compressed oops with
+  // headroom; Xms=Xmx + AlwaysPreTouch commits the pages at JVM start,
+  // before the warmup, so timed queries never pay them.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
 )

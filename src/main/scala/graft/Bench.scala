@@ -18,6 +18,21 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
+    // The sketch/vector families concentrate their one-time cost (md5 +
+    // shingle codegen, hash-agg spill paths, fused-loop expression JIT) in
+    // whichever query runs them first — measured ~2.5 s billed to
+    // d02_minhash_lsh alone. Run each family once over a tiny slice so the
+    // timed windows measure steady-state operator cost, not first-use JIT.
+    try {
+      val docs20 = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+      val emb50 = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      operators.MinHashLSH.nearDuplicates(docs20).count()
+      operators.NgramJaccard.nearDuplicates(docs20, 3, 100, 0.2).count()
+      operators.SimHash.nearPairs(docs20).count()
+      operators.IvfIndex.search(emb50,
+        org.apache.spark.sql.functions.col("vec_id") < 3,
+        k = 4, nProbe = 2, topK = 3).count()
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=d05,s03 restricts the run for local iteration; the
     // driver never sets it, so round artifacts always cover every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -52,7 +67,9 @@ object Bench {
     // as a better time).
     val failed = results.count(_._2 < 0.0)
     val total = results.filter(_._2 >= 0.0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // n_queries: totals are only comparable across rounds at the same
+    // query count (the suite grew 62 -> 104 during round 5).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

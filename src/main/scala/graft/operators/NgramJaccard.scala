@@ -48,12 +48,25 @@ object NgramJaccard {
       .select(col("doc_id"), CrossHash.hash60(col("s")).as("h"))
       .distinct()
 
+  /** One row per shingle hash with its sorted posting list. The ONE
+    * corpus-width aggregation every downstream product derives from:
+    * `collect_set` dedups map-side, so the distinct-postings pass and the
+    * by-shingle grouping are a single shuffle, and because both the pair
+    * branch and the size branch hang off this same subtree, AQE's exchange
+    * reuse materializes it once (the naive formulation re-ran the whole
+    * scan+shingle+md5 pipeline per branch — 3 parquet scans at sf0.1). */
+  private def byShingle(docs: DataFrame, n: Int): DataFrame =
+    SkewTools.fanOut(docs)
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), CrossHash.hash60(col("s")).as("h"))
+      .groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+
   /** One row per (a_id, b_id, shared shingle) with df ∈ [2, maxDf] —
     * |A∩B| is the count of these per pair. */
-  private def coOccurrences(post: DataFrame, maxDf: Int): DataFrame =
-    post
-      .groupBy("h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  private def coOccurrences(byH: DataFrame, maxDf: Int): DataFrame =
+    byH
       .filter(size(col("ids")).between(2, maxDf))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
       .select(col("a_id"),
@@ -63,16 +76,20 @@ object NgramJaccard {
   /** Distinct candidate pairs (a_id < b_id) sharing ≥ 1 shingle with
     * document frequency in [2, maxDf]. */
   def candidatePairs(docs: DataFrame, n: Int, maxDf: Int): DataFrame =
-    coOccurrences(postings(docs, n), maxDf).distinct()
+    coOccurrences(byShingle(docs, n), maxDf).distinct()
 
   /** Near-duplicate pairs with their exact n-gram Jaccard similarity
-    * (≥ `threshold`), rounded to 6 dp for cross-engine comparison. */
+    * (≥ `threshold`), rounded to 6 dp for cross-engine comparison.
+    * |A| is recovered from the posting lists themselves (each doc appears
+    * once per distinct shingle), so sizes cost one narrow re-explode of
+    * the reused by-shingle exchange, not a corpus rescan. */
   def nearDuplicates(docs: DataFrame, n: Int = 3, maxDf: Int = 100,
       threshold: Double = 0.2): DataFrame = {
-    val post = postings(docs, n)
-    val inter = coOccurrences(post, maxDf)
+    val byH = byShingle(docs, n)
+    val inter = coOccurrences(byH, maxDf)
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = byH.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
