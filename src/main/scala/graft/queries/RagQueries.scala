@@ -121,6 +121,24 @@ object RagQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Exact-phrase search: documents ranked by occurrence count of a
+    // multi-word phrase, matched as adjacent-token bigrams (the shingle
+    // machinery the dedup family already uses — a phrase hit IS a 2-gram
+    // equality, not a substring scan, so "value tables" does not match).
+    // Map-only explode + filter (the phrase literal prunes before any
+    // shuffle) + one tiny aggregate; at rest the same bigrams form a
+    // positional inverted index and this query becomes an index lookup.
+    "r15_phrase" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+        .filter(col("g") === "value table")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Document catalog: distinct sources with first-doc-per-source dedup —
     // the deterministic form of ra/server.py:36-43's first-seen-wins.
     "r03_doc_listing" -> ((s, d) => {
@@ -272,6 +290,17 @@ object RagQueries extends QueryPack {
       |  ORDER BY sim DESC, vec_id LIMIT %K%)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "r15_phrase" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END AS sh
+        |  FROM tok)
+        |SELECT doc_id, count(*) AS n_hits FROM (
+        |  SELECT doc_id, unnest(sh) AS g FROM shl)
+        |WHERE g = 'value table'
+        |GROUP BY doc_id
+        |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
     "r01_topk_sim" ->
       (duckTopk.replace("%K%", "100") +
         "\nSELECT vec_id, sim FROM topk ORDER BY sim DESC, vec_id"),

@@ -341,6 +341,52 @@ object TextAnalysis extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("source", "bin")
+    }),
+
+    // ANALYZE-style table profile: per-column null count, exact NDV, and
+    // min/max in ONE scan — the statistics pass a catalog runs before
+    // planning 100 TB joins (NDV drives join-strategy choice; min/max
+    // drive partition pruning). The four count-distincts share one scan
+    // via Expand (Spark's multi-distinct rewrite); min/max are computed
+    // on the NATIVE type and stringified after (lexicographic min of a
+    // stringified number would be wrong). Unpivoted to one verdict row
+    // per column with a literal stack — no second pass.
+    "t17_table_stats" -> ((s, d) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val aggs = cols.flatMap { c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stacked) AS " +
+            "(col_name, n_nulls, n_distinct, min_s, max_s)"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s",
+          "max_s")
+        .orderBy("col_name")
+    }),
+
+    // Stratified k-per-key sampling: exactly 3 documents per source,
+    // chosen by content-hash order — the deterministic, oracle-checkable
+    // form of per-stratum reservoir sampling a mixture-balanced training
+    // set needs (t09 gates by rate; this guarantees a COUNT per stratum).
+    // One window per source (state = rank counter); at scale the
+    // partition-local top-k could swap in plans.TopKPerKey, but the
+    // window form is already a single shuffle on the stratum key.
+    "t18_stratified_sample" -> ((s, d) => {
+      val hk = graft.functions.CrossHash.hash60(
+        concat(lit("samp#"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy(hk, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -361,7 +407,27 @@ object TextAnalysis extends QueryPack {
   private def duckMarker(words: Seq[String]): String =
     s"cast(len(list_filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")}))) as int)"
 
+  private def statsRow(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  cast(min($c) as varchar) AS min_s,
+       |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    "t17_table_stats" ->
+      (Seq("doc_id", "lang", "source", "n_chars").map(statsRow)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
+    "t18_stratified_sample" ->
+      s"""SELECT source, rk, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    cast(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.CrossHash.duckHash60(
+                  "'samp#' || cast(doc_id as varchar)")}, doc_id) as int) AS rk
+         |  FROM documents)
+         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
     "t01_langid" ->
       s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
          |scored AS (SELECT doc_id, lang AS declared_lang,

@@ -119,6 +119,31 @@ object Warehouse extends QueryPack {
     // sort-merge join's shuffle. The bloom is invisible in the result
     // (false positives die in the exact join), so the oracle is the plain
     // join.
+    // Market-basket co-occurrence: part pairs ordered together, top 25.
+    // The scale-critical choice is HOW pairs materialize: not a lineitem
+    // self-join on the order key (two fact-width scans + the join's
+    // quadratic blow-up on large orders concentrated in single tasks), but
+    // per-order part sets from ONE partial-aggregating shuffle, with pairs
+    // streaming out of the two-nested-explode pattern
+    // (MinHashLSH.candidatePairs): per-row fan-out is bounded by order
+    // size (≤7 parts per TPC-H order), never corpus-shaped. Top-25 via
+    // TakeOrderedAndProject.
+    "q51_copurchase" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+        .select(col("pa"),
+          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+            .as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+        .limit(25)
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -177,6 +202,14 @@ object Warehouse extends QueryPack {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q51_copurchase" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
+        |FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, pa, pb LIMIT 25""".stripMargin,
 
     "q45_bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
