@@ -744,6 +744,27 @@ object Relational extends QueryPack {
         sum(when(col("t1").isNotNull && col("t2") > col("t1")
             && col("t3") > col("t2"), 1L)
           .otherwise(0L)).as("n_purchase_after"))
+    }),
+
+    // Cohort retention matrix: users grouped by first-activity day, counted
+    // on each later active day — the day-N retention table every product
+    // analytics stack derives from an event log. Events collapse to
+    // distinct (user, day) FIRST (the fact-width shuffle happens once, on
+    // user_id, and both the cohort aggregate and the activity join hang
+    // off that same exchange), so the join and the final (cohort, offset)
+    // aggregate run over user-day rows, never raw events.
+    "q52_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -1012,6 +1033,17 @@ object Relational extends QueryPack {
         |  cast(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) as bigint) AS n_click_after,
         |  cast(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) as bigint) AS n_purchase_after
         |FROM s""".stripMargin,
+
+    "q52_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    cast(cast(ts as timestamp) as date) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  cast(date_diff('day', c.cohort_day, a.day) as int) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q46_hll_rollup" ->
       """SELECT strftime(date_trunc('month', cast(ts as timestamp)), '%Y-%m') AS month,

@@ -200,6 +200,27 @@ object Similarity extends QueryPack {
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "vec_id", "sim")
         .orderBy("q_id", "rank")
+    }),
+
+    // Per-label embedding centroids — the aggregate an IVF retrain, a
+    // drift monitor, or a class-prototype classifier reads. Means go
+    // through the parity-proven 1e6 integer quantization: sums of BIGINTs
+    // are exact and order-independent (no float partial-agg drift), and
+    // the one division to a double happens at output. ONE map-side-
+    // combining shuffle of (label, 4 longs) — never an array-valued
+    // aggregation buffer. First 4 components emitted.
+    "s10_label_centroids" -> ((s, d) => {
+      val sums = (0 until 4).map(i =>
+        sum(round(element_at(col("embedding"), i + 1).cast("double")
+          * 1e6).cast("long")).as(s"s$i"))
+      val means = (0 until 4).map(i =>
+        round(col(s"s$i").cast("double")
+          / (col("n").cast("double") * 1e6), 6).as(s"c$i"))
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label") +: col("n") +: means: _*)
+        .orderBy("label")
     })
   )
 
@@ -211,6 +232,13 @@ object Similarity extends QueryPack {
       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "s10_label_centroids" ->
+      s"""SELECT label, count(*) AS n,
+         |${(0 until 4).map(i =>
+             s"  round(cast(sum(cast(round(embedding[${i + 1}] * 1e6) as bigint)) as double) / (cast(count(*) as double) * 1e6), 6) AS c$i")
+             .mkString(",\n")}
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
     "s01_ann_srp" ->
       (srpCtes + """,
         |cand AS (SELECT q.vec_id AS q_id, c.vec_id,

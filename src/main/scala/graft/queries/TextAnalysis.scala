@@ -371,6 +371,22 @@ object TextAnalysis extends QueryPack {
         .orderBy("col_name")
     }),
 
+    // Equi-width histogram of document length — the distribution statistic
+    // that complements t17's min/max/NDV in a catalog's ANALYZE pass
+    // (histograms drive selectivity estimates for range predicates).
+    // Bucketing is integer division (exact in both engines), the top
+    // bucket is open-ended, and the whole thing is one map-side-combining
+    // aggregate: at 100 TB this is a single scan emitting ≤10 rows.
+    "t19_histogram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(expr("cast(least(n_chars div 50, 9) as int)").as("bucket"),
+          col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket")
+    }),
+
     // Stratified k-per-key sampling: exactly 3 documents per source,
     // chosen by content-hash order — the deterministic, oracle-checkable
     // form of per-stratum reservoir sampling a mixture-balanced training
@@ -415,6 +431,11 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t19_histogram" ->
+      """SELECT cast(least(n_chars // 50, 9) as int) AS bucket,
+        |  count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "t17_table_stats" ->
       (Seq("doc_id", "lang", "source", "n_chars").map(statsRow)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
