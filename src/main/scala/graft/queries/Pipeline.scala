@@ -159,6 +159,36 @@ object Pipeline extends QueryPack {
           substring(hex(encode(col("text"), "UTF-8")), 1, 8)
             .as("header_hex"))
         .orderBy("doc_id")
+    }),
+
+    // The decode path itself, value-checked: the stub codec's feature
+    // vector is a normalized byte histogram (bucket = byte >> 5), which
+    // the oracle recomputes from the same payload bytes — so the
+    // mapPartitions plumbing (schema, encoder, partition-local codec) is
+    // verified end-to-end, not just exercised. A real model embedding
+    // would not be oracle-checkable; the byte histogram deliberately is.
+    // (width/height come from a JVM hash — asserted in MultimodalSpec,
+    // excluded here.)
+    "m02_media_features" -> ((s, d) => {
+      graft.operators.Multimodal.decodeFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(s, d))
+        .select(col("media_id") +: col("n_bytes") +:
+          (0 until 8).map(i =>
+            round(element_at(col("feature"), i + 1), 6).as(s"f$i")): _*)
+        .orderBy("media_id")
+    }),
+
+    // Frame sampling geometry, value-checked: the stub samples every 2nd
+    // of 6 equal payload segments; segment boundaries are pure integer
+    // arithmetic, so the one-row-in-many-rows-out flatMap explosion (the
+    // video-frame shape) has an exact oracle on (frame_idx, byte count).
+    "m03_frame_sample" -> ((s, d) => {
+      graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.mediaFromDocuments(s, d),
+          nFrames = 6, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("n_frame_bytes"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -278,6 +308,32 @@ object Pipeline extends QueryPack {
         |UNION ALL
         |SELECT k, acctbal, seg, '1996-06-01', NULL, true FROM chg
         |ORDER BY k, valid_from""".stripMargin,
+
+    "m02_media_features" ->
+      s"""WITH pos AS (SELECT doc_id, text,
+         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
+         |bk AS (SELECT doc_id,
+         |    ord(substring(text, cast(i as int), 1)) // 32 AS bucket FROM pos),
+         |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, cast(octet_length(encode(text)) as int) AS n
+         |  FROM documents)
+         |SELECT t.doc_id AS media_id, t.n AS n_bytes,
+         |${(0 until 8).map(b =>
+             s"  round(cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / greatest(1.0, cast(t.n as double)), 6) AS f$b")
+             .mkString(",\n")}
+         |FROM tot t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+         |GROUP BY t.doc_id, t.n
+         |ORDER BY media_id""".stripMargin,
+
+    "m03_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |seg AS (SELECT doc_id, n, greatest(1, n // 6) AS sl FROM d),
+        |fr AS (SELECT doc_id, cast(i.range as int) AS frame_idx, n, sl
+        |  FROM seg, range(0, 6) i WHERE i.range % 2 = 0 AND i.range * sl < n)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  cast(least(n, (frame_idx + 1) * sl) - frame_idx * sl as int)
+        |    AS n_frame_bytes
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
