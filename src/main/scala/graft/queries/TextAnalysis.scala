@@ -371,6 +371,30 @@ object TextAnalysis extends QueryPack {
         .orderBy("col_name")
     }),
 
+    // Fuzzy vocabulary matching: near-identical term pairs (edit distance
+    // ≤ 2) among the top-50 terms — the typo/variant detection pass an
+    // entity-cleaning or vocabulary-normalisation step runs. Candidate
+    // space is the (broadcastable) vocabulary, never the corpus, and the
+    // length-difference prune drops pairs BEFORE the quadratic
+    // levenshtein — the blocking idea that makes fuzzy matching feasible
+    // when the vocabulary itself is large (block by length/prefix, compare
+    // within blocks).
+    "t20_fuzzy_terms" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(50)
+      val a = tf.select(col("term").as("a"), col("freq").as("freq_a"))
+      val b = tf.select(col("term").as("b"), col("freq").as("freq_b"))
+      a.crossJoin(b)
+        .filter(col("a") < col("b") &&
+          abs(length(col("a")) - length(col("b"))) <= 2)
+        .withColumn("dist", levenshtein(col("a"), col("b")))
+        .filter(col("dist") <= 2)
+        .select("a", "b", "freq_a", "freq_b", "dist")
+        .orderBy("a", "b")
+    }),
+
     // Equi-width histogram of document length — the distribution statistic
     // that complements t17's min/max/NDV in a catalog's ANALYZE pass
     // (histograms drive selectivity estimates for range predicates).
@@ -431,6 +455,17 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t20_fuzzy_terms" ->
+      """WITH tf AS (SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term ORDER BY freq DESC, term LIMIT 50)
+        |SELECT a.term AS a, b.term AS b, a.freq AS freq_a, b.freq AS freq_b,
+        |  cast(levenshtein(a.term, b.term) as int) AS dist
+        |FROM tf a JOIN tf b ON a.term < b.term
+        |WHERE abs(length(a.term) - length(b.term)) <= 2
+        |  AND levenshtein(a.term, b.term) <= 2
+        |ORDER BY a, b""".stripMargin,
+
     "t19_histogram" ->
       """SELECT cast(least(n_chars // 50, 9) as int) AS bucket,
         |  count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
