@@ -54,6 +54,24 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("srp_sign is registered for SQL and equals the Column API") {
+    Tables.embeddings(spark, sf0001).limit(20)
+      .createOrReplaceTempView("vfs_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, srp_sign(embedding, 64, 16) AS sig FROM vfs_emb")
+      .orderBy("vec_id").select("sig").as[Long].collect()
+    val viaCol = Tables.embeddings(spark, sf0001).limit(20)
+      .select(col("vec_id"),
+        graft.plans.SrpSignExpr.srp_sign(col("embedding"), 64, 16).as("sig"))
+      .orderBy("vec_id").select("sig").as[Long].collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+    val err = intercept[Exception] {
+      spark.sql("SELECT srp_sign(embedding, 64, vec_id) FROM vfs_emb")
+        .collect()
+    }
+    assert(err.getMessage.contains("planes"))
+  }
+
   test("mismatched array types are rejected at analysis time") {
     val err = intercept[Exception] {
       Seq(("x", Seq(1.0))).toDF("s", "v")
