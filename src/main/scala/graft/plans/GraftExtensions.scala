@@ -50,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(2), "planes"))
       }))
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => RowNumberLimitRule)
   }
 }
