@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed table diff / reconciliation: which rows were added, removed, or
+  * changed between two versions of a table — the integrity check run
+  * after a migration, a backfill, a snapshot restore, or an
+  * upsert-vs-rebuild audit (the check [[SnapshotStore]]'s oracle does by
+  * hand, packaged as an operator).
+  *
+  * Rows compare by a per-row digest of the stringified non-key columns
+  * (sorted by column name; null marked by a sentinel so `null` and
+  * `"null"`-like strings cannot collide via concat_ws's null-skipping).
+  * md5 yields the identical hex in DuckDB, so the whole diff is
+  * oracle-checkable — see [[duckDigest]].
+  *
+  * Scale shape: each side reduces to (key, 16-byte digest) map-side —
+  * the shuffle carries digests, never row payloads — then ONE full-outer
+  * join on the key classifies every row. O(n) shuffle bytes independent
+  * of row width; at rest, bucketed sides join with no exchange at all.
+  */
+object TableDiff {
+
+  private val FieldSep = "\u0001"
+  private val NullMark = "\u0002"
+
+  private def digestCols(df: DataFrame, key: String): Seq[Column] =
+    df.columns.filterNot(_ == key).sorted.toSeq
+      .map(c => coalesce(col(c).cast("string"), lit(NullMark)))
+
+  /** One row per differing key: status ∈ added | removed | changed.
+    * Identical rows produce nothing — a clean migration diffs to empty. */
+  def diff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"diff requires identical schemas: ${before.columns.mkString(",")} " +
+        s"vs ${after.columns.mkString(",")}")
+    val a = before.select(col(key),
+      md5(concat_ws(FieldSep, digestCols(before, key): _*)).as("h_before"))
+    val b = after.select(col(key),
+      md5(concat_ws(FieldSep, digestCols(after, key): _*)).as("h_after"))
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("h_after").isNull, "removed")
+          .when(col("h_before").isNull, "added")
+          .when(col("h_before") =!= col("h_after"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+  }
+
+  /** DuckDB fragment computing the same row digest, for oracle authors:
+    * pass the non-key column names (any order; they are sorted here). */
+  def duckDigest(nonKeyCols: Seq[String]): String =
+    "md5(concat_ws(chr(1), " +
+      nonKeyCols.sorted.map(c =>
+        s"coalesce(cast($c as varchar), chr(2))").mkString(", ") + "))"
+}

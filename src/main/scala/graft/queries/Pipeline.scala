@@ -125,26 +125,53 @@ object Pipeline extends QueryPack {
     // are all value-checked. History rows never shuffle (none exist here;
     // the pass-through is spec-tested in Scd2Spec).
     "i06_scd2" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val base = cust.select(col("c_custkey").as("k"),
-        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("seg"),
-        to_timestamp(lit("1995-01-01")).as("valid_from"),
-        lit(null).cast("timestamp").as("valid_to"),
-        lit(true).as("is_current"))
-      val upd = cust.select(col("c_custkey").as("k"),
-          when(col("c_custkey") % 2 === 0, col("c_acctbal") + 100)
-            .otherwise(col("c_acctbal")).as("acctbal"),
-          col("c_mktsegment").as("seg"))
-        .unionByName(cust.filter(col("c_custkey") % 5 === 0)
-          .select((col("c_custkey") + 10000000L).as("k"),
-            col("c_acctbal").as("acctbal"), lit("NEWSEG").as("seg")))
-      graft.operators.Scd2.evolve(base, upd, "k", Seq("acctbal", "seg"),
-          to_timestamp(lit("1996-06-01")))
+      evolvedCustomerDim(s, d)
         .select(col("k"), col("acctbal"), col("seg"),
           date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
           col("is_current"))
         .orderBy("k", "valid_from")
+    }),
+
+    // Point-in-time temporal dimension join — the SCD2 payoff: each order
+    // joined to the customer-dimension VERSION that was valid on its order
+    // date (fact.ts ∈ [valid_from, valid_to)), the lookup every
+    // revenue-as-reported / training-snapshot-as-of query needs. ONE
+    // shuffle equi-join on the business key; the interval predicate is a
+    // row-local post-filter (versions per key are few — the SCD2
+    // invariant — so the key join never fans out meaningfully). Orders
+    // before/after the version change land on different versions, which
+    // the oracle checks value-by-value.
+    "i07_temporal_join" -> ((s, d) => {
+      val dim = evolvedCustomerDim(s, d)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(dim, col("o_custkey") === col("k") &&
+          col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+        .groupBy("seg", "is_current")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("acctbal").cast("decimal(12,2)")).cast("double")
+            .as("sum_acctbal"))
+        .orderBy("seg", "is_current")
+    }),
+
+    // Keyed table diff / reconciliation (graft.operators.TableDiff): rows
+    // added, removed, or changed between two table versions, detected by
+    // a cross-engine md5 row digest over one full-outer shuffle join on
+    // the key — the integrity check run after a migration, a backfill, or
+    // a snapshot restore. The "after" side plants one change, one delete,
+    // and one insert; the oracle recomputes the digests in DuckDB.
+    "i08_table_diff" -> ((s, d) => {
+      val before = Tables.documents(s, d)
+      val after = before
+        .filter(col("doc_id") =!= 0)
+        .withColumn("text", when(col("doc_id") === 3,
+          concat(col("text"), lit(" amended"))).otherwise(col("text")))
+        .unionByName(before.filter(col("doc_id") === 1)
+          .withColumn("doc_id", lit(1000000L)))
+      graft.operators.TableDiff.diff(before, after, "doc_id")
+        .orderBy("doc_id")
     }),
 
     // Multimodal column plumbing: text treated as an opaque binary blob
@@ -191,6 +218,27 @@ object Pipeline extends QueryPack {
         .orderBy("media_id", "frame_idx")
     })
   )
+
+  /** The i06/i07 fixture dimension: customer snapshot evolved through ONE
+    * SCD2 update batch (even keys change, odd keys no-op, %5 keys insert
+    * as new) effective 1996-06-01. */
+  private def evolvedCustomerDim(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").as("acctbal"), col("c_mktsegment").as("seg"),
+      to_timestamp(lit("1995-01-01")).as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(true).as("is_current"))
+    val upd = cust.select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 2 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        col("c_mktsegment").as("seg"))
+      .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("k"),
+          col("c_acctbal").as("acctbal"), lit("NEWSEG").as("seg")))
+    graft.operators.Scd2.evolve(base, upd, "k", Seq("acctbal", "seg"),
+      to_timestamp(lit("1996-06-01")))
+  }
 
   private def embComponent(i: Int): String =
     s"(${graft.functions.CrossHash.duckHash60(s"chunk || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
@@ -308,6 +356,65 @@ object Pipeline extends QueryPack {
         |UNION ALL
         |SELECT k, acctbal, seg, '1996-06-01', NULL, true FROM chg
         |ORDER BY k, valid_from""".stripMargin,
+
+    "i07_temporal_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_acctbal AS acctbal, c_mktsegment AS seg
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
+        |         ELSE c_acctbal END AS acctbal,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_acctbal, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |chg AS (
+        |  SELECT u.k, u.acctbal, u.seg
+        |  FROM upd u LEFT JOIN base b ON u.k = b.k
+        |  WHERE b.k IS NULL OR u.acctbal IS DISTINCT FROM b.acctbal
+        |     OR u.seg IS DISTINCT FROM b.seg),
+        |dim AS (
+        |  SELECT b.k, b.acctbal, b.seg,
+        |    TIMESTAMP '1995-01-01' AS vf,
+        |    CASE WHEN c.k IS NULL THEN NULL
+        |         ELSE TIMESTAMP '1996-06-01' END AS vt,
+        |    c.k IS NULL AS is_current
+        |  FROM base b LEFT JOIN chg c ON b.k = c.k
+        |  UNION ALL
+        |  SELECT k, acctbal, seg, TIMESTAMP '1996-06-01', NULL, true
+        |  FROM chg)
+        |SELECT d.seg, d.is_current, count(*) AS n_orders,
+        |  cast(sum(cast(d.acctbal as decimal(12,2))) as double) AS sum_acctbal
+        |FROM orders o JOIN dim d ON o.o_custkey = d.k
+        |  AND o.o_orderdate >= d.vf
+        |  AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+        |GROUP BY 1, 2
+        |ORDER BY seg, is_current""".stripMargin,
+
+    "i08_table_diff" ->
+      s"""WITH after AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = 3 THEN text || ' amended' ELSE text END AS text,
+         |    lang, source, n_chars
+         |  FROM documents WHERE doc_id <> 0
+         |  UNION ALL
+         |  SELECT 1000000, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id = 1),
+         |ha AS (SELECT doc_id,
+         |  ${graft.operators.TableDiff.duckDigest(
+              Seq("lang", "n_chars", "source", "text"))} AS h FROM documents),
+         |hb AS (SELECT doc_id,
+         |  ${graft.operators.TableDiff.duckDigest(
+              Seq("lang", "n_chars", "source", "text"))} AS h FROM after)
+         |SELECT coalesce(ha.doc_id, hb.doc_id) AS doc_id,
+         |  CASE WHEN hb.h IS NULL THEN 'removed'
+         |       WHEN ha.h IS NULL THEN 'added'
+         |       WHEN ha.h <> hb.h THEN 'changed' END AS status
+         |FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+         |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
+         |ORDER BY doc_id""".stripMargin,
 
     "m02_media_features" ->
       s"""WITH pos AS (SELECT doc_id, text,
