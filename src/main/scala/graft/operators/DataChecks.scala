@@ -42,4 +42,19 @@ object DataChecks {
         (col("violations") === 0L).as("pass"))
       .orderBy("check_name")
   }
+
+  /** Inline observability: named metrics computed DURING the next action
+    * on the returned frame — accumulator-style, zero additional scans or
+    * jobs (`DataChecks.run` is a gate you execute; this is telemetry that
+    * rides along). The 100 TB use: every pipeline stage publishes row /
+    * null / distribution counters without ever re-reading its input.
+    * Read the result from the returned Observation after the action:
+    * `obs.get("n_rows")`. */
+  def observed(df: DataFrame, name: String, metrics: (String, Column)*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "no metrics given")
+    val obs = org.apache.spark.sql.Observation(name)
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
 }

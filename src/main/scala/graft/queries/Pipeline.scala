@@ -174,6 +174,34 @@ object Pipeline extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Source/sink format matrix, value-checked: the corpus round-trips
+    // through ORC (columnar alternative to parquet, zero-copy schema) and
+    // header-CSV (the reference's table-export format,
+    // parser_pinecone_storage.py:93-103), and both read-backs must
+    // aggregate identically to the parquet original — format fidelity
+    // proven by the oracle, not assumed. CSV reads with an EXPLICIT
+    // schema (inference is a second scan — never at 100 TB).
+    "i09_format_roundtrip" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i09-formats").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").orc(s"$root/orc")
+      graft.operators.DocumentSinks.writeCsv(docs, s"$root/csv")
+      val orc = s.read.orc(s"$root/orc")
+      val csv = s.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .csv(s"$root/csv")
+      val viaOrc = orc.groupBy("source")
+        .agg(count(lit(1)).as("n_orc"), sum("n_chars").as("chars_orc"))
+      val viaCsv = csv.groupBy("source")
+        .agg(count(lit(1)).as("n_csv"), sum("n_chars").as("chars_csv"))
+      viaOrc.join(viaCsv, "source").orderBy("source")
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary blob
     // with typed metadata — the schema/partitioning shape used for
     // image/audio payloads (decode itself is stubbed; see
@@ -356,6 +384,12 @@ object Pipeline extends QueryPack {
         |UNION ALL
         |SELECT k, acctbal, seg, '1996-06-01', NULL, true FROM chg
         |ORDER BY k, valid_from""".stripMargin,
+
+    "i09_format_roundtrip" ->
+      """SELECT source,
+        |  count(*) AS n_orc, cast(sum(n_chars) as bigint) AS chars_orc,
+        |  count(*) AS n_csv, cast(sum(n_chars) as bigint) AS chars_csv
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "i07_temporal_join" ->
       """WITH base AS (

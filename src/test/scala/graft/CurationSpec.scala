@@ -69,6 +69,22 @@ class CurationSpec extends SparkTestBase {
     assert(clean === Seq(("text_nonempty", 0L, 2L, true)))
   }
 
+  test("observed metrics ride the action with no extra job") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val (df, obs) = graft.operators.DataChecks.observed(
+      docs, "ingest_metrics",
+      "n_rows" -> count(lit(1)),
+      "n_null_text" -> sum(when(col("text").isNull, 1L).otherwise(0L)),
+      "total_chars" -> sum(col("n_chars")))
+    val expectChars = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    val n = df.filter(col("n_chars") >= 0).count() // the one and only job
+    val m = obs.get
+    assert(m("n_rows") === n)
+    assert(m("n_null_text") === 0L)
+    assert(m("total_chars") === expectChars)
+  }
+
   test("t09 keeps full-weight sources entirely, downsamples the rest") {
     val docs = Tables.documents(spark, sf0001)
     val kept = SparkEntry.queries("t09_mixture_sample")(spark, sf0001)
