@@ -23,8 +23,10 @@ object DataChecks {
   def run(df: DataFrame, rowChecks: Seq[(String, Column)],
       uniqueChecks: Seq[(String, Column)] = Nil): DataFrame = {
     require(rowChecks.nonEmpty || uniqueChecks.nonEmpty, "no checks given")
+    // coalesce: sum over an EMPTY frame is null — an empty partition must
+    // gate as "0 violations, pass", not a null verdict
     val rowAggs = rowChecks.map { case (name, pred) =>
-      sum(when(pred, 0L).otherwise(1L)).as(name)
+      coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as(name)
     }
     // a duplicated key contributes (occurrences − 1) violations
     val uniqAggs = uniqueChecks.map { case (name, key) =>

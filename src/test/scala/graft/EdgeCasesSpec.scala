@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Zero-row robustness: every operator family must behave on empty input
+  * (an empty partition, a filter that matched nothing, a first run over an
+  * empty directory) — returning empty/identity results, never nulls or
+  * exceptions. At 100 TB some task always sees an empty slice. */
+class EdgeCasesSpec extends SparkTestBase {
+
+  private def emptyDocs: DataFrame =
+    Tables.documents(spark, sf0001).filter(col("doc_id") < 0)
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(graft.operators.MinHashLSH.nearDuplicates(emptyDocs).count() === 0)
+    assert(graft.operators.NgramJaccard
+      .nearDuplicates(emptyDocs, 3, 100, 0.2).count() === 0)
+    assert(graft.operators.SimHash.nearPairs(emptyDocs).count() === 0)
+  }
+
+  test("data checks gate an empty frame as pass, not null") {
+    val out = graft.operators.DataChecks.run(emptyDocs,
+        rowChecks = Seq(("text_nonempty", length(col("text")) > 0)),
+        uniqueChecks = Seq(("id_unique", col("doc_id"))))
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(1) === 0L, "violations must be 0 on empty input")
+      assert(r.getBoolean(3), "empty input must pass")
+    }
+  }
+
+  test("SCD2 evolve: empty update batch is the identity") {
+    import spark.implicits._
+    val dim = Seq((1L, "a", "2024-01-01", null: String, true))
+      .toDF("k", "attr", "f", "t", "is_current")
+      .select(col("k"), col("attr"), to_timestamp(col("f")).as("valid_from"),
+        to_timestamp(col("t")).as("valid_to"), col("is_current"))
+    val noUpdates = dim.select("k", "attr").filter(col("k") < 0)
+    val out = graft.operators.Scd2.evolve(dim, noUpdates, "k", Seq("attr"),
+      to_timestamp(lit("2024-02-01")))
+    assert(out.collect().map(_.toSeq).toSeq === dim.collect().map(_.toSeq).toSeq)
+  }
+
+  test("SCD2 evolve: empty dimension inserts every update as new") {
+    import spark.implicits._
+    val dim = Seq.empty[(Long, String, java.sql.Timestamp,
+      java.sql.Timestamp, Boolean)]
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val upd = Seq((7L, "x")).toDF("k", "attr")
+    val out = graft.operators.Scd2.evolve(dim, upd, "k", Seq("attr"),
+      to_timestamp(lit("2024-02-01"))).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 7L && out(0).getBoolean(4))
+  }
+
+  test("TopKPerKey on empty input returns empty") {
+    val out = graft.plans.TopKPerKey.topKPerKey(
+      Tables.orders(spark, sf0001).filter(col("o_orderkey") < 0),
+      keys = Seq("o_custkey"),
+      order = Seq(graft.plans.TopKPerKey.desc("o_totalprice")), k = 3)
+    assert(out.count() === 0)
+  }
+
+  test("table diff of two empty tables is empty") {
+    assert(graft.operators.TableDiff
+      .diff(emptyDocs, emptyDocs, "doc_id").count() === 0)
+  }
+
+  test("incremental agg: merging an empty delta is the identity") {
+    val ev = Tables.events(spark, sf0001)
+    val keys = Seq("user_id", "event_type")
+    val base = graft.operators.IncrementalAgg.state(ev, keys, "value")
+    val emptyDelta = graft.operators.IncrementalAgg.state(
+      ev.filter(col("event_id") < 0), keys, "value")
+    val merged = graft.operators.IncrementalAgg
+      .merge(Seq(base, emptyDelta), keys)
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    val plain = base.orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(merged === plain)
+  }
+}
