@@ -84,6 +84,56 @@ class Scd2Spec extends SparkTestBase {
     assert(out === Seq((1L, "v2"), (2L, "w1")))
   }
 
+  test("random update sequences preserve the SCD2 invariants") {
+    // seeded-random batches; after every evolve: exactly one current row
+    // per live key, per-key intervals disjoint and contiguous, and the
+    // current attr equals the last-applied update
+    val rnd = new scala.util.Random(7)
+    val times = Seq("2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01")
+    var dim = Scd2.evolve(
+      dimNone(), Seq((1L, "v0"), (2L, "v0"), (3L, "v0")).toDF("k", "attr"),
+      "k", Seq("attr"), t0)
+    val lastVal = scala.collection.mutable.Map(
+      1L -> "v0", 2L -> "v0", 3L -> "v0")
+    for (ts <- times) {
+      val batch = (1L to 4L).flatMap { k =>
+        if (rnd.nextBoolean()) {
+          val v = s"v${rnd.nextInt(3)}"
+          lastVal(k) = v
+          Some((k, v))
+        } else None
+      }
+      if (batch.nonEmpty) {
+        dim = Scd2.evolve(dim, batch.toDF("k", "attr"), "k", Seq("attr"),
+          to_timestamp(lit(ts)))
+        dim = dim.localCheckpoint() // keep the plan from growing per round
+      }
+      val rows = dim.select("k", "attr", "valid_from", "valid_to",
+          "is_current")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      rows.groupBy(_._1).foreach { case (k, versions) =>
+        val current = versions.filter(_._5)
+        assert(current.length === 1, s"key $k: ${current.length} current rows")
+        assert(current.head._4.isEmpty, s"key $k: current row has valid_to")
+        assert(current.head._2 === lastVal(k),
+          s"key $k: current attr lost an update")
+        // closed intervals chain exactly: each valid_to is the next
+        // version's valid_from
+        val sorted = versions.sortBy(_._3.getTime)
+        sorted.sliding(2).foreach {
+          case Array(prev, next) =>
+            assert(prev._4.contains(next._3),
+              s"key $k: gap/overlap between versions")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  private def dimNone() =
+    dim((1L, "x", "2020-01-01", null, true)).limit(0)
+
   test("history rows do not shuffle: only current rows join the batch") {
     val base = dim(
       (1L, "a1", "2024-01-01", null, true),
