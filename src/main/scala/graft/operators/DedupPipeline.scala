@@ -14,36 +14,50 @@ import org.apache.spark.sql.functions._
   * cleaning decision: not an exact dup — near-dup pairs keep both members
   * here; a production pipeline would pick a canonical member per pair).
   *
-  * Scale shape: three independent sketch pipelines (each shuffle-bounded,
-  * see [[MinHashLSH]]/[[SimHash]]) feeding broadcast-sized flag sets joined
-  * back to the corpus — the corpus itself is scanned, never self-joined.
+  * Scale shape: the sketch pipelines run over CANONICAL REPRESENTATIVES
+  * only (first doc per md5 group), never the raw corpus. Sketching all
+  * copies is the classic LSH blow-up: a 100k-copy boilerplate cluster
+  * lands in one bucket and emits ~5·10⁹ candidate pairs; collapsed first,
+  * it contributes ONE representative. The member flags are provably the
+  * full-corpus flags: identical text ⇒ identical shingles/signature, so
+  * member-near ⟺ (its group has a second member — the pair has Jaccard 1
+  * and identical signatures, surviving any banding) ∨ (its canonical is
+  * near another canonical). The d06 oracle computes the full-corpus
+  * definition and must keep matching this formulation exactly.
   */
 object DedupPipeline {
 
   def summary(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("h")
-    val exact = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
+    val withCanon = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .select(col("doc_id"),
-        (col("doc_id") =!= col("canonical_id")).as("is_exact_dup"))
+      .withColumn("has_copy", (count(lit(1)).over(w) > 1))
+
+    val members = withCanon.select("doc_id", "canonical_id", "has_copy")
+    val reps = withCanon
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "text")
 
     def pairDocs(pairs: DataFrame): DataFrame =
-      pairs.select(col("a_id").as("doc_id"))
-        .union(pairs.select(col("b_id").as("doc_id")))
+      pairs.select(col("a_id").as("canonical_id"))
+        .union(pairs.select(col("b_id").as("canonical_id")))
         .distinct()
 
-    val mh = pairDocs(MinHashLSH.nearDuplicates(docs))
-      .withColumn("near_minhash", lit(true))
-    val sh = pairDocs(SimHash.nearPairs(docs))
-      .withColumn("near_simhash", lit(true))
+    val mh = pairDocs(MinHashLSH.nearDuplicates(reps))
+      .withColumn("rep_minhash", lit(true))
+    val sh = pairDocs(SimHash.nearPairs(reps))
+      .withColumn("rep_simhash", lit(true))
 
-    exact
-      .join(mh, Seq("doc_id"), "left")
-      .join(sh, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("is_exact_dup"),
-        coalesce(col("near_minhash"), lit(false)).as("near_minhash"),
-        coalesce(col("near_simhash"), lit(false)).as("near_simhash"),
-        (!col("is_exact_dup")).as("keep"))
+    members
+      .join(mh, Seq("canonical_id"), "left")
+      .join(sh, Seq("canonical_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_exact_dup"),
+        (coalesce(col("rep_minhash"), lit(false)) || col("has_copy"))
+          .as("near_minhash"),
+        (coalesce(col("rep_simhash"), lit(false)) || col("has_copy"))
+          .as("near_simhash"))
+      .withColumn("keep", !col("is_exact_dup"))
   }
 }

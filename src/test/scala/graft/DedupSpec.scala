@@ -102,6 +102,33 @@ class DedupSpec extends SparkTestBase {
     assert(small.toMap.apply(13L) === 11L)
   }
 
+  test("summary collapses exact-duplicate clusters before sketching") {
+    import org.apache.spark.sql.functions._
+    // a 300-copy boilerplate cluster: sketched raw it would emit ~45k
+    // LSH candidate pairs; collapsed it contributes ONE representative
+    val copies = spark.range(300).select(col("id").as("doc_id"),
+      lit("spark table scan join filter agg window batch stream").as("text"))
+    val distinctDocs = spark.range(2).select((col("id") + 1000).as("doc_id"),
+      when(col("id") === 0,
+        lit("alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .otherwise(
+          lit("one two three four five six seven eight nine ten eleven"))
+        .as("text"))
+    val out = graft.operators.DedupPipeline
+      .summary(copies.unionByName(distinctDocs))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    val (big, rest) = out.partition(_._1 < 1000)
+    assert(big.length === 300)
+    // every copy is a near-dup (its group has other members); only the
+    // first is kept
+    assert(big.forall(r => r._3 && r._4))
+    assert(big.count(!_._2) === 1 && big.count(_._5) === 1)
+    assert(big.find(!_._2).map(_._1).contains(0L))
+    // the two genuinely distinct docs: no flags, kept
+    assert(rest.length === 2 && rest.forall(r => !r._2 && !r._3 && !r._4 && r._5))
+  }
+
   test("dup clusters agree with a union-find reference on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
