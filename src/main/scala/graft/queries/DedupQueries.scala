@@ -79,14 +79,24 @@ object DedupQueries extends QueryPack {
     "d08_dup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val w = Window.partitionBy("h")
-      val exact = docs
-        .select(col("doc_id"), md5(col("text")).as("h"))
+      val withCanon = docs
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
         .withColumn("canonical_id", min(col("doc_id")).over(w))
+      val exact = withCanon
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+      // SimHash runs over canonical REPRESENTATIVES only (the
+      // DedupPipeline.summary collapse): connectivity is unchanged —
+      // copies reach their canonical through the exact star edges, and
+      // identical text means identical signatures, so rep-vs-rep pairs
+      // span exactly the components the full-corpus pairs would. The
+      // oracle computes the full-corpus closure and must keep matching.
+      val reps = withCanon
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id", "text")
       // no distinct here: assign() dedups the directed edge list anyway
       val pairs = exact
-        .unionByName(SimHash.nearPairs(docs).select("a_id", "b_id"))
+        .unionByName(SimHash.nearPairs(reps).select("a_id", "b_id"))
       DupClusters.assign(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_canonical"))
