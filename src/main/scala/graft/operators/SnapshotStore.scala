@@ -193,6 +193,26 @@ object SnapshotStore {
     v
   }
 
+  /** OPTIMIZE: republish the current snapshot as a new, compacted version
+    * — one file per bucket (each accumulated upsert leaves another small
+    * file per touched bucket; reads degrade as manifests grow long). Data
+    * is byte-identical, old versions stay readable (time travel), and the
+    * small files become unreferenced garbage for [[vacuum]]. The rewrite
+    * shuffles once on the bucket column so each bucket lands whole in one
+    * task → exactly one output file. Returns the new version. */
+  def optimize(spark: SparkSession, root: String): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to optimize"))
+    val v = cur + 1
+    read(spark, root, cur)
+      .repartition(col("bucket"))
+      .write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    publish(spark, root, v, listVersionFiles(spark, root, v))
+    v
+  }
+
   /** Drop all but the newest `keepVersions` manifests and delete every
     * data file no retained manifest references (including files from
     * crashed commits that never published). Returns the deleted paths. */

@@ -101,6 +101,42 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(rows(SnapshotStore.read(spark, root)) === wanted)
   }
 
+  test("optimize compacts accumulated small files to one per bucket") {
+    val root = "target/snap-optimize"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    // three single-doc upserts: each touched bucket gains another file
+    for (id <- Seq(1L, 2L, 3L)) {
+      val doc = docs.filter(col("doc_id") === id)
+        .withColumn("text", concat(col("text"), lit(s" upd$id")))
+      SnapshotStore.upsert(spark, index(doc), doc.select("doc_id"), root, 4)
+    }
+    val before = rows(SnapshotStore.read(spark, root))
+    val preVersion = SnapshotStore.currentVersion(spark, root).get
+    def manifestFiles(v: Long): Seq[String] = {
+      val src = scala.io.Source.fromFile(
+        f"$root/_versions/v$v%05d.manifest")
+      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    }
+    assert(manifestFiles(preVersion).length > 4,
+      "upserts should have accumulated more than one file per bucket")
+
+    val v = SnapshotStore.optimize(spark, root)
+    assert(v === preVersion + 1)
+    // data identical, exactly one file per non-empty bucket
+    assert(rows(SnapshotStore.read(spark, root)) === before)
+    val files = manifestFiles(v)
+    val perBucket = files.groupBy(_.split("\t")(0)).values.map(_.size)
+    assert(perBucket.forall(_ === 1), s"not compacted: $files")
+    // time travel: the pre-optimize version still reads identically
+    assert(rows(SnapshotStore.read(spark, root, preVersion)) === before)
+    // the small files are now garbage vacuum can reap
+    val deleted = SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(rows(SnapshotStore.read(spark, root)) === before)
+  }
+
   test("vacuum keeps the newest versions readable, drops the rest") {
     val root = "target/snap-vacuum"
     cleanup(root)
