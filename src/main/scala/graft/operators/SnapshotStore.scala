@@ -137,13 +137,17 @@ object SnapshotStore {
     val entries = readManifest(spark, root, v)
     require(entries.nonEmpty, s"version $v at $root is empty")
     // one scan per contributing version dir (basePath restores the bucket
-    // partition column); dirs ≤ retained versions, so the union stays tiny
+    // partition column); dirs ≤ retained versions, so the union stays tiny.
+    // allowMissingColumns = schema evolution: a version that ADDED a column
+    // unions with older versions' files by null-filling the gap — the
+    // additive-only evolution contract of the log-structured table formats
+    // (renames/drops are a rewrite, not an evolution).
     entries.groupBy(_._2.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
       .map { case (dir, es) =>
         spark.read.option("basePath", s"$root/$dir")
           .parquet(es.map(e => s"$root/${e._2}"): _*)
       }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bucket", col("bucket").cast("long"))
   }
@@ -183,7 +187,10 @@ object SnapshotStore {
             .withColumn("doc_id", col("doc_id").cast("long"))
             .withColumn("bucket", col("bucket").cast("long"))
             .join(upserted, Seq("doc_id"), "left_anti"))
-      kept.map(_.unionByName(fresh)).getOrElse(fresh)
+      // allowMissingColumns: an upsert may carry new columns (schema
+      // evolution) — surviving old rows null-fill them
+      kept.map(_.unionByName(fresh, allowMissingColumns = true))
+        .getOrElse(fresh)
     }
     // old files are immutable — no checkpoint fence needed before writing
     merged.write.mode("errorifexists")

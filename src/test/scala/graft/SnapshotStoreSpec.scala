@@ -137,6 +137,26 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(rows(SnapshotStore.read(spark, root)) === before)
   }
 
+  test("additive schema evolution: new column null-fills older files") {
+    val root = "target/snap-evolve"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc2 = docs.filter(col("doc_id") === 2)
+    SnapshotStore.upsert(spark,
+      index(doc2).withColumn("quality", lit(0.9)),
+      doc2.select("doc_id"), root, 4)
+    val out = SnapshotStore.read(spark, root)
+    assert(out.columns.contains("quality"))
+    val byDoc = out.select("doc_id", "quality").distinct().collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(byDoc(2L).contains(0.9))
+    assert(byDoc.filterNot(_._1 == 2L).values.forall(_.isEmpty),
+      "old rows must null-fill the evolved column")
+    // the pre-evolution version still reads with its own schema
+    assert(!SnapshotStore.read(spark, root, 1L).columns.contains("quality"))
+  }
+
   test("vacuum keeps the newest versions readable, drops the rest") {
     val root = "target/snap-vacuum"
     cleanup(root)
