@@ -235,6 +235,30 @@ object Relational extends QueryPack {
         .orderBy("k")
     }),
 
+    // Corrupt-tolerant JSON ingestion: a deterministic slice of the feed
+    // is mangled (the reality of any raw event log), then parsed with
+    // from_json — Spark's PERMISSIVE path yields null structs for corrupt
+    // rows instead of failing the job, and the query separates good from
+    // bad counts per event type in the same pass. At 100 TB, fail-on-first
+    // -corrupt-byte is not an option; quarantine-and-count is the shape.
+    "q53_json_robust" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, concat(lit("{corrupt"),
+            col("props"))).otherwise(col("props")))
+        .withColumn("parsed", from_json(col("raw"), schema))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("parsed").isNull || col("parsed.k").isNull, 1L)
+            .otherwise(0L)).as("n_corrupt"),
+          sum(when(col("parsed.k").isNotNull, col("parsed.k"))
+            .otherwise(0L)).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // String scalar functions over part (upper/substring/concat/length).
     "q16_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -915,6 +939,15 @@ object Relational extends QueryPack {
         |  count(*) AS n,
         |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q53_json_robust" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_corrupt,
+        |  cast(sum(CASE WHEN event_id % 7 = 0 THEN 0
+        |    ELSE coalesce(cast(json_extract_string(props, '$.k') as bigint), 0)
+        |    END) as bigint) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q16_string_funcs" ->
       """SELECT p_partkey,

@@ -144,6 +144,29 @@ object Warehouse extends QueryPack {
         .limit(25)
     }),
 
+    // TPC-H Q14 — promo revenue share: one fact scan in a shipdate
+    // window, the 200-row part dim broadcast, ONE 1-row aggregate; the
+    // percentage is a single double division of two exact decimal sums
+    // (numerator/denominator also emitted so the oracle checks the exact
+    // parts, not just the rounded ratio).
+    "q54_promo_share" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+            .as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share"))
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -210,6 +233,20 @@ object Warehouse extends QueryPack {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, pa, pb LIMIT 25""".stripMargin,
+
+    "q54_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT
+        |  cast(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE cast(0 as decimal(12,2)) END) as double) AS promo_revenue,
+        |  cast(sum(rev) as double) AS total_revenue,
+        |  round(100.0 * cast(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE cast(0 as decimal(12,2)) END) as double)
+        |    / cast(sum(rev) as double), 6) AS promo_share
+        |FROM j""".stripMargin,
 
     "q45_bloom_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
