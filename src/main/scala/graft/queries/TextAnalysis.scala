@@ -371,6 +371,26 @@ object TextAnalysis extends QueryPack {
         .orderBy("col_name")
     }),
 
+    // Count-min sketch point frequencies (operators/CountMin): the top-20
+    // vocabulary's estimated counts from a 4×256-cell sketch built in ONE
+    // partial-aggregating pass, with the one-sided bound (est ≥ true)
+    // emitted as a checked column. The sketch's hash family is the
+    // engine's seeded md5, so the oracle rebuilds every counter and every
+    // estimate exactly — sketch accuracy is value-verified, not assumed.
+    "t21_countmin" -> ((s, d) => {
+      val (depth, width) = (4, 256)
+      val terms = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val sk = graft.operators.CountMin.sketch(terms, col("term"),
+        depth, width)
+      val top = terms.groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(20)
+      graft.operators.CountMin.estimate(top, "term", sk, depth, width)
+        .select(col("term"), col("freq"), col("est"),
+          (col("est") >= col("freq")).as("lower_bounded"))
+        .orderBy(col("freq").desc, col("term"))
+    }),
+
     // Fuzzy vocabulary matching: near-identical term pairs (edit distance
     // ≤ 2) among the top-50 terms — the typo/variant detection pass an
     // entity-cleaning or vocabulary-normalisation step runs. Candidate
@@ -455,6 +475,22 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t21_countmin" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |cells AS (SELECT r.range AS row,
+         |    ${graft.operators.CountMin.duckBucket("r.range", "term", 256)} AS bucket,
+         |    count(*) AS c
+         |  FROM tok, range(0, 4) r GROUP BY 1, 2),
+         |top AS (SELECT term, count(*) AS freq FROM tok
+         |  GROUP BY term ORDER BY freq DESC, term LIMIT 20)
+         |SELECT t.term, t.freq, min(coalesce(c.c, 0)) AS est,
+         |  min(coalesce(c.c, 0)) >= t.freq AS lower_bounded
+         |FROM top t CROSS JOIN range(0, 4) r
+         |LEFT JOIN cells c ON c.row = r.range
+         |  AND c.bucket = ${graft.operators.CountMin.duckBucket("r.range", "t.term", 256)}
+         |GROUP BY t.term, t.freq
+         |ORDER BY freq DESC, term""".stripMargin,
+
     "t20_fuzzy_terms" ->
       """WITH tf AS (SELECT term, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)

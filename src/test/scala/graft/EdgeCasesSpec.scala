@@ -68,6 +68,32 @@ class EdgeCasesSpec extends SparkTestBase {
       .diff(emptyDocs, emptyDocs, "doc_id").count() === 0)
   }
 
+  test("count-min: sketches merge by cell-wise addition; bound holds everywhere") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val terms = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val (depth, width) = (4, 64)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CountMin.sketch(df, col("term"), depth, width)
+    // sketch(all) == sketch(half1) ⊕ sketch(half2) — the mergeability that
+    // makes the sketch partial-agg- and stream-safe
+    val whole = sk(terms).orderBy("row", "bucket")
+      .collect().map(_.toSeq).toSeq
+    val merged = sk(terms.filter(col("doc_id") % 2 === 0))
+      .unionByName(sk(terms.filter(col("doc_id") % 2 === 1)))
+      .groupBy("row", "bucket").agg(sum("c").as("c"))
+      .orderBy("row", "bucket").collect().map(_.toSeq).toSeq
+    assert(whole === merged)
+    // one-sided error on EVERY term, not just the heavy ones
+    val allFreqs = terms.groupBy("term").agg(count(lit(1)).as("freq"))
+    val under = graft.operators.CountMin
+      .estimate(allFreqs, "term", sk(terms), depth, width)
+      .filter(col("est") < col("freq")).count()
+    assert(under === 0L, "count-min must never underestimate")
+  }
+
   test("incremental agg: merging an empty delta is the identity") {
     val ev = Tables.events(spark, sf0001)
     val keys = Seq("user_id", "event_type")
