@@ -235,6 +235,32 @@ object Relational extends QueryPack {
         .orderBy("k")
     }),
 
+    // Per-key trend fitting: least-squares slope of daily event counts,
+    // closed-form from FIVE integer sums (n, Σx, Σy, Σxy, Σx²) — the
+    // grouped regression a monitoring pipeline fits per metric. All
+    // arithmetic stays in exact BIGINTs until the single closing division
+    // (magnitudes bounded: day index × daily count), so the slope is
+    // cross-engine exact at 6 dp; one daily rollup + one per-key
+    // aggregate, both map-side combining.
+    "q55_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"))
+        .select(col("event_type"), col("n_days"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_days") * col("sx2") - col("sx") * col("sx"))
+              .cast("double"), 6).as("slope"))
+        .orderBy("event_type")
+    }),
+
     // Corrupt-tolerant JSON ingestion: a deterministic slice of the feed
     // is mangled (the reality of any raw event log), then parsed with
     // from_json — Spark's PERMISSIVE path yields null structs for corrupt
@@ -939,6 +965,23 @@ object Relational extends QueryPack {
         |  count(*) AS n,
         |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q55_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01',
+        |      cast(cast(ts as timestamp) as date)) AS x,
+        |    cast(count(*) as bigint) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+        |    cast(sum(x * y) as bigint) AS sxy,
+        |    cast(sum(x * x) as bigint) AS sx2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(cast(n_days * sxy - sx * sy as double)
+        |    / cast(n_days * sx2 - sx * sx as double), 6) AS slope
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q53_json_robust" ->
       """SELECT event_type, count(*) AS n,

@@ -202,6 +202,33 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // Retrieve-then-rerank over the compressed index — the production ANN
+    // recall-recovery shape: PQ asymmetric distance generates top-20
+    // candidates from the 32×-compressed codes (corpus embeddings never
+    // scanned for scoring), then ONLY those ≤ 5×20 candidate rows join
+    // back to true embeddings for an exact cosine rescore. Quantization
+    // error is repaired at the cost of k exact distances per query, not a
+    // corpus scan — both stages oracle-checked.
+    "s11_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cands = graft.operators.PqIndex
+        .search(emb, col("vec_id") < 5, dim = Dim, m = 8, k = 16, topK = 20)
+        .select("q_id", "vec_id")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      emb.join(broadcast(cands), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+            .as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
     // Per-label embedding centroids — the aggregate an IVF retrain, a
     // drift monitor, or a class-prototype classifier reads. Means go
     // through the parity-proven 1e6 integer quantization: sums of BIGINTs
@@ -232,6 +259,41 @@ object Similarity extends QueryPack {
       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "s11_pq_rerank" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+        |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+        |  FROM q, range(0, 8) j, range(0, 8) i),
+        |cent AS (SELECT vec_id AS cent_id, j, i, v AS cv FROM sub WHERE vec_id < 16),
+        |dists AS (SELECT s.vec_id, s.j, c.cent_id,
+        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+        |  FROM sub s JOIN cent c ON c.j = s.j AND c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, cent_id AS code FROM (
+        |  SELECT vec_id, j, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+        |  FROM dists) WHERE rk = 1),
+        |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM dists WHERE vec_id < 5),
+        |approx AS (SELECT l.q_id, c.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.cent_id = c.code
+        |  WHERE c.vec_id <> l.q_id GROUP BY 1, 2),
+        |cand AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS rank
+        |  FROM approx) WHERE rank <= 20),
+        |rer AS (SELECT c.q_id, c.vec_id,
+        |    round(list_cosine_similarity(cast(e.embedding as double[]), cast(qq.embedding as double[])), 6) AS sim
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings qq ON qq.vec_id = c.q_id)
+        |SELECT q_id, rank, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM rer) WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
     "s10_label_centroids" ->
       s"""SELECT label, count(*) AS n,
          |${(0 until 4).map(i =>
