@@ -43,6 +43,10 @@ object CountMin {
     * the sketch table broadcasts, keys never shuffle. */
   def estimate(keys: DataFrame, keyCol: String, sk: DataFrame,
       depth: Int, width: Int): DataFrame = {
+    val reserved = Seq("row", "bucket", "c", "__k")
+    require(!keys.columns.exists(reserved.contains),
+      s"estimate: key frame must not contain ${reserved.mkString("/")} " +
+        s"columns, got ${keys.columns.mkString(", ")}")
     val rows = explode(array((0 until depth).map(lit): _*)).as("row")
     keys
       .withColumn("__k", col(keyCol).cast("string"))

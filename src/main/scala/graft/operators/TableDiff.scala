@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * (sorted by column name; null marked by a sentinel so `null` and
   * `"null"`-like strings cannot collide via concat_ws's null-skipping).
   * md5 yields the identical hex in DuckDB, so the whole diff is
-  * oracle-checkable — see [[duckDigest]].
+  * oracle-checkable — see [[duckDigest]]. CROSS-ENGINE caveat: the
+  * diff itself is engine-consistent for every type (both sides digest
+  * through the same Spark casts), but [[duckDigest]] parity holds for
+  * columns whose string rendering matches across engines — ints,
+  * strings, booleans, dates; double columns can render differently
+  * (e.g. 1.0E7 vs 10000000.0), so oracle authors cast floats to a
+  * fixed-scale decimal string first.
   *
   * Scale shape: each side reduces to (key, 16-byte digest) map-side —
   * the shuffle carries digests, never row payloads — then ONE full-outer
