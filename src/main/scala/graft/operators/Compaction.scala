@@ -34,12 +34,31 @@ object Compaction {
     }
   }
 
-  /** Rewrite `srcDir` (a parquet directory) into `destDir` with files of
-    * roughly `targetFileBytes`, sorted within files by `sortCols` when
-    * given. Returns the before/after stats. */
+  /** Rewrite `srcDir` (a FLAT parquet directory) into `destDir` with
+    * files of roughly `targetFileBytes`, sorted within files by `sortCols`
+    * when given. Returns the before/after stats.
+    *
+    * Partitioned layouts (`bucket=N/` subdirs) are rejected: silently
+    * flattening one into `nOut` files would both destroy the partition
+    * pruning the layout exists for and miscount the input as 0 bytes →
+    * 1 giant output file. Compact a partitioned table per-partition, or
+    * through its catalog ([[SnapshotStore.optimize]] for the versioned
+    * store). */
   def compactTo(spark: SparkSession, srcDir: String, destDir: String,
       targetFileBytes: Long, sortCols: Seq[String] = Nil): Stats = {
     val files = parquetFiles(spark, srcDir)
+    require(files.nonEmpty, {
+      val p = new Path(srcDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val subdirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      if (subdirs.nonEmpty)
+        s"compactTo: $srcDir is a partitioned layout " +
+          s"(${subdirs.take(3).mkString(", ")}…) — compact per-partition " +
+          "or via SnapshotStore.optimize; flattening it would lose the " +
+          "partition pruning"
+      else s"compactTo: no parquet files in $srcDir"
+    })
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(srcDir)

@@ -132,8 +132,12 @@ object DupClusters {
     // sum is a fixpoint detector: unchanged sum ⟺ unchanged labels. One
     // cheap scan of the just-materialized checkpoint per round, instead
     // of a labels⋈labels change-count join.
+    // cast BEFORE summing: sum(long) wraps silently at 2^63 (millions of
+    // 60-bit hash-derived labels overflow many times over), and a wrapped
+    // collision between rounds would report convergence while labels are
+    // still moving; decimal(38,0) addition is exact at any graph size
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab")).cast("decimal(38,0)").as("s"))
+      df.agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false

@@ -120,8 +120,12 @@ object IngestionPipeline {
     df.withColumn("doc_id", col("doc_id").cast("long"))
   }
 
+  // hash the CANONICAL long form: xxhash64(int x) != xxhash64(long x), so
+  // bucketing the native type would send an IntegerType doc_id's deletes
+  // to different buckets than its stored rows
   private def withBucket(df: DataFrame, buckets: Int): DataFrame =
-    df.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+    df.withColumn("bucket",
+      pmod(xxhash64(col("doc_id").cast("long")), lit(buckets.toLong)))
 
   /** Bucketed index at rest: partition dir = hash(doc_id) % buckets, the
     * layout that keeps partition counts bounded at corpus scale. */
@@ -154,8 +158,14 @@ object IngestionPipeline {
   def upsertIndexBucketed(spark: SparkSession, newRows: DataFrame,
       reingestedDocs: DataFrame, path: String, buckets: Int): Unit = {
     val fresh = withBucket(newRows, buckets)
+    // anti-join out the UNION of the explicit id set and newRows' own
+    // doc_ids: a document present in newRows but omitted from
+    // reingestedDocs must still REPLACE its old vectors (not duplicate
+    // them) — reingestedDocs only ADDS deletes, it cannot exempt
     val upsertedDocs = reingestedDocs.select(col("doc_id").cast("long")
-      .as("doc_id")).distinct()
+      .as("doc_id"))
+      .union(newRows.select(col("doc_id").cast("long").as("doc_id")))
+      .distinct()
     val touched = withBucket(upsertedDocs, buckets).select("bucket")
       .union(fresh.select("bucket")).distinct()
       .collect().map(_.getLong(0))

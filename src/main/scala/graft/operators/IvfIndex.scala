@@ -111,18 +111,26 @@ object IvfIndex {
   def cellRanksWith(emb: DataFrame,
       cents: Array[(Long, Array[Long])]): DataFrame = {
     require(cents.nonEmpty, s"IVF index needs >= 1 centroid, got 0")
+    // ALL of emb's columns ride through the ranking, so metadata
+    // predicates (label filters etc.) can be applied to the ranked frame
+    // — the searchWith/searchFiltered queryFilter contract
+    val clash = Seq("cent_id", "dist", "rk", "dists", "cells", "col", "pos")
+      .filter(emb.columns.contains)
+    require(clash.isEmpty,
+      s"cellRanks: embeddings frame must not contain ${clash.mkString(", ")}")
+    val embCols = emb.columns.toSeq.map(col)
     val dists = graft.plans.IvfCellDistsExpr
       .ivf_cell_dists(col("embedding"), cents.map(_._2.toSeq).toSeq)
-    val q = emb.select(col("vec_id"), col("embedding"), dists.as("dists"))
+    val q = emb.withColumn("dists", dists)
     val cellStructs = array(cents.zipWithIndex.map { case ((id, _), j) =>
       struct(element_at(col("dists"), j + 1).as("dist"),
         lit(id).as("cent_id"))
     }: _*)
     q.withColumn("cells", array_sort(cellStructs))
-      .select(col("vec_id"), col("embedding"), posexplode(col("cells")))
-      .select(col("vec_id"), col("embedding"),
+      .select(embCols :+ posexplode(col("cells")): _*)
+      .select(embCols ++ Seq(
         col("col.cent_id").as("cent_id"), col("col.dist").as("dist"),
-        (col("pos") + 1).cast("int").as("rk"))
+        (col("pos") + 1).cast("int").as("rk")): _*)
   }
 
   /** Top-`topK` in-probe neighbours (by cosine) for each query vector.

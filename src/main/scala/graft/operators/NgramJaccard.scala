@@ -40,13 +40,12 @@ import graft.functions.{CrossHash, TextFunctions}
 object NgramJaccard {
 
   /** Distinct (doc_id, h) postings: h = 60-bit md5 hash of each word
-    * n-gram shingle. */
+    * n-gram shingle — derived from [[byShingle]] so the shingle/hash
+    * construction exists exactly once. */
   def postings(docs: DataFrame, n: Int): DataFrame =
-    SkewTools.fanOut(docs)
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), CrossHash.hash60(col("s")).as("h"))
-      .distinct()
+    byShingle(docs, n)
+      .select(col("h"), explode(col("ids")).as("doc_id"))
+      .select("doc_id", "h")
 
   /** One row per shingle hash with its sorted posting list. The ONE
     * corpus-width aggregation every downstream product derives from:

@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   * table makes on object stores without a commit coordinator); rename
   * makes each publish all-or-nothing and last-writer-wins. Readers are
   * unlimited and never block.
+  *
+  * Crash recovery: "immutable" applies to PUBLISHED files. A writer that
+  * crashed between the data write and the manifest rename leaves an
+  * unpublished `data/vNNNNN` dir whose number the retry recomputes — the
+  * version-dir write therefore uses overwrite mode, which under the
+  * single-writer contract can only ever replace such a crashed attempt
+  * (a published version's number is never reused: currentVersion moves
+  * past it). The retry simply succeeds; no manual vacuum precondition.
   */
 object SnapshotStore {
 
@@ -53,8 +61,12 @@ object SnapshotStore {
   private def manifestPath(root: String, v: Long) =
     new Path(root, f"_versions/v$v%05d.manifest")
 
+  // hash the CANONICAL long form: xxhash64(int x) != xxhash64(long x), so
+  // bucketing the native type would target different buckets for an
+  // IntegerType doc_id's deletes than for its stored rows
   private def withBucket(df: DataFrame, buckets: Int): DataFrame =
-    df.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+    df.withColumn("bucket",
+      pmod(xxhash64(col("doc_id").cast("long")), lit(buckets.toLong)))
 
   /** Newest published version, if any manifest exists. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -120,7 +132,7 @@ object SnapshotStore {
   def commit(index: DataFrame, root: String, buckets: Int): Long = {
     val spark = index.sparkSession
     val v = currentVersion(spark, root).getOrElse(0L) + 1
-    withBucket(index, buckets).write.mode("errorifexists")
+    withBucket(index, buckets).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v, listVersionFiles(spark, root, v))
     v
@@ -164,8 +176,12 @@ object SnapshotStore {
       throw new IllegalArgumentException(
         s"no published version at $root — commit() an initial snapshot first"))
     val fresh = withBucket(newRows, buckets)
+    // union newRows' own ids: a doc present in newRows but omitted from
+    // reingestedDocs must replace, not duplicate, its old vectors
     val upserted = reingestedDocs.select(col("doc_id").cast("long")
-      .as("doc_id")).distinct()
+      .as("doc_id"))
+      .union(newRows.select(col("doc_id").cast("long").as("doc_id")))
+      .distinct()
     val touched = withBucket(upserted, buckets).select("bucket")
       .union(fresh.select("bucket")).distinct()
       .collect().map(_.getLong(0)).toSet
@@ -193,7 +209,7 @@ object SnapshotStore {
         .getOrElse(fresh)
     }
     // old files are immutable — no checkpoint fence needed before writing
-    merged.write.mode("errorifexists")
+    merged.write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v,
       keptEntries ++ listVersionFiles(spark, root, v))
@@ -214,7 +230,7 @@ object SnapshotStore {
     val v = cur + 1
     read(spark, root, cur)
       .repartition(col("bucket"))
-      .write.mode("errorifexists")
+      .write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v, listVersionFiles(spark, root, v))
     v

@@ -63,6 +63,25 @@ class IngestionUpsertSpec extends SparkTestBase {
     assert(after === fresh)
   }
 
+  test("a doc in newRows but omitted from reingestedDocs still replaces") {
+    import spark.implicits._
+    val path = "target/ingest-upsert-omitted"
+    cleanup(path)
+    val (docs, mutated) = mutatedDocs()
+    IngestionPipeline.writeIndexBucketed(
+      IngestionPipeline.buildIndexFrom(docs, 120, 20, 8), path, buckets = 4)
+    // reingestedDocs lists only doc 7 (a delete); doc 3's replacement rows
+    // arrive via newRows alone and must not duplicate its old vectors
+    IngestionPipeline.upsertIndexBucketed(spark,
+      IngestionPipeline.buildIndexFrom(
+        mutated.filter(col("doc_id") === 3), 120, 20, 8),
+      Seq(7L).toDF("doc_id"), path, buckets = 4)
+    val after = rows(IngestionPipeline.readIndex(spark, path))
+    val fresh = rows(IngestionPipeline.buildIndexFrom(
+      mutated.filter(col("doc_id") =!= 7), 120, 20, 8))
+    assert(after === fresh)
+  }
+
   test("explicit-doc_ids upsert deletes a doc whose re-ingest is empty") {
     import spark.implicits._
     val path = "target/ingest-upsert-delete"

@@ -53,6 +53,18 @@ class IvfIndexSpec extends SparkTestBase {
     assert(IvfIndex.search(emb, col("vec_id") < 2, 16, 2, 3).count() > 0)
   }
 
+  test("metadata columns are valid queryFilters, not just vec_id/embedding") {
+    // the guard's contract says ANY embeddings column selects queries —
+    // label must work end to end (it rides through the cell ranking)
+    val emb = Tables.embeddings(spark, sf0001)
+    val byLabel = IvfIndex.search(emb,
+      col("label") === 2 && col("vec_id") < 30, k = 16, nProbe = 2, topK = 3)
+    val expectedQueries = emb
+      .filter(col("label") === 2 && col("vec_id") < 30)
+      .count()
+    assert(byLabel.select("q_id").distinct().count() === expectedQueries)
+  }
+
   test("Lloyd training lowers distortion, stays deterministic, and searches") {
     val emb = Tables.embeddings(spark, sf0001)
     val seeded = IvfIndex.centroids(emb, 16)

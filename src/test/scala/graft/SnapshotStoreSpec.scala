@@ -157,6 +157,40 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(!SnapshotStore.read(spark, root, 1L).columns.contains("quality"))
   }
 
+  test("a crashed commit's orphan version dir does not wedge the retry") {
+    val root = "target/snap-crash-retry"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    // simulate a crash AFTER the v2 data write, BEFORE the manifest
+    // publish: data/v00002 exists, _versions/v00002.manifest does not
+    val idx2 = index(docs.filter(col("doc_id") < 5))
+    SnapshotStore.commit(idx2, root, buckets = 4)
+    new java.io.File(s"$root/_versions/v00002.manifest").delete()
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    // the retried commit recomputes version 2 and must succeed, replacing
+    // the orphan dir
+    val v = SnapshotStore.commit(idx2, root, buckets = 4)
+    assert(v === 2L)
+    assert(rows(SnapshotStore.read(spark, root)) === rows(idx2))
+  }
+
+  test("upsert replaces a doc present in newRows but omitted from reingestedDocs") {
+    val root = "target/snap-dup-guard"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc3 = docs.filter(col("doc_id") === 3)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    // reingestedDocs deliberately EMPTY: doc 3's new rows must still
+    // replace (not duplicate) its old vectors
+    SnapshotStore.upsert(spark, index(doc3),
+      docs.select("doc_id").filter(col("doc_id") < 0), root, 4)
+    val expected = index(docs.filter(col("doc_id") =!= 3)
+      .unionByName(doc3))
+    assert(rows(SnapshotStore.read(spark, root)) === rows(expected))
+  }
+
   test("vacuum keeps the newest versions readable, drops the rest") {
     val root = "target/snap-vacuum"
     cleanup(root)
