@@ -62,6 +62,17 @@ object TextFunctions {
           i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*)))
     }
 
+  /** Non-overlapping `n`-token blocks (tumbling shingles) — the span unit
+    * of exact-substring dedup; the trailing partial block is kept as-is.
+    * DuckDB: array_to_string(t[i*n+1 : i*n+n], ' ') over
+    * range(0, floor((len(t)-1)/n)+1). */
+  def blocks(text: Column, n: Int): Column =
+    bound(tokens(text)) { t =>
+      transform(
+        sequence(lit(0), floor((size(t) - 1) / lit(n)).cast("int")),
+        i => concat_ws(" ", slice(t, i * n + 1, lit(n))))
+    }
+
   /** MinHash signature: `k` independent 60-bit md5-derived hash functions
     * over a shingle array; element j = min over shingles of hash60(s#j).
     * DuckDB: list_min(list_transform(sh, s -> hash60(s || '#j'))). */

@@ -148,6 +148,23 @@ object DedupQueries extends QueryPack {
           round(VectorFunctions.cosine(col("ea"), col("eb")), 6).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy("a_id", "b_id")
+    }),
+
+    // Exact-substring (span-level) dedup at 10-token block granularity:
+    // per-document duplicated-content profile. The block-hash df shuffle
+    // and the join back are the only wide stages — no self-join.
+    "d09_substring_dedup" -> ((s, d) => {
+      graft.operators.SubstringDedup.profile(Tables.documents(s, d))
+        .orderBy("doc_id")
+    }),
+
+    // SemDeDup: semantic dedup confined to IVF cells — data-adaptive
+    // blocking where d05's SRP bands are oblivious; reuses the ANN tier's
+    // cell assignment (map-only vs centroid literals).
+    "d10_semantic_dedup" -> ((s, d) => {
+      graft.operators.SemanticDedup
+        .dedup(Tables.embeddings(s, d), k = 16, tau = 0.35)
+        .orderBy("vec_id")
     })
   )
 
@@ -198,6 +215,44 @@ object DedupQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "d06_dedup_summary" -> dedupSummaryOracle,
+
+    "d09_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |    cast(floor(cast(len(toks) - 1 as double) / 10) as bigint) AS maxb FROM t),
+        |blk AS (SELECT doc_id, md5(array_to_string(toks[i*10+1 : i*10+10], ' ')) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(0, maxb + 1)) AS i FROM n)),
+        |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM blk GROUP BY h),
+        |p AS (SELECT b.doc_id, count(*) AS n_blocks,
+        |    cast(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) as bigint) AS dup_blocks
+        |  FROM blk b JOIN f USING (h) GROUP BY b.doc_id)
+        |SELECT doc_id, n_blocks, dup_blocks,
+        |  round(cast(dup_blocks as double) / n_blocks, 6) AS dup_frac,
+        |  dup_blocks * 2 >= n_blocks AS mostly_dup
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "d10_semantic_dedup" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |dists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${SrpDim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, cents c),
+        |ranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM dists),
+        |assign AS (SELECT vec_id, cent_id FROM ranks WHERE rk = 1),
+        |pairs AS (SELECT b.vec_id AS b_id
+        |  FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) >= 0.35),
+        |dup AS (SELECT DISTINCT b_id AS vec_id FROM pairs)
+        |SELECT a.vec_id, a.cent_id, (d.vec_id IS NOT NULL) AS is_semantic_dup,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup FROM (

@@ -261,6 +261,26 @@ object Relational extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Remaining analytic-window surface in one query: percent_rank /
+    // cume_dist (full-partition rank statistics) and nth_value /
+    // first_value (frame-respecting value picks). Ordering key includes
+    // the unique orderkey, so the default RANGE frame equals a ROWS frame
+    // and both engines see identical frames. One window shuffle on
+    // o_custkey; the custkey predicate pushes to the scan.
+    "q56_window_misc" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(nth_value(col("o_totalprice").cast("double"), 2).over(w), 2)
+            .as("second_price"),
+          round(first(col("o_totalprice").cast("double")).over(w), 2)
+            .as("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Corrupt-tolerant JSON ingestion: a deterministic slice of the feed
     // is mangled (the reality of any raw event log), then parsed with
     // from_json — Spark's PERMISSIVE path yields null structs for corrupt
@@ -982,6 +1002,16 @@ object Relational extends QueryPack {
         |  round(cast(n_days * sxy - sx * sy as double)
         |    / cast(n_days * sx2 - sx * sx as double), 6) AS slope
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q56_window_misc" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(nth_value(cast(o_totalprice as double), 2) OVER w, 2) AS second_price,
+        |  round(first_value(cast(o_totalprice as double)) OVER w, 2) AS first_price
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q53_json_robust" ->
       """SELECT event_type, count(*) AS n,

@@ -162,4 +162,52 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
     assert(rows.forall { case (a, b, s) => a < b && s >= 0.35 })
   }
+
+  test("substring dedup: planted copied block counts, unique doc scores 0") {
+    // doc 2 copies doc 1's first 10-token block verbatim; doc 3 shares
+    // nothing. 12 tokens → blocks of 10 + trailing 2.
+    val blockA = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, blockA + " k l"),
+      (2L, blockA + " z z"),
+      (3L, "p q r s t u v w x y only here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SubstringDedup.profile(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, 0.5, true),  // shared block of 2 → mostly_dup at 50%
+      (2L, 2L, 1L, 0.5, true),
+      (3L, 2L, 0L, 0.0, false)))
+  }
+
+  test("substring dedup: intra-document repetition is not duplication") {
+    val blk = "a b c d e f g h i j"
+    val docs = Seq((1L, blk + " " + blk), (2L, "totally different tokens"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.SubstringDedup.profile(docs)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    assert(out._2 === 2L && out._3 === 0L) // two copies, one doc → df = 1
+  }
+
+  test("semantic dedup flags the higher-id twin, keeps the lowest") {
+    // 17 vectors: 16 seed centroids + vec 16 ≈ vec 3 (same direction).
+    // Vector 16 must land in vec 3's cell and be flagged; every seed
+    // stays kept (cells with one member have no pairs).
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val rows = (0 until 16).map(v => (v.toLong, unit(v))) :+
+      (16L, unit(3).map(x => x * 0.9f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.SemanticDedup.dedup(emb, k = 16, tau = 0.35)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out.size === 17)
+    val (dups, kept) = out.partition(_._3)
+    assert(dups.map(_._1) === Seq(16L))
+    assert(dups.head._2 === 3L) // assigned to vec 3's cell
+    assert(kept.forall(_._4))
+  }
 }

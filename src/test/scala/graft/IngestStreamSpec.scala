@@ -92,4 +92,51 @@ class IngestStreamSpec extends SparkTestBase {
     // vectors are gone (the append sink would have kept both versions)
     assert(got === want)
   }
+
+  test("count-min sketches merged across streamed micro-batches ≡ one batch pass") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.CountMin
+
+    val src = tmp("cm_src"); val out = tmp("cm_out"); val cp = tmp("cm_cp")
+    val docs = Tables.documents(spark, sf0001)
+    // two separate file drops + maxFilesPerTrigger=1 → at least two
+    // micro-batches, each sketched independently
+    def drop(df: DataFrame, name: String): Unit = {
+      val stage = tmp(s"cm_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, s"$name.parquet"))
+    }
+    drop(docs.filter(col("doc_id") % 2 === 0), "even")
+    drop(docs.filter(col("doc_id") % 2 === 1), "odd")
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CountMin.sketch(batch, col("source"), depth = 4, width = 256)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // merge = cell-wise SUM of per-batch counters — the mergeability the
+    // sketch's sum-form counters exist to provide
+    val merged = spark.read.parquet(out)
+      .groupBy("row", "bucket").agg(sum("c").as("c"))
+      .orderBy("row", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    val oneShot = CountMin.sketch(docs, col("source"), 4, 256)
+      .orderBy("row", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(merged.nonEmpty)
+    assert(merged === oneShot)
+    // and more than one per-batch sketch actually contributed
+    assert(spark.read.parquet(out).count() > oneShot.size)
+  }
 }
