@@ -281,6 +281,30 @@ object Relational extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Daily-volume anomaly flags per event type — the monitoring query a
+    // pipeline runs over its own telemetry. The 2σ z-score test is an
+    // ALL-INTEGER inequality: |y−μ| > 2σ  ⇔  (y·n − S)² > 4·(n·Q − S²)
+    // with S = Σy, Q = Σy² (both exact BIGINT sums, order-independent —
+    // no float σ, no sqrt, so both engines agree at every boundary; at
+    // corpus scale the same identity runs in DECIMAL). One daily rollup
+    // shuffle + a broadcast join of the per-type stats (≤ type-cardinality
+    // rows) back to the days.
+    "q58_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("qy"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day"), col("y"),
+          ((col("y") * col("n") - col("sy")) *
+            (col("y") * col("n") - col("sy")) >
+            lit(4L) * (col("n") * col("qy") - col("sy") * col("sy")))
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // Corrupt-tolerant JSON ingestion: a deterministic slice of the feed
     // is mangled (the reality of any raw event log), then parsed with
     // from_json — Spark's PERMISSIVE path yields null structs for corrupt
@@ -1012,6 +1036,20 @@ object Relational extends QueryPack {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q58_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+        |    cast(count(*) as bigint) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    cast(sum(y) as bigint) AS sy, cast(sum(y * y) as bigint) AS qy
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.y,
+        |  (d.y * st.n - st.sy) * (d.y * st.n - st.sy)
+        |    > 4 * (st.n * st.qy - st.sy * st.sy) AS is_anomaly
+        |FROM daily d JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q53_json_robust" ->
       """SELECT event_type, count(*) AS n,

@@ -144,6 +144,37 @@ object Warehouse extends QueryPack {
         .limit(25)
     }),
 
+    // PageRank over the co-purchase graph — the iterative graph-analytics
+    // family beyond d08's label propagation. Three unrolled power
+    // iterations in EXACT integer arithmetic (ranks scaled by 1e6;
+    // per-neighbor contribution = r div deg, damping = (85·Σ) div 100):
+    // integer sums are order-independent, so partial aggregation, AQE
+    // re-partitioning, and DuckDB all produce bit-identical ranks — no
+    // float-accumulation drift. Per iteration: one shuffle join of ranks
+    // to edges + one partial-agg shuffle on dst; edges/degrees compute
+    // once and localCheckpoint so iterations don't replay the pair
+    // generation. Fan-out stays bounded by order size (the q51 pattern),
+    // never corpus-shaped.
+    "q57_pagerank" -> ((s, d) => {
+      val lp = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val half = lp.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+        .select(col("pa"),
+          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+            .as("pb"))
+        .distinct()
+      val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(half.select(col("pb").as("src"), col("pa").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 3)
+        .select(col("node").as("part"), col("r").as("rank_q"),
+          round(col("r").cast("double") / 1e6, 6).as("rank"))
+        .orderBy(col("rank_q").desc, col("part"))
+        .limit(20)
+    }),
+
     // TPC-H Q14 — promo revenue share: one fact scan in a shipdate
     // window, the 200-row part dim broadcast, ONE 1-row aggregate; the
     // percentage is a single double division of two exact decimal sums
@@ -233,6 +264,33 @@ object Warehouse extends QueryPack {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, pa, pb LIMIT 25""".stripMargin,
+
+    "q57_pagerank" -> {
+      // one power iteration, all-integer (// is DuckDB integer division,
+      // identical to Spark's `div` for the non-negative values here)
+      def iter(t: Int): String = {
+        val p = t - 1; val n = t
+        s"""c$n AS (SELECT e.dst AS node, cast(sum(r$p.r // dg.d) as bigint) AS sc
+          |  FROM e JOIN r$p ON r$p.node = e.src JOIN deg dg ON dg.src = e.src
+          |  GROUP BY e.dst),
+          |r$n AS (SELECT node, cast(150000 + (85 * sc) // 100 as bigint) AS r FROM c$n)"""
+          .stripMargin
+      }
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |hp AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa AS src, pb AS dst FROM hp
+        |  UNION ALL SELECT pb AS src, pa AS dst FROM hp),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, cast(1000000 as bigint) AS r FROM deg),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)}
+        |SELECT node AS part, r AS rank_q,
+        |  round(cast(r as double) / 1000000.0, 6) AS rank
+        |FROM r3 ORDER BY rank_q DESC, part LIMIT 20""".stripMargin
+    },
 
     "q54_promo_share" ->
       """WITH j AS (

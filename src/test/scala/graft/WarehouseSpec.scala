@@ -107,4 +107,17 @@ class WarehouseSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("pagerank matches hand-computed integer iterations on a path graph") {
+    import spark.implicits._
+    // undirected path 1—2—3: deg(1)=deg(3)=1, deg(2)=2. Two iterations by
+    // hand (1e6-scaled, contribution = r div deg, damping (85·Σ) div 100):
+    //   iter1: r1=r3=150000+425000=575000, r2=150000+1700000=1850000
+    //   iter2: r1=r3=150000+(85·925000)div 100=936250, r2=150000+977500=1127500
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = graft.operators.PageRank.ranks(edges, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 936250L), (2L, 1127500L), (3L, 936250L)))
+  }
 }
