@@ -92,6 +92,39 @@ object Pipeline extends QueryPack {
     // checked through the versioned store, file reuse and all. Runs
     // against a scratch dir (wiped first, so the query is one
     // deterministic function of sfDir).
+    // Change-data-feed between two snapshot versions: commit v1, upsert
+    // one amended document → v2, then time-travel both versions through
+    // the store and diff them keyed by (doc_id, chunk_idx) — the
+    // row-level CDC feed downstream consumers read instead of rescanning
+    // the table (Delta/Iceberg's CDF, composed from the engine's own
+    // versioned store + digest diff; the diff shuffles 16-byte digests,
+    // never chunk payloads or embeddings).
+    "i10_snapshot_cdf" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i10-cdf").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+      // doc 3 grows past a chunk boundary (changed + added rows); doc 4
+      // is re-ingested with ZERO rows (removed rows — the delete edge)
+      val doc3 = docs.filter(col("doc_id") === 3)
+        .withColumn("text", concat(col("text"), lit(CdfSuffix)))
+      val v1 = graft.operators.SnapshotStore.commit(
+        IngestionPipeline.buildIndexFrom(docs, 120, 20, 8), root,
+        buckets = 8)
+      val v2 = graft.operators.SnapshotStore.upsert(s,
+        IngestionPipeline.buildIndexFrom(doc3, 120, 20, 8),
+        docs.filter(col("doc_id").isin(3, 4)).select("doc_id"),
+        root, buckets = 8)
+      def keyed(v: Long) = graft.operators.SnapshotStore.read(s, root, v)
+        .withColumn("k",
+          concat_ws("_", col("doc_id"), col("chunk_idx")))
+        .drop("doc_id", "chunk_idx", "bucket")
+      graft.operators.TableDiff.diff(keyed(v1), keyed(v2), "k")
+        .orderBy("k")
+    }),
+
     "i05_snapshot_upsert" -> ((s, d) => {
       val root = new java.io.File(
         sys.props("java.io.tmpdir"), "graft-i05-snapshot").getPath
@@ -268,6 +301,14 @@ object Pipeline extends QueryPack {
       to_timestamp(lit("1996-06-01")))
   }
 
+  /** i10's amendment: long enough (>120 chars) that re-chunking doc 3
+    * adds at least one whole new chunk window, so the CDF shows 'added'
+    * rows beside 'changed' and 'removed' ones. */
+  private val CdfSuffix: String =
+    " amended with one hundred and fifty characters of additional curated" +
+      " appendix text so the re-ingested document grows by at least one" +
+      " full extra chunk window"
+
   private def embComponent(i: Int): String =
     s"(${graft.functions.CrossHash.duckHash60(s"chunk || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
 
@@ -297,6 +338,32 @@ object Pipeline extends QueryPack {
 
     // Fresh rebuild over the MUTATED corpus (doc 3's text amended) — what
     // the post-upsert snapshot must equal, file-level reuse and all.
+    "i10_snapshot_cdf" ->
+      s"""WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id = 3 THEN text || '$CdfSuffix' ELSE text END AS text
+        |  FROM documents WHERE doc_id <> 4),
+        |t1 AS (SELECT doc_id, text,
+        |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, cast(i as int) AS chunk_idx,
+        |    substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM t1)),
+        |t2 AS (SELECT doc_id, text,
+        |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+        |  FROM m),
+        |c2 AS (SELECT doc_id, cast(i as int) AS chunk_idx,
+        |    substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM t2)),
+        |j AS (SELECT coalesce(c1.doc_id, c2.doc_id) AS doc_id,
+        |    coalesce(c1.chunk_idx, c2.chunk_idx) AS chunk_idx,
+        |    CASE WHEN c2.doc_id IS NULL THEN 'removed'
+        |         WHEN c1.doc_id IS NULL THEN 'added'
+        |         WHEN c1.chunk <> c2.chunk THEN 'changed' END AS status
+        |  FROM c1 FULL OUTER JOIN c2
+        |    ON c1.doc_id = c2.doc_id AND c1.chunk_idx = c2.chunk_idx)
+        |SELECT concat_ws('_', doc_id, chunk_idx) AS k, status
+        |FROM j WHERE status IS NOT NULL ORDER BY k""".stripMargin,
+
     "i05_snapshot_upsert" ->
       s"""WITH m AS (SELECT doc_id, source,
          |  CASE WHEN doc_id = 3 THEN text || ' amended' ELSE text END AS text

@@ -305,6 +305,46 @@ object Relational extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // Audience-overlap via theta sketches (Datasketches): distinct-user
+    // UNION / INTERSECTION / DIFFERENCE between two event segments
+    // without ever shuffling raw user ids between segments — the
+    // set-algebra HLL cannot do (q46 only unions). Each segment reduces
+    // map-side to one ~4 KB sketch; estimates sit beside the exact
+    // counts with a 5% contract (the q22/q38/q46 de-flake pattern). At
+    // these cardinalities (≤4096 retained hashes) theta runs in exact
+    // mode, so the oracle checks the estimates as exact values; past
+    // exact mode only the _ok contract columns would stay in the oracle.
+    "q59_theta_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+      val sks = ev.groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val est = sks.agg(
+        expr("cast(theta_sketch_estimate(theta_union_agg(sk)) as bigint)")
+          .as("est_union"),
+        expr("cast(theta_sketch_estimate(theta_intersection_agg(sk)) as bigint)")
+          .as("est_overlap"),
+        expr("""cast(theta_sketch_estimate(theta_difference(
+            first(CASE WHEN event_type = 'click' THEN sk END, true),
+            first(CASE WHEN event_type = 'purchase' THEN sk END, true)))
+          as bigint)""").as("est_click_only"))
+      val exact = ev.groupBy("user_id")
+        .agg(countDistinct("event_type").as("nt"),
+          max(when(col("event_type") === "click", 1).otherwise(0))
+            .as("has_click"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("nt") === 2, 1L).otherwise(0L)).as("exact_overlap"),
+          sum(when(col("nt") === 1 && col("has_click") === 1, 1L)
+            .otherwise(0L)).as("exact_click_only"))
+      exact.crossJoin(est)
+        .withColumn("union_ok",
+          abs(col("est_union") - col("exact_union")) * 20 <=
+            col("exact_union"))
+        .withColumn("overlap_ok",
+          abs(col("est_overlap") - col("exact_overlap")) * 20 <=
+            col("exact_overlap"))
+    }),
+
     // Corrupt-tolerant JSON ingestion: a deterministic slice of the feed
     // is mangled (the reality of any raw event log), then parsed with
     // from_json — Spark's PERMISSIVE path yields null structs for corrupt
@@ -1050,6 +1090,22 @@ object Relational extends QueryPack {
         |    > 4 * (st.n * st.qy - st.sy * st.sy) AS is_anomaly
         |FROM daily d JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "q59_theta_overlap" ->
+      """WITH u AS (
+        |  SELECT user_id, count(DISTINCT event_type) AS nt,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id),
+        |x AS (SELECT count(*) AS exact_union,
+        |    cast(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) as bigint) AS exact_overlap,
+        |    cast(sum(CASE WHEN nt = 1 AND has_click = 1 THEN 1 ELSE 0 END) as bigint) AS exact_click_only
+        |  FROM u)
+        |SELECT exact_union, exact_overlap, exact_click_only,
+        |  exact_union AS est_union, exact_overlap AS est_overlap,
+        |  exact_click_only AS est_click_only,
+        |  true AS union_ok, true AS overlap_ok
+        |FROM x""".stripMargin,
 
     "q53_json_robust" ->
       """SELECT event_type, count(*) AS n,

@@ -175,6 +175,43 @@ object Warehouse extends QueryPack {
         .limit(20)
     }),
 
+    // Triangle count + global clustering coefficient over the co-purchase
+    // graph — the second graph-analytics query (with q57's PageRank).
+    // Ordered edges (a<b) make each triangle count exactly once via the
+    // wedge join e1(a,b)⋈e2(b,c) closed by e3(a,c): two shuffle equi-joins
+    // over the edge list, no corpus-shaped blow-up (wedge fan-out is
+    // Σ_b deg(b)² — at true scale orient edges by (degree, id) instead of
+    // raw id to bound the per-node term; the plan shape is identical).
+    // Wedge count Σ C(deg,2) and the 3T/W coefficient stay integer-exact
+    // until one rounded division.
+    "q60_triangles" -> ((s, d) => {
+      val lp = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = lp.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+        .select(col("pa"),
+          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+            .as("pb"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+        .join(e.as("e3"),
+          col("e1.pa") === col("e3.pa") && col("e2.pb") === col("e3.pb"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("pa").as("v"))
+        .unionByName(e.select(col("pb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .agg(expr("cast(sum((dg * (dg - 1)) div 2) as bigint)")
+          .as("n_wedges"))
+      tri.crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
+    }),
+
     // TPC-H Q14 — promo revenue share: one fact scan in a shipdate
     // window, the 200-row part dim broadcast, ONE 1-row aggregate; the
     // percentage is a single double division of two exact decimal sums
@@ -291,6 +328,22 @@ object Warehouse extends QueryPack {
         |  round(cast(r as double) / 1000000.0, 6) AS rank
         |FROM r3 ORDER BY rank_q DESC, part LIMIT 20""".stripMargin
     },
+
+    "q60_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT cast(count(*) as bigint) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |w AS (SELECT cast(sum((dg * (dg - 1)) // 2) as bigint) AS n_wedges
+        |  FROM (SELECT v, count(*) AS dg FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+        |    GROUP BY v))
+        |SELECT n_triangles, n_wedges,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+        |FROM t, w""".stripMargin,
 
     "q54_promo_share" ->
       """WITH j AS (

@@ -99,6 +99,34 @@ object EventStream {
           .as("delay_us"))
   }
 
+  /** LEFT OUTER form of [[clickPurchaseJoin]]: clicks with no purchase in
+    * their 30-minute window emit once with a null purchase — but only
+    * after the global watermark (min over both sides of max-event-time
+    * minus the 1 h delay) passes the click's window end, because until
+    * then a matching purchase could still arrive and the click must stay
+    * in the join state. That eviction horizon is the semantic difference
+    * from a batch left join, and StreamingSpec asserts it exactly: the
+    * streamed result equals the batch left join RESTRICTED to clicks
+    * whose window closed below the final watermark (unmatched clicks
+    * above it are still buffered when a bounded run ends). */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"))
+  }
+
   /** Drain any streaming DataFrame to completion into an in-memory table
     * (AvailableNow processes the static fixture exactly once) and return
     * it as a DataFrame. */

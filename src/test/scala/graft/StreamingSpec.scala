@@ -33,6 +33,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: nulls emit exactly below the eviction horizon") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.drainToMemory(
+      EventStream.clickPurchaseJoinOuter(
+        EventStream.readEvents(spark, sf0001)),
+      "append", "graft_ssjoin_outer")
+    // final global watermark = min(max click_ts, max purchase_ts) − 1 h
+    val ev = Tables.events(spark, sf0001)
+    val maxes = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max("ts").as("m"))
+      .agg(min("m")).collect()(0).getTimestamp(0)
+    val horizonUs = maxes.getTime * 1000L - 3600L * 1000000L
+    // batch reference: left join, outer rows kept only when the click's
+    // 30-minute window closed strictly below the final watermark
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+        "leftOuter")
+      .filter(col("purchase_id").isNotNull ||
+        unix_micros(col("click_ts")) + 30L * 60000000L < lit(horizonUs))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(streamed.filter(col("purchase_id").isNull).count() > 0,
+      "no outer rows emitted — horizon logic untested")
+    assert(s === b)
+  }
+
   test("streaming dedup actually drops planted duplicates") {
     // the fixture has no duplicate event_ids, so plant some: a MemoryStream
     // with every event delivered twice across two batches
