@@ -30,7 +30,13 @@ object PageRank {
     * over the DEDUPLICATED directed edge list (src, dst). */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select("src", "dst").localCheckpoint(eager = false)
+    // hash-partition the edge list by src ONCE and checkpoint:
+    // localCheckpoint preserves the partitioning, so every iteration's
+    // rank⋈edges join reuses it and only the (one row per node) rank
+    // table shuffles — the edge list, the corpus-scale side, never moves
+    // again; the degree aggregation rides the same partitioning for free
+    val e = edges.select("src", "dst").repartition(col("src"))
+      .localCheckpoint(eager = false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))

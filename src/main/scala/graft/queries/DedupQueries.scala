@@ -158,6 +158,32 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Sketch-recall evaluation — the dedup analog of s04's ANN recall:
+    // what fraction of TRUE near-dup pairs (exact 3-gram Jaccard ≥ 0.2,
+    // d02's own verify definition) does the 4×3 MinHash banding catch as
+    // candidates? Truth is exact brute-force all-pairs over a bounded
+    // eval slice (doc_id < 300 — eval-scale only, like s04's exact
+    // top-3; production recall audits run on exactly such a slice), the
+    // candidate set is the production banding path unchanged.
+    "d11_sketch_recall" -> ((s, d) => {
+      val sample = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val sh = sample.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      val truth = sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          round(graft.functions.TextFunctions
+            .jaccard(col("a.sh"), col("b.sh")), 6).as("jacc"))
+        .filter(col("jacc") >= 0.2)
+      val cand = MinHashLSH.candidatePairs(sample, 4, 3)
+      val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_truth"), col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }),
+
     // SemDeDup: semantic dedup confined to IVF cells — data-adaptive
     // blocking where d05's SRP bands are oblivious; reuses the ANN tier's
     // cell assignment (map-only vs centroid literals).
@@ -230,6 +256,26 @@ object DedupQueries extends QueryPack {
         |  round(cast(dup_blocks as double) / n_blocks, 6) AS dup_frac,
         |  dup_blocks * 2 >= n_blocks AS mostly_dup
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "d11_sketch_recall" ->
+      ("WITH " + MinHashLSH.duckSignatureCtes(12) + s""",
+        |bands AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM sig WHERE doc_id < 300")
+          .mkString("\n  UNION ALL ")}),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 300 AND b.doc_id < 300
+        |    AND round(cast(len(list_intersect(a.sh, b.sh)) as double)
+        |      / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) >= 0.2),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |nc AS (SELECT count(*) AS n_caught FROM truth t
+        |  JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id)
+        |SELECT n_truth, n_caught,
+        |  round(cast(n_caught as double) / n_truth, 6) AS recall
+        |FROM nt, nc""".stripMargin),
 
     "d10_semantic_dedup" ->
       s"""WITH q AS (SELECT vec_id, embedding,

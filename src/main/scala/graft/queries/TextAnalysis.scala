@@ -377,6 +377,30 @@ object TextAnalysis extends QueryPack {
     // emitted as a checked column. The sketch's hash family is the
     // engine's seeded md5, so the oracle rebuilds every counter and every
     // estimate exactly — sketch accuracy is value-verified, not assumed.
+    // Token-typicality scoring — the LM-free stand-in for a perplexity
+    // quality filter: a document's score is the MEAN CORPUS FREQUENCY of
+    // its tokens, so rare-vocabulary documents (the ones a unigram LM
+    // would call high-perplexity) score low. Deliberately log-free:
+    // Math.log/std::log differ in final ulps across engines, while
+    // Σ tf(token) is an exact BIGINT — integer until the one closing
+    // division, flag by integer cross-multiplication. One tf shuffle +
+    // one hash join back + one per-doc rollup; tf table is
+    // vocabulary-sized, never corpus-sized.
+    "t22_typicality" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      toks.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("tf").as("sum_tf"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+          round(col("sum_tf").cast("double") / col("n_tokens"), 6)
+            .as("typicality"),
+          (col("sum_tf") < col("n_tokens") * 1000L).as("is_rare"))
+        .orderBy("doc_id")
+    }),
+
     "t21_countmin" -> ((s, d) => {
       val (depth, width) = (4, 256)
       val terms = Tables.documents(s, d)
@@ -475,8 +499,20 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t22_typicality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, cast(count(*) as bigint) AS tf FROM tok GROUP BY tok),
+        |p AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    cast(sum(f.tf) as bigint) AS sum_tf
+        |  FROM tok t JOIN tf f USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, sum_tf,
+        |  round(cast(sum_tf as double) / n_tokens, 6) AS typicality,
+        |  sum_tf < n_tokens * 1000 AS is_rare
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "t21_countmin" ->
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          |cells AS (SELECT r.range AS row,
          |    ${graft.operators.CountMin.duckBucket("r.range", "term", 256)} AS bucket,
          |    count(*) AS c

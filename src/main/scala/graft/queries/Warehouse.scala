@@ -177,17 +177,19 @@ object Warehouse extends QueryPack {
 
     // Triangle count + global clustering coefficient over the co-purchase
     // graph — the second graph-analytics query (with q57's PageRank).
-    // Ordered edges (a<b) make each triangle count exactly once via the
-    // wedge join e1(a,b)⋈e2(b,c) closed by e3(a,c): two shuffle equi-joins
-    // over the edge list, no corpus-shaped blow-up (wedge fan-out is
-    // Σ_b deg(b)² — at true scale orient edges by (degree, id) instead of
-    // raw id to bound the per-node term; the plan shape is identical).
-    // Wedge count Σ C(deg,2) and the 3T/W coefficient stay integer-exact
-    // until one rounded division.
+    // Compact-forward orientation: each undirected edge points from its
+    // LOWER (degree, id) endpoint to the higher, so every triangle has
+    // exactly one wedge apex and — the scale property — per-node
+    // out-degree is O(√m), bounding the wedge join at Σ C(out-deg, 2)
+    // instead of the Σ deg² an id-ordering allows (a hot part with
+    // degree 10⁵ would otherwise own 10¹⁰ wedges). Orientation is two
+    // integer compares, so DuckDB replays it exactly; wedge count
+    // Σ C(deg,2) and the 3T/W coefficient stay integer-exact until one
+    // rounded division.
     "q60_triangles" -> ((s, d) => {
       val lp = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey").distinct()
-      val e = lp.groupBy("l_orderkey")
+      val half = lp.groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .filter(size(col("ps")) > 1)
         .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
@@ -196,14 +198,37 @@ object Warehouse extends QueryPack {
             .as("pb"))
         .distinct()
         .localCheckpoint(eager = false)
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
-        .join(e.as("e3"),
-          col("e1.pa") === col("e3.pa") && col("e2.pb") === col("e3.pb"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val wedges = e.select(col("pa").as("v"))
-        .unionByName(e.select(col("pb").as("v")))
+      val deg = half.select(col("pa").as("v"))
+        .unionByName(half.select(col("pb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val e = half
+        .join(deg.select(col("v").as("pa"), col("dg").as("da")), "pa")
+        .join(deg.select(col("v").as("pb"), col("dg").as("db")), "pb")
+        .select(
+          when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+          when(aFirst, col("pb")).otherwise(col("pa")).as("dst"))
+        .localCheckpoint(eager = false)
+      // Edge-iterator with adjacency intersection: a triangle a≺b≺c is
+      // counted exactly once, at edge (a,b), as c ∈ N⁺(a) ∩ N⁺(b) — the
+      // acyclic orientation makes both c-edges OUT-edges. One groupBy
+      // builds the per-node out-adjacency (out-degree is O(√m) after
+      // orientation), which broadcasts (~8 bytes/edge) onto a map-only
+      // per-edge intersection — measured 2× faster than materialising
+      // the Σ C(out-deg, 2) wedge stream (41M rows here) through a
+      // closure join. Past broadcast range, swap the hint for the
+      // wedge self-join + shuffle-hash closure: same count, same
+      // orientation, shuffle-only plan.
+      val adj = e.groupBy("src")
+        .agg(sort_array(collect_list(col("dst"))).as("nb"))
+      val tri = e
+        .join(broadcast(adj.select(col("src"), col("nb").as("na"))), "src")
+        .join(broadcast(adj.select(col("src").as("dst"),
+          col("nb").as("nbb"))), "dst")
+        .select(size(array_intersect(col("na"), col("nbb"))).as("c"))
+        .agg(sum(col("c")).cast("long").as("n_triangles"))
+      val wedges = deg
         .agg(expr("cast(sum((dg * (dg - 1)) div 2) as bigint)")
           .as("n_wedges"))
       tri.crossJoin(wedges)
@@ -331,16 +356,26 @@ object Warehouse extends QueryPack {
 
     "q60_triangles" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |h AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM lp a JOIN lp b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |    SELECT pa AS v FROM h UNION ALL SELECT pb AS v FROM h)
+        |  GROUP BY v),
+        |e AS (SELECT
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb)
+        |      THEN pa ELSE pb END AS src,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb)
+        |      THEN pb ELSE pa END AS dst,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND pa < pb)
+        |      THEN db.dg ELSE da.dg END AS dd
+        |  FROM h JOIN deg da ON da.v = pa JOIN deg db ON db.v = pb),
         |t AS (SELECT cast(count(*) as bigint) AS n_triangles
-        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
-        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |  FROM e e1 JOIN e e2 ON e1.src = e2.src
+        |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+        |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
         |w AS (SELECT cast(sum((dg * (dg - 1)) // 2) as bigint) AS n_wedges
-        |  FROM (SELECT v, count(*) AS dg FROM (
-        |    SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
-        |    GROUP BY v))
+        |  FROM deg)
         |SELECT n_triangles, n_wedges,
         |  round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
         |FROM t, w""".stripMargin,
