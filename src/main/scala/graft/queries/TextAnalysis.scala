@@ -401,6 +401,41 @@ object TextAnalysis extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation verdict — the whole training-data admission
+    // pipeline as ONE declarative plan: exact-dup gate (d01's
+    // hash-window), quality gate (t02's score, compared on the ROUNDED
+    // value so engines agree at the threshold), and mixture downsampling
+    // (t09's deterministic hash gate) compose into a per-document keep
+    // decision. One corpus scan feeds one md5-window shuffle + a
+    // broadcast weights join — composing the stages does NOT multiply
+    // scans, which is the point of declaring the pipeline as a plan
+    // instead of materialising between stages.
+    "t23_curation_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy(md5(col("text")))
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val stop = TextFunctions.stopwordRatio(col("text"))
+      val punct = TextFunctions.punctRatio(col("text"))
+      val lenTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+      val quality =
+        round(stop * 0.5 + (lit(1.0) - punct) * 0.3 + lenTerm * 0.2, 6)
+      val weights = MixtureWeights.toDF("source", "permille")
+      Tables.documents(s, d)
+        .join(broadcast(weights), "source")
+        .withColumn("is_exact_dup",
+          min(col("doc_id")).over(w) =!= col("doc_id"))
+        .withColumn("quality_ok", quality >= 0.3)
+        .withColumn("sampled",
+          pmod(graft.functions.CrossHash.hash60(
+              concat(lit("mix#"), col("doc_id").cast("string"))),
+            lit(1000L)) < col("permille"))
+        .select(col("doc_id"), col("is_exact_dup"), col("quality_ok"),
+          col("sampled"),
+          (!col("is_exact_dup") && col("quality_ok") && col("sampled"))
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "t21_countmin" -> ((s, d) => {
       val (depth, width) = (4, 256)
       val terms = Tables.documents(s, d)
@@ -499,6 +534,27 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t23_curation_pipeline" ->
+      s"""WITH w(source, permille) AS (VALUES ${
+          MixtureWeights.map { case (s0, p) => s"('$s0', $p)" }.mkString(", ")}),
+        |tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+        |q AS (SELECT doc_id, source, text,
+        |  round(
+        |    (cast(len(list_filter(t, x -> x in ('the','a','an','of','and','or','to','in','is','it'))) as double)
+        |      / cast(greatest(len(t), 1) as double)) * 0.5
+        |    + (1.0 - cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double)
+        |      / cast(greatest(length(text), 1) as double)) * 0.3
+        |    + least(cast(len(t) as double) / 100.0, 1.0) * 0.2, 6) AS quality
+        |  FROM tok),
+        |v AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) <> doc_id AS is_exact_dup,
+        |    quality >= 0.3 AS quality_ok,
+        |    ${graft.functions.CrossHash.duckHash60("'mix#' || cast(doc_id as varchar)")} % 1000 < permille AS sampled
+        |  FROM q JOIN w USING (source))
+        |SELECT doc_id, is_exact_dup, quality_ok, sampled,
+        |  (NOT is_exact_dup AND quality_ok AND sampled) AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     "t22_typicality" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
