@@ -176,11 +176,18 @@ object DedupQueries extends QueryPack {
             .jaccard(col("a.sh"), col("b.sh")), 6).as("jacc"))
         .filter(col("jacc") >= 0.2)
       val cand = MinHashLSH.candidatePairs(sample, 4, 3)
-      val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth"))
+      // checkpoint: the brute-force truth plan would otherwise evaluate
+      // twice (once under n_truth, once under the semi-join count)
+      val truthCk = truth.localCheckpoint(eager = false)
+      val caught = truthCk.join(cand, Seq("a_id", "b_id"), "left_semi")
+      truthCk.agg(count(lit(1)).as("n_truth"))
         .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
         .select(col("n_truth"), col("n_caught"),
-          round(col("n_caught").cast("double") / col("n_truth"), 6)
+          // null (not NaN) on an empty truth set — DuckDB's x/0 is NULL,
+          // and an empty eval slice must not fail the gate
+          when(col("n_truth") === 0L, lit(null).cast("double"))
+            .otherwise(
+              round(col("n_caught").cast("double") / col("n_truth"), 6))
             .as("recall"))
     }),
 

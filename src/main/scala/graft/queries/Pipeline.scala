@@ -84,14 +84,6 @@ object Pipeline extends QueryPack {
         .limit(10)
     }),
 
-    // Transactional index maintenance end-to-end: commit a full snapshot
-    // of the chunk→embed index (manifest-published, graft.operators
-    // .SnapshotStore), then keyed-upsert ONE amended document as version
-    // 2 and read the published snapshot back. The oracle is a fresh
-    // rebuild over the mutated corpus — "upsert equals fresh rebuild"
-    // checked through the versioned store, file reuse and all. Runs
-    // against a scratch dir (wiped first, so the query is one
-    // deterministic function of sfDir).
     // Change-data-feed between two snapshot versions: commit v1, upsert
     // one amended document → v2, then time-travel both versions through
     // the store and diff them keyed by (doc_id, chunk_idx) — the
@@ -125,6 +117,14 @@ object Pipeline extends QueryPack {
         .orderBy("k")
     }),
 
+    // Transactional index maintenance end-to-end: commit a full snapshot
+    // of the chunk→embed index (manifest-published, graft.operators
+    // .SnapshotStore), then keyed-upsert ONE amended document as version
+    // 2 and read the published snapshot back. The oracle is a fresh
+    // rebuild over the mutated corpus — "upsert equals fresh rebuild"
+    // checked through the versioned store, file reuse and all. Runs
+    // against a scratch dir (wiped first, so the query is one
+    // deterministic function of sfDir).
     "i05_snapshot_upsert" -> ((s, d) => {
       val root = new java.io.File(
         sys.props("java.io.tmpdir"), "graft-i05-snapshot").getPath

@@ -343,6 +343,9 @@ object Relational extends QueryPack {
         .withColumn("overlap_ok",
           abs(col("est_overlap") - col("exact_overlap")) * 20 <=
             col("exact_overlap"))
+        .withColumn("click_only_ok",
+          abs(col("est_click_only") - col("exact_click_only")) * 20 <=
+            col("exact_click_only"))
     }),
 
     // Corrupt-tolerant JSON ingestion: a deterministic slice of the feed
@@ -1104,7 +1107,7 @@ object Relational extends QueryPack {
         |SELECT exact_union, exact_overlap, exact_click_only,
         |  exact_union AS est_union, exact_overlap AS est_overlap,
         |  exact_click_only AS est_click_only,
-        |  true AS union_ok, true AS overlap_ok
+        |  true AS union_ok, true AS overlap_ok, true AS click_only_ok
         |FROM x""".stripMargin,
 
     "q53_json_robust" ->

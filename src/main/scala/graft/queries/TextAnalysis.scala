@@ -568,7 +568,7 @@ object TextAnalysis extends QueryPack {
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "t21_countmin" ->
-s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          |cells AS (SELECT r.range AS row,
          |    ${graft.operators.CountMin.duckBucket("r.range", "term", 256)} AS bucket,
          |    count(*) AS c

@@ -32,6 +32,22 @@ object Warehouse extends QueryPack {
   private def revenue(price: Column, disc: Column): Column =
     sum(dec2(price) * (one2 - dec2(disc))).cast("double")
 
+  /** Ordered co-purchase part pairs (pa < pb), one row per order that
+    * contains the pair — the shared edge stream of q51 (pair counts),
+    * q57 (PageRank graph) and q60 (triangles). Per-order part sets from
+    * ONE partial-agg shuffle; pairs stream from the two-nested-explode
+    * pattern, fan-out bounded by order size, never corpus-shaped. */
+  private def coPurchasePairs(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+          .as("pb"))
+
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q3 — shipping priority: orders not yet shipped for one market
@@ -129,15 +145,7 @@ object Warehouse extends QueryPack {
     // size (≤7 parts per TPC-H order), never corpus-shaped. Top-25 via
     // TakeOrderedAndProject.
     "q51_copurchase" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .filter(size(col("ps")) > 1)
-        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
-        .select(col("pa"),
-          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
-            .as("pb"))
+      coPurchasePairs(Tables.lineitem(s, d))
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
@@ -156,16 +164,7 @@ object Warehouse extends QueryPack {
     // generation. Fan-out stays bounded by order size (the q51 pattern),
     // never corpus-shaped.
     "q57_pagerank" -> ((s, d) => {
-      val lp = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey").distinct()
-      val half = lp.groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .filter(size(col("ps")) > 1)
-        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
-        .select(col("pa"),
-          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
-            .as("pb"))
-        .distinct()
+      val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(half.select(col("pb").as("src"), col("pa").as("dst")))
       graft.operators.PageRank.ranks(edges, iters = 3)
@@ -187,16 +186,7 @@ object Warehouse extends QueryPack {
     // Σ C(deg,2) and the 3T/W coefficient stay integer-exact until one
     // rounded division.
     "q60_triangles" -> ((s, d) => {
-      val lp = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey").distinct()
-      val half = lp.groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .filter(size(col("ps")) > 1)
-        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
-        .select(col("pa"),
-          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
-            .as("pb"))
-        .distinct()
+      val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
         .localCheckpoint(eager = false)
       val deg = half.select(col("pa").as("v"))
         .unionByName(half.select(col("pb").as("v")))
@@ -220,8 +210,11 @@ object Warehouse extends QueryPack {
       // closure join. Past broadcast range, swap the hint for the
       // wedge self-join + shuffle-hash closure: same count, same
       // orientation, shuffle-only plan.
+      // checkpointed: the aggregation feeds TWO broadcasts (per-side
+      // projections differ, so exchange reuse would not dedupe them)
       val adj = e.groupBy("src")
         .agg(sort_array(collect_list(col("dst"))).as("nb"))
+        .localCheckpoint(eager = false)
       val tri = e
         .join(broadcast(adj.select(col("src"), col("nb").as("na"))), "src")
         .join(broadcast(adj.select(col("src").as("dst"),

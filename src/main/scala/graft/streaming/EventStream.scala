@@ -81,7 +81,11 @@ object EventStream {
     * dropped from the join state. Unbounded streams, bounded state — the
     * 100 TB/day requirement for any stream-stream join.
     */
-  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+  /** Shared sides + interval condition of the click→purchase join — ONE
+    * definition of the watermark delays and the 30-minute window, so the
+    * inner (q37-checked) and left-outer variants cannot drift apart. */
+  private def clickPurchaseJoined(events: DataFrame,
+      joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -91,13 +95,17 @@ object EventStream {
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
     clicks.join(purchases,
-        col("user_id") === col("p_user")
-          && col("purchase_ts") >= col("click_ts")
-          && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+      joinType)
+  }
+
+  def clickPurchaseJoin(events: DataFrame): DataFrame =
+    clickPurchaseJoined(events, "inner")
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("delay_us"))
-  }
 
   /** LEFT OUTER form of [[clickPurchaseJoin]]: clicks with no purchase in
     * their 30-minute window emit once with a null purchase — but only
@@ -109,23 +117,10 @@ object EventStream {
     * streamed result equals the batch left join RESTRICTED to clicks
     * whose window closed below the final watermark (unmatched clicks
     * above it are still buffered when a bounded run ends). */
-  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"),
-        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    clicks.join(purchases,
-        col("user_id") === col("p_user")
-          && col("purchase_ts") >= col("click_ts")
-          && col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
-        "leftOuter")
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame =
+    clickPurchaseJoined(events, "leftOuter")
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"))
-  }
 
   /** Drain any streaming DataFrame to completion into an in-memory table
     * (AvailableNow processes the static fixture exactly once) and return
