@@ -251,6 +251,67 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/index")
   }
 
+  private def readCentroids(spark: SparkSession,
+      path: String): Array[(Long, Array[Long])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
+  /** Append NEW vectors to a stored index WITHOUT re-clustering: assign
+    * against the persisted centroids (map-only — the centroid table is
+    * the index's sidecar, never re-derived from the corpus) and append
+    * files into only the touched cent_id partitions. Commit cost ∝
+    * delta; existing files are never rewritten; queries see the same
+    * cells, so [[searchIndexed]] needs no change. The standard
+    * vector-index maintenance move — re-clustering is a separate,
+    * explicit [[trainCentroids]] + [[writeIndexWith]] rebuild. Caller
+    * contract: vec_ids in `newEmb` are NEW (use [[upsertIndexed]] when
+    * ids may already exist). */
+  def appendToIndex(spark: SparkSession, path: String,
+      newEmb: DataFrame): Unit =
+    cellRanksWith(newEmb, readCentroids(spark, path))
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cent_id")
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/index")
+
+  /** Keyed upsert into a stored index: re-embedded vectors REPLACE their
+    * old rows by vec_id. New assignments come from the persisted
+    * centroids; only the touched cells' partitions are read (partition
+    * pruning), anti-joined on vec_id, unioned with the fresh rows, and
+    * dynamic-partition-overwritten — commit cost ∝ touched cells, the
+    * rest of the index is untouched. NOTE: a re-embedded vector's home
+    * cell can CHANGE; the old cell is touched via the id lookup below, so
+    * no stale row survives. Merged rows localCheckpoint-materialize
+    * before the overwrite commits (Spark must never lazily re-read
+    * partitions the same job deletes). */
+  def upsertIndexed(spark: SparkSession, path: String,
+      newEmb: DataFrame): Unit = {
+    val cents = readCentroids(spark, path)
+    val fresh = cellRanksWith(newEmb, cents)
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cent_id")
+      .localCheckpoint(eager = true)
+    val freshIds = fresh.select("vec_id")
+    // cells touched by the NEW assignment plus cells currently holding
+    // any upserted id (a vector can migrate cells when re-embedded)
+    val index = spark.read.parquet(s"$path/index")
+    val oldCells = index.join(freshIds, Seq("vec_id"), "left_semi")
+      .select("cent_id").distinct()
+    val touched = fresh.select("cent_id").distinct()
+      .union(oldCells).distinct()
+      .collect().map(_.getLong(0))
+    val merged = index
+      .filter(col("cent_id").isin(touched: _*))
+      .join(freshIds, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cent_id")
+      .unionByName(fresh)
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id").parquet(s"$path/index")
+  }
+
   /** Search a [[writeIndex]]-materialized index. Probe cell ids resolve
     * driver-side (≤ queries × nProbe ids — `queries` is assumed to be a
     * query set, not the corpus), then the stored index is read with
@@ -258,10 +319,7 @@ object IvfIndex {
     * files are ever opened. `queries` needs (vec_id, embedding). */
   def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    val cents = readCentroids(spark, path)
     val probes = cellRanksWith(queries, cents)
       .filter(col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -42,6 +42,74 @@ class IvfIndexSpec extends SparkTestBase {
     assert(stored === live)
   }
 
+  test("appendToIndex equals a fresh rebuild with the same centroids") {
+    cleanup()
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = IvfIndex.centroids(emb, 16)
+    // build from the even half, append the odd half incrementally
+    IvfIndex.writeIndexWith(emb.filter(col("vec_id") % 2 === 0), cents,
+      indexPath)
+    IvfIndex.appendToIndex(spark, indexPath,
+      emb.filter(col("vec_id") % 2 === 1))
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    val incremental = IvfIndex
+      .searchIndexed(spark, indexPath, queries, nProbe = 2, topK = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+
+    val rebuiltPath = indexPath + "-rebuilt"
+    val f = new java.io.File(rebuiltPath)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively() }
+    IvfIndex.writeIndexWith(emb, cents, rebuiltPath)
+    val rebuilt = IvfIndex
+      .searchIndexed(spark, rebuiltPath, queries, nProbe = 2, topK = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+
+    assert(incremental.nonEmpty)
+    assert(incremental === rebuilt)
+  }
+
+  test("upsertIndexed replaces re-embedded vectors, even across cells") {
+    cleanup()
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = IvfIndex.centroids(emb, 16)
+    IvfIndex.writeIndexWith(emb, cents, indexPath)
+
+    // re-embed vectors 40-44 with vector 7's embedding: same ids, new
+    // values — their home cells can change, old rows must vanish
+    val donor = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").as("donor")).limit(1)
+    val mutated = emb.filter(col("vec_id").between(40, 44))
+      .crossJoin(broadcast(donor))
+      .select(col("vec_id"), col("donor").as("embedding"))
+    IvfIndex.upsertIndexed(spark, indexPath, mutated)
+
+    val stored = spark.read.parquet(s"$indexPath/index")
+    // no duplicate ids, corpus size unchanged
+    assert(stored.count() === emb.count())
+    assert(stored.select("vec_id").distinct().count() === emb.count())
+
+    // equals a fresh rebuild of the mutated corpus with the same cents
+    val current = emb.filter(!col("vec_id").between(40, 44))
+      .select("vec_id", "embedding")
+      .unionByName(mutated)
+    val rebuiltPath = indexPath + "-rebuilt2"
+    val f = new java.io.File(rebuiltPath)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively() }
+    IvfIndex.writeIndexWith(current, cents, rebuiltPath)
+    val got = stored.select("vec_id", "cent_id")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val want = spark.read.parquet(s"$rebuiltPath/index")
+      .select("vec_id", "cent_id")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("search rejects a queryFilter over rank-side columns with a named error") {
     val emb = Tables.embeddings(spark, sf0001)
     val err = intercept[IllegalArgumentException] {
