@@ -69,6 +69,53 @@ class StreamingSpec extends SparkTestBase {
     assert(s === b)
   }
 
+  test("bounded top-k aggregator: streaming complete mode equals batch window") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.TopKAgg
+
+    val topk = TopKAgg.topK(3) _
+    val streamed = EventStream.drainToMemory(
+      EventStream.readEvents(spark, sf0001)
+        .groupBy("event_type")
+        .agg(topk(col("value"), col("event_id")).as("top")),
+      "complete", "graft_topk_agg")
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).as("rank"),
+        col("e._2").as("event_id"), col("e._1").as("value"))
+      .orderBy("event_type", "rank")
+      .collect().map(_.toSeq).toSeq
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank").cast("long"),
+        col("event_id"), col("value"))
+      .orderBy("event_type", "rank")
+      .collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("top-k aggregator buffer stays bounded and merge order cannot matter") {
+    val agg = new graft.streaming.TopKAgg(3)
+    val xs = Seq((5.0, 10L), (7.0, 3L), (5.0, 2L), (9.0, 8L), (1.0, 1L),
+      (7.0, 4L), (9.0, 9L))
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.size === 3)
+    assert(whole === Seq((9.0, 8L), (9.0, 9L), (7.0, 3L)))
+    // split + merge at every cut point must equal the single-pass fold
+    for (cut <- 0 to xs.size) {
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m === whole, s"cut at $cut diverged")
+    }
+  }
+
   test("streaming dedup actually drops planted duplicates") {
     // the fixture has no duplicate event_ids, so plant some: a MemoryStream
     // with every event delivered twice across two batches
