@@ -401,6 +401,25 @@ object TextAnalysis extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement — priority sampling
+    // (public method: Duffield, Lund & Thorup 2007): item priority =
+    // uniform(hash) / weight, keep the k smallest, so inclusion odds
+    // scale with the weight (here n_chars: longer documents sampled
+    // preferentially) while the whole pass is map-only + a k-row
+    // TakeOrderedAndProject — the one-pass weighted reservoir a 100 TB
+    // corpus sample needs (t18 is the UNweighted k-per-stratum analog).
+    // Priority is one IEEE division of exact integers — correctly
+    // rounded, so both engines compute the identical double.
+    "t24_weighted_sample" -> ((s, d) => {
+      val pri = graft.functions.CrossHash.hash60(
+          concat(lit("ws#"), col("doc_id").cast("string")))
+        .cast("double") / col("n_chars").cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), pri.as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
+    }),
+
     // End-to-end curation verdict — the whole training-data admission
     // pipeline as ONE declarative plan: exact-dup gate (d01's
     // hash-window), quality gate (t02's score, compared on the ROUNDED
@@ -534,6 +553,13 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t24_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+        |  cast(${graft.functions.CrossHash.duckHash60("'ws#' || cast(doc_id as varchar)")} as double)
+        |    / cast(n_chars as double) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
     "t23_curation_pipeline" ->
       s"""WITH w(source, permille) AS (VALUES ${
           MixtureWeights.map { case (s0, p) => s"('$s0', $p)" }.mkString(", ")}),
