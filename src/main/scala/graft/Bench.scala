@@ -68,9 +68,31 @@ object Bench {
     // as a better time).
     val failed = results.count(_._2 < 0.0)
     val total = results.filter(_._2 >= 0.0).map(_._2).sum
+    // Like-for-like cross-round comparison: the exact query set BENCH_r04
+    // recorded (63 queries). `total_r04suite` sums only those, so round
+    // totals stay comparable even though the suite keeps growing.
+    val r04Suite: Set[String] = (
+      "d01_exact_dedup,d02_minhash_lsh,d03_simhash,d04_simhash_pairs," +
+      "d05_embedding_near_dup,d06_dedup_summary,i01_ingest_index," +
+      "i02_extraction_refs,m01_media_meta,q01_pricing_summary," +
+      "q02_filter_project,q03_join_broadcast,q04_join_multiway,q05_semi_join," +
+      "q06_anti_join,q07_window_rank,q08_window_running,q09_rollup,q10_cube," +
+      "q11_setops,q12_count_distinct,q13_topk,q14_monthly_revenue," +
+      "q15_json_extract,q16_string_funcs,q17_having,q18_avg_by_nation," +
+      "q19_event_gaps,q20_hourly_events,q21_path_parse,q22_approx_distinct," +
+      "q23_asof_join,q24_topk_custom,q25_sessionize,q26_median,q27_stats," +
+      "q28_event_type_sets,q29_pivot,q30_unpivot,q31_sample," +
+      "q32_grouping_sets,q33_sql_text,r01_topk_sim,r02_rag_search," +
+      "r03_doc_listing,r04_keyword_search,r05_regex_extract,r06_chunks," +
+      "r07_vector_ids,r08_embed_query,r09_report,r10_query_classify," +
+      "r11_rag_format,r12_json_tables,s01_ann_srp,s02_sim_join_topk," +
+      "s03_ann_ivf,t01_langid,t02_quality,t03_token_stats,t04_fingerprint," +
+      "t05_term_freq,t06_tfidf").split(",").toSet
+    val totalR04 = results
+      .filter { case (n, v) => r04Suite(n) && v >= 0.0 }.map(_._2).sum
     // n_queries: totals are only comparable across rounds at the same
-    // query count (the suite grew 62 -> 104 during round 5).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // query count (the suite grew 63 -> 134 during round 5).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
