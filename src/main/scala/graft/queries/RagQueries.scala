@@ -139,6 +139,29 @@ object RagQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Boolean AND retrieval over an inverted-index shape: the posting
+    // stream is explode(tokens) filtered against the literal query-term
+    // set (map-only — the terms prune before any shuffle, exactly like
+    // r15's phrase literal), then ONE partial-agg shuffle per doc_id
+    // counts distinct matched terms (AND = every term present) and total
+    // hits. Work after the filter ∝ matching postings, never corpus
+    // width; at rest the same (term, doc_id) stream IS the inverted
+    // index and this becomes a k-way posting intersection.
+    "r16_boolean_search" -> ((s, d) => {
+      val terms = Seq("spark", "join", "stream")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_hits"))
+        .filter(col("n_terms") === terms.size)
+        .orderBy(col("n_hits").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Document catalog: distinct sources with first-doc-per-source dedup —
     // the deterministic form of ra/server.py:36-43's first-seen-wins.
     "r03_doc_listing" -> ((s, d) => {
@@ -299,6 +322,16 @@ object RagQueries extends QueryPack {
         |  SELECT doc_id, unnest(sh) AS g FROM shl)
         |WHERE g = 'value table'
         |GROUP BY doc_id
+        |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    "r16_boolean_search" ->
+      """SELECT doc_id,
+        |  count(DISTINCT term) AS n_terms, count(*) AS n_hits
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |WHERE term IN ('spark', 'join', 'stream')
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3
         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
 
     "r01_topk_sim" ->

@@ -420,6 +420,94 @@ object TextAnalysis extends QueryPack {
         .limit(50)
     }),
 
+    // Equi-depth (quantile) histogram — q48's "window over VALUES, not
+    // rows" trick: the corpus collapses to value-level counts first (one
+    // map-side-combining shuffle, output bounded by the n_chars domain),
+    // the cumulative rank runs over that small table, and bucket =
+    // 1 + (cum−1)·4 div N is integer-exact at every boundary (a tied
+    // value lands wholly in one bucket — equi-depth cannot split a
+    // value). No global row-ordered window ever touches the corpus,
+    // which is what makes this shape survive 100 TB where the textbook
+    // ntile-over-everything formulation is a single-partition sort.
+    "t25_equidepth" -> ((s, d) => {
+      val byVal = Tables.documents(s, d)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("n_chars")
+      byVal
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cnt").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("bucket", expr("cast(1 + ((cum - 1) * 4) div n as int)"))
+        .groupBy("bucket")
+        .agg(sum("cnt").as("n_docs"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // Bigram language-model statistics — conditional next-token counts,
+    // the perplexity-filter building block t22 approximates at the
+    // unigram level. ONE corpus-width shuffle (bigram counts from the
+    // 2-shingle explode); the w1 marginal derives from the bigram table
+    // itself (vocabulary-bounded second aggregate, broadcast back), so
+    // the corpus is scanned once. Conditional probability is emitted as
+    // integer permille (n·1000 div marginal) — order-independent and
+    // engine-exact where a float ratio would drift.
+    "t26_bigram_lm" -> ((s, d) => {
+      val big = Tables.documents(s, d)
+        .select(explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+        .filter(size(split(col("g"), " ")) === 2)
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      val pairs = big
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .withColumn("w2", substring_index(col("g"), " ", -1))
+        .drop("g")
+      val marg = pairs.groupBy("w1").agg(sum("n").as("nw1"))
+      pairs.join(broadcast(marg), "w1")
+        .select(col("w1"), col("w2"), col("n"),
+          expr("cast((n * 1000) div nw1 as bigint)").as("permille"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // Term-association mining (collocation lift) — log-free PMI analog:
+    // lift = P(a,b) / (P(a)·P(b)) scaled to integer permille via cross-
+    // multiplication, so engines agree at every boundary with no ln/pow.
+    // The pair space is bounded BEFORE the quadratic step: postings are
+    // semi-joined to the top-20 document-frequency vocabulary (broadcast,
+    // deterministic df-desc/term tie-break), so each document contributes
+    // ≤ C(20,2) pairs regardless of its length, and the pair self-join is
+    // co-partitioned on doc_id (no corpus-shaped fan-out — the q51
+    // co-purchase bound, applied to text).
+    "t27_term_assoc" -> ((s, d) => {
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+      val top = posts.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)
+      val matched = posts.join(broadcast(top), "term")
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"))
+      val a = matched.select(col("doc_id"), col("term").as("term_a"),
+        col("df").as("df_a"))
+      val b = matched.select(col("doc_id"), col("term").as("term_b"),
+        col("df").as("df_b"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("term_a") < col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(count(lit(1)).as("co"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("term_a"), col("term_b"), col("co"),
+          expr("cast((co * n_docs * 1000) div (df_a * df_b) as bigint)")
+            .as("lift_permille"))
+        .orderBy(col("co").desc, col("term_a"), col("term_b"))
+        .limit(15)
+    }),
+
     // End-to-end curation verdict — the whole training-data admission
     // pipeline as ONE declarative plan: exact-dup gate (d01's
     // hash-window), quality gate (t02's score, compared on the ROUNDED
@@ -559,6 +647,51 @@ object TextAnalysis extends QueryPack {
         |    / cast(n_chars as double) AS priority
         |FROM documents
         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
+    "t25_equidepth" ->
+      """WITH v AS (SELECT n_chars, count(*) AS cnt
+        |           FROM documents GROUP BY n_chars),
+        |c AS (SELECT n_chars, cnt,
+        |  sum(cnt) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS n
+        |  FROM v)
+        |SELECT cast(1 + ((cum - 1) * 4) // n as int) AS bucket,
+        |  cast(sum(cnt) as bigint) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "t26_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT CASE WHEN len(t) < 2 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END AS sh
+        |  FROM tok),
+        |big AS (SELECT g, count(*) AS n FROM (
+        |    SELECT unnest(sh) AS g FROM shl)
+        |  WHERE len(string_split(g, ' ')) = 2 GROUP BY g),
+        |p AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, n
+        |  FROM big),
+        |m AS (SELECT w1, sum(n) AS nw1 FROM p GROUP BY w1)
+        |SELECT p.w1 AS w1, p.w2 AS w2, p.n AS n,
+        |  cast((p.n * 1000) // m.nw1 as bigint) AS permille
+        |FROM p JOIN m ON p.w1 = m.w1
+        |ORDER BY p.n DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
+
+    "t27_term_assoc" ->
+      """WITH posts AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |top AS (SELECT term, count(*) AS df FROM posts GROUP BY term
+        |  ORDER BY df DESC, term LIMIT 20),
+        |m AS (SELECT p.doc_id, p.term, t.df FROM posts p JOIN top t USING (term)),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+        |    a.df AS df_a, b.df AS df_b, count(*) AS co
+        |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT term_a, term_b, co,
+        |  cast((co * n_docs * 1000) // (df_a * df_b) as bigint) AS lift_permille
+        |FROM pr, n
+        |ORDER BY co DESC, term_a, term_b LIMIT 15""".stripMargin,
 
     "t23_curation_pipeline" ->
       s"""WITH w(source, permille) AS (VALUES ${
