@@ -191,6 +191,20 @@ object DedupQueries extends QueryPack {
             .as("recall"))
     }),
 
+    // Winnowing (MOSS) shared-fingerprint pairs — the span-level sketch
+    // between t04's one global min-hash and d09's exact block dedup:
+    // docs sharing a substring of length ≥ w+k−1 = 15 chars are
+    // GUARANTEED to share a winnowing fingerprint; pairs stream from
+    // capped fingerprint buckets (df ≤ 50 — boilerplate fingerprints
+    // generate no pairs), so fan-out is never corpus-shaped.
+    "d12_winnow_pairs" -> ((s, d) => {
+      graft.operators.Winnowing
+        .sharedFingerprints(Tables.documents(s, d),
+          k = 8, w = 8, minShared = 2, dfCap = 50)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    }),
+
     // SemDeDup: semantic dedup confined to IVF cells — data-adaptive
     // blocking where d05's SRP bands are oblivious; reuses the ANN tier's
     // cell assignment (map-only vs centroid literals).
@@ -283,6 +297,20 @@ object DedupQueries extends QueryPack {
         |SELECT n_truth, n_caught,
         |  round(cast(n_caught as double) / n_truth, 6) AS recall
         |FROM nt, nc""".stripMargin),
+
+    "d12_winnow_pairs" ->
+      ("WITH " + graft.operators.Winnowing.duckFingerprintCtes(8, 8) + """,
+        |bkt AS (SELECT fp, list_sort(list(doc_id)) AS ids
+        |  FROM fp GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 50),
+        |ex1 AS (SELECT ids, unnest(range(1, len(ids) + 1)) AS i FROM bkt),
+        |ex2 AS (SELECT ids[cast(i as int)] AS a_id,
+        |    unnest(ids[cast(i + 1 as int) : len(ids)]) AS b_id FROM ex1),
+        |pr AS (SELECT a_id, b_id, count(*) AS n_shared FROM ex2
+        |  GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, n_shared FROM pr
+        |WHERE n_shared >= 2
+        |ORDER BY n_shared DESC, a_id, b_id LIMIT 100""".stripMargin),
 
     "d10_semantic_dedup" ->
       s"""WITH q AS (SELECT vec_id, embedding,

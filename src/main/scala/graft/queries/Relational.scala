@@ -652,6 +652,26 @@ object Relational extends QueryPack {
         .orderBy("hour_start", "event_type")
     }),
 
+    // Hopping (sliding) window aggregation — q20's tumbling twin: 1-hour
+    // windows every 30 minutes, so each event contributes to exactly
+    // len/slide = 2 windows. Spark's window() explodes the hop
+    // assignments map-side (fan-out bounded by len/slide, never
+    // corpus-shaped) and aggregates in ONE shuffle keyed by
+    // (window_start, type); window starts are epoch-aligned, which
+    // DuckDB's time_bucket replays exactly (its 2000-01-01 origin sits
+    // on a 30-minute epoch boundary).
+    "q61_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // Tolerance range join (graft.operators.RangeJoin): click/view events
     // within ±30 s of each purchase, with NO equi-key — the pair predicate
     // is purely temporal, the case Catalyst can only plan as a nested-loop
@@ -1154,6 +1174,17 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q61_sliding_window" ->
+      """WITH ev AS (SELECT cast(ts as timestamp) AS t, event_type FROM events),
+        |hops AS (SELECT t, event_type,
+        |    unnest([time_bucket(INTERVAL 30 MINUTES, t),
+        |            time_bucket(INTERVAL 30 MINUTES, t) - INTERVAL 30 MINUTES]) AS w
+        |  FROM ev)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  count(*) AS n
+        |FROM hops
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q32_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

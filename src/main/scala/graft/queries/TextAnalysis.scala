@@ -471,6 +471,26 @@ object TextAnalysis extends QueryPack {
         .limit(20)
     }),
 
+    // Deterministic train/val/test split — the canonical ML data-prep
+    // op: split assignment is a pure function of a seeded doc-id hash
+    // (stable under re-partitioning, re-runs, and corpus growth — no RNG
+    // state, no sampleBy), 80/10/10 by hash permille. Map-only
+    // assignment; the output is the per-(source, split) accounting whose
+    // sums reconcile to the corpus (partition completeness — every doc
+    // lands in exactly one split).
+    "t28_train_split" -> ((s, d) => {
+      val h = pmod(graft.functions.CrossHash.hash60(
+        concat(lit("split#"), col("doc_id").cast("string"))), lit(1000L))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("source", "split")
+    }),
+
     // Term-association mining (collocation lift) — log-free PMI analog:
     // lift = P(a,b) / (P(a)·P(b)) scaled to integer permille via cross-
     // multiplication, so engines agree at every boundary with no ln/pow.
@@ -676,6 +696,17 @@ object TextAnalysis extends QueryPack {
         |  cast((p.n * 1000) // m.nw1 as bigint) AS permille
         |FROM p JOIN m ON p.w1 = m.w1
         |ORDER BY p.n DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
+
+    "t28_train_split" ->
+      s"""WITH h AS (SELECT source, n_chars,
+        |    ${graft.functions.CrossHash.duckHash60("'split#' || cast(doc_id as varchar)")} % 1000 AS hm
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN hm < 800 THEN 'train' WHEN hm < 900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS n_chars_total
+        |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "t27_term_assoc" ->
       """WITH posts AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term

@@ -210,4 +210,32 @@ class DedupSpec extends SparkTestBase {
     assert(dups.head._2 === 3L) // assigned to vec 3's cell
     assert(kept.forall(_._4))
   }
+
+  test("winnowing guarantees a shared fingerprint for shared substrings") {
+    // The MOSS guarantee: substrings of length >= w + k - 1 = 15 shared
+    // between two documents MUST yield a shared fingerprint (the window
+    // inside the common span selects the same minimum on both sides).
+    val common = "zq xv jk wm pt rb common stolen span of text nd lf yg hs"
+    val docs = Seq(
+      (1L, "alpha beta gamma " + common + " delta epsilon"),
+      (2L, "totally other prefix here " + common + " and a suffix"),
+      (3L, "no overlap with anything else whatsoever in this doc"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.Winnowing.fingerprints(docs)
+    val f1 = fps.filter($"doc_id" === 1L).select("fp").as[Long].collect().toSet
+    val f2 = fps.filter($"doc_id" === 2L).select("fp").as[Long].collect().toSet
+    val f3 = fps.filter($"doc_id" === 3L).select("fp").as[Long].collect().toSet
+    assert((f1 & f2).nonEmpty)
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+
+    val pairs = graft.operators.Winnowing
+      .sharedFingerprints(docs, minShared = 2, dfCap = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+
+    // A document shorter than one full window still fingerprints (its
+    // global minimum) instead of vanishing from the sketch.
+    val tiny = Seq((9L, "abc")).toDF("doc_id", "text")
+    assert(graft.operators.Winnowing.fingerprints(tiny).count() === 1L)
+  }
 }
