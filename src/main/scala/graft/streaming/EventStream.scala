@@ -60,6 +60,20 @@ object EventStream {
           .as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes — q61's streaming
+    * twin: each event updates exactly len/slide = 2 window states, so
+    * state is 2× the tumbling case and still watermark-bounded (closed
+    * windows evict). Output columns match q61_sliding_window. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"),
+        col("event_type"), col("n"))
+
   /** Streaming exact dedup by event_id: duplicates arriving within the
     * watermark are dropped with bounded state
     * (dropDuplicatesWithinWatermark — the streaming twin of the batch
@@ -142,6 +156,12 @@ object EventStream {
   def runOnce(spark: SparkSession, dir: String,
       queryName: String = "graft_events"): DataFrame =
     drainToMemory(hourlyCounts(readEvents(spark, dir)), "complete", queryName)
+
+  /** Drain the sliding-window aggregation once against the fixture. */
+  def runSlidingOnce(spark: SparkSession, dir: String,
+      queryName: String = "graft_sliding"): DataFrame =
+    drainToMemory(slidingCounts(readEvents(spark, dir)), "complete",
+      queryName)
 
   /** Drain the streaming dedup once against the static fixture. */
   def runDedupOnce(spark: SparkSession, dir: String,

@@ -14,6 +14,17 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sliding windows equal the batch q61 result") {
+    val streamed = EventStream
+      .runSlidingOnce(spark, sf0001, "graft_sliding_spec")
+      .orderBy("w_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q61_sliding_window")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val streamed = EventStream
       .runDedupOnce(spark, sf0001, "graft_dedup_spec")
