@@ -248,6 +248,40 @@ object Similarity extends QueryPack {
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("label") +: col("n") +: means: _*)
         .orderBy("label")
+    }),
+
+    // Clustering-quality audit for the ANN tier — the QA a production
+    // vector index runs after (re)training: per cell, member count, mean
+    // distance to the OWN centroid (cohesion) and to the NEAREST OTHER
+    // centroid (separation), plus their integer-permille ratio (a
+    // silhouette-style score with no per-vector float division). One
+    // pass: cellRanks is map-only vs centroid literals, rk ≤ 2 rows
+    // collapse per vector in a single map-side-combinable shuffle, and
+    // the per-cell rollup aggregates exact BIGINT distance sums (the
+    // single IEEE division at output is correctly rounded — engine-safe).
+    "s12_cluster_quality" -> ((s, d) => {
+      val ranked = graft.operators.IvfIndex
+        .cellRanks(Tables.embeddings(s, d), k = 16)
+      ranked.filter(col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+          min(when(col("rk") === 1, col("cent_id"))).as("cell"),
+          min(when(col("rk") === 1, col("dist"))).as("a"),
+          min(when(col("rk") === 2, col("dist"))).as("b"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+        .select(col("cell").as("cent_id"), col("n_members"),
+          round(col("sa").cast("double") / col("n_members"), 6)
+            .as("mean_intra"),
+          round(col("sb").cast("double") / col("n_members"), 6)
+            .as("mean_second"),
+          // a cell holding only its own centroid has sa = 0 — emit null,
+          // not a division error (the d11 empty-edge rule)
+          when(col("sa") === 0L, lit(null).cast("long"))
+            .otherwise(expr("cast((sb * 1000) div sa as bigint)"))
+            .as("separation_permille"))
+        .orderBy("cent_id")
     })
   )
 
@@ -259,6 +293,33 @@ object Similarity extends QueryPack {
       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "s12_cluster_quality" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |dists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, cents c),
+        |ranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk,
+        |    dist
+        |  FROM dists),
+        |ab AS (SELECT vec_id,
+        |    min(CASE WHEN rk = 1 THEN cent_id END) AS cell,
+        |    min(CASE WHEN rk = 1 THEN dist END) AS a,
+        |    min(CASE WHEN rk = 2 THEN dist END) AS b
+        |  FROM ranks WHERE rk <= 2 GROUP BY vec_id),
+        |agg AS (SELECT cell, count(*) AS n_members,
+        |    cast(sum(a) as bigint) AS sa, cast(sum(b) as bigint) AS sb
+        |  FROM ab GROUP BY cell)
+        |SELECT cell AS cent_id, n_members,
+        |  round(cast(sa as double) / n_members, 6) AS mean_intra,
+        |  round(cast(sb as double) / n_members, 6) AS mean_second,
+        |  CASE WHEN sa = 0 THEN NULL
+        |       ELSE cast((sb * 1000) // sa as bigint) END AS separation_permille
+        |FROM agg ORDER BY cent_id""".stripMargin,
+
     "s11_pq_rerank" ->
       """WITH q AS (SELECT vec_id,
         |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
