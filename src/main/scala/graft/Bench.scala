@@ -30,6 +30,7 @@ object Bench {
       operators.MinHashLSH.nearDuplicates(docs20).count()
       operators.NgramJaccard.nearDuplicates(docs20, 3, 100, 0.2).count()
       operators.SimHash.nearPairs(docs20).count()
+      operators.Winnowing.sharedFingerprints(docs20).count()
       operators.IvfIndex.search(emb50,
         org.apache.spark.sql.functions.col("vec_id") < 3,
         k = 4, nProbe = 2, topK = 3).count()

@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.CrossHash
+import graft.functions.{CrossHash, TextFunctions}
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
   * 2003 — the MOSS local fingerprinting algorithm), the span-level
@@ -17,13 +16,19 @@ import graft.functions.CrossHash
   * sides), a guarantee position-oblivious sketches (MinHash over the
   * whole document) cannot make.
   *
-  * Flat formulation (the MinHashLSH lesson — no interpreted per-row HOF
-  * folds in the hot path): the k-gram hash array explodes to (pos, h)
-  * rows — the text column never rides through the explode — and the
-  * rolling minimum is a codegen'd window frame [current, w−1 following]
-  * partitioned by doc, state bounded by w. Selected fingerprints are
-  * rows, not arrays (expected density 2/(w+1) of the k-gram stream), so
-  * no single row ever materializes a document's O(n) window slices.
+  * Formulation (measured at sf0.1, 5000 docs / ~2.5M k-grams, warm):
+  * selection stays in the ARRAY world — one map-only projection per
+  * document computes the k-gram hash array once (let-bound), each
+  * window minimum as `least()` over w `element_at` lookups (no
+  * per-window slice allocation), and dedupes with array_distinct before
+  * the explode. 3.5 s end-to-end vs 6.7 s for the exploded
+  * (pos, h)-rows + window-frame-min + distinct form: the flat form
+  * pays a 2.5M-row explode plus a full shuffle+sort for the rolling
+  * window and a second shuffle to dedupe, while the array form ships
+  * only the ~60 selected fingerprints per document into the first
+  * shuffle. (The MinHashLSH flattening lesson cuts the other way here:
+  * d02's per-row cost was k×|shingles| interpreted AGGREGATE folds,
+  * winnowing's is one linear pass of least() lookups.)
   */
 object Winnowing {
 
@@ -36,18 +41,16 @@ object Winnowing {
     val hs = transform(
       sequence(lit(1), n),
       i => CrossHash.hash60(text.substr(i, lit(k))))
-    val roll = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    docs
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), size(col("hs")).as("nh"),
-        posexplode(col("hs")).as(Seq("pos", "h")))
-      .withColumn("m", min("h").over(roll))
-      // full windows start at pos 0..nh−w (0-based); short docs keep
-      // pos 0, whose truncated frame is the global minimum
-      .filter(col("pos") <= greatest(col("nh") - w, lit(0)))
-      .select(col("doc_id"), col("m").as("fp"))
-      .distinct()
+    val wins = TextFunctions.bound(hs) { h =>
+      array_distinct(transform(
+        // full windows start at 1..nh−w+1; a doc shorter than one window
+        // keeps index 1. Indices clamp to the array end (ANSI-safe), so a
+        // truncated window re-reads its last element — min unaffected.
+        sequence(lit(1), greatest(size(h) - (w - 1), lit(1))),
+        j => least((0 until w).map(o =>
+          element_at(h, least(j + o, size(h)))): _*)))
+    }
+    docs.select(col("doc_id"), explode(wins).as("fp"))
   }
 
   /** Candidate pairs (a_id < b_id) sharing ≥ `minShared` fingerprints,
