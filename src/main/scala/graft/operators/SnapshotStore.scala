@@ -79,18 +79,30 @@ object SnapshotStore {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** (bucket, relpath) entries of a version's manifest. */
-  private def readManifest(spark: SparkSession, root: String,
-      v: Long): Seq[(Long, String)] = {
+  private def manifestText(spark: SparkSession, root: String,
+      v: Long): String = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(b, p) = l.split("\t", 2)
-      (b.toLong, p)
-    }.toSeq
   }
+
+  /** (bucket, relpath) entries of a version's manifest. Lines starting
+    * with `#` are metadata (e.g. the streaming txn marker), not files. */
+  private def readManifest(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, String)] = {
+    manifestText(spark, root, v).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+        val Array(b, p) = l.split("\t", 2)
+        (b.toLong, p)
+      }.toSeq
+  }
+
+  /** Metadata (`#`-prefixed) lines of a version's manifest. */
+  private def manifestMeta(spark: SparkSession, root: String,
+      v: Long): Seq[String] =
+    manifestText(spark, root, v).linesIterator
+      .filter(_.startsWith("#")).toSeq
 
   /** List a just-written version dir as manifest entries. */
   private def listVersionFiles(spark: SparkSession, root: String,
@@ -111,14 +123,19 @@ object SnapshotStore {
     out.toSeq
   }
 
-  /** Atomically publish `entries` as version `v`: temp write + rename. */
+  /** Atomically publish `entries` (+ optional `#` metadata lines) as
+    * version `v`: temp write + rename — metadata rides the SAME atomic
+    * rename as the file list, so a txn marker can never be published
+    * without its data or vice versa. */
   private def publish(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(Long, String)]): Unit = {
+      entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(root, f"_versions/.tmp-v$v%05d-${java.util.UUID.randomUUID()}")
     val outStream = f.create(tmp, true)
-    try outStream.write(entries.sortBy(e => (e._1, e._2))
-      .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n")
+    require(meta.forall(_.startsWith("#")),
+      "SnapshotStore: metadata lines must start with '#'")
+    try outStream.write((meta ++ entries.sortBy(e => (e._1, e._2))
+      .map { case (b, p) => s"$b\t$p" }).mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally outStream.close()
     if (!f.rename(tmp, manifestPath(root, v)))
@@ -129,12 +146,13 @@ object SnapshotStore {
 
   /** Full-snapshot commit: write `index` (needs a `doc_id` column) as the
     * next version. Returns the published version number. */
-  def commit(index: DataFrame, root: String, buckets: Int): Long = {
+  def commit(index: DataFrame, root: String, buckets: Int,
+      meta: Seq[String] = Nil): Long = {
     val spark = index.sparkSession
     val v = currentVersion(spark, root).getOrElse(0L) + 1
     withBucket(index, buckets).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
-    publish(spark, root, v, listVersionFiles(spark, root, v))
+    publish(spark, root, v, listVersionFiles(spark, root, v), meta)
     v
   }
 
@@ -171,7 +189,8 @@ object SnapshotStore {
     * yields zero rows for a document deletes its vectors ("upsert equals
     * fresh rebuild" holds in the empty edge). Returns the new version. */
   def upsert(spark: SparkSession, newRows: DataFrame,
-      reingestedDocs: DataFrame, root: String, buckets: Int): Long = {
+      reingestedDocs: DataFrame, root: String, buckets: Int,
+      meta: Seq[String] = Nil): Long = {
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — commit() an initial snapshot first"))
@@ -212,8 +231,56 @@ object SnapshotStore {
     merged.write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v,
-      keptEntries ++ listVersionFiles(spark, root, v))
+      keptEntries ++ listVersionFiles(spark, root, v), meta)
     v
+  }
+
+  private def txnLine(streamId: String, batchId: Long) =
+    s"#txn\t$streamId\t$batchId"
+
+  /** Highest micro-batch id `streamId` has published, scanning manifests
+    * newest-first (the Delta txn-action idea: the marker lives IN the
+    * atomically renamed manifest, so it exists iff its data does). */
+  def lastCommittedBatch(spark: SparkSession, root: String,
+      streamId: String): Option[Long] = {
+    val dir = new Path(root, "_versions")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return None
+    val vs = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toLong
+    }.sorted.reverse
+    val prefix = s"#txn\t$streamId\t"
+    vs.iterator
+      .flatMap(v => manifestMeta(spark, root, v))
+      .collectFirst { case l if l.startsWith(prefix) =>
+        l.stripPrefix(prefix).toLong }
+  }
+
+  /** Idempotent micro-batch commit — the exactly-once contract
+    * Structured Streaming's foreachBatch needs from its sink: a REPLAYED
+    * batch (failure before the checkpoint advanced) finds its batch id
+    * already published and returns the current version untouched,
+    * instead of double-applying. First batch against an empty store
+    * publishes a full snapshot; later batches keyed-upsert (every doc_id
+    * in `newRows` replaces its old vectors). Batch-stream caveat: a
+    * batch cannot signal "this document now has zero rows" — deletions
+    * go through the batch [[upsert]] with an explicit `reingestedDocs`.
+    * Returns the (possibly pre-existing) published version. */
+  def commitBatch(newRows: DataFrame, root: String, buckets: Int,
+      streamId: String, batchId: Long): Long = {
+    require(!streamId.exists(c => c == '\t' || c == '\n'),
+      s"streamId must not contain tab/newline: '$streamId'")
+    val spark = newRows.sparkSession
+    val already = lastCommittedBatch(spark, root, streamId)
+    if (already.exists(_ >= batchId))
+      return currentVersion(spark, root).get
+    val meta = Seq(txnLine(streamId, batchId))
+    currentVersion(spark, root) match {
+      case None => commit(newRows, root, buckets, meta)
+      case Some(_) =>
+        upsert(spark, newRows,
+          newRows.select(col("doc_id")).distinct(), root, buckets, meta)
+    }
   }
 
   /** OPTIMIZE: republish the current snapshot as a new, compacted version

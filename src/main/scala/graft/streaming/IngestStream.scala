@@ -100,4 +100,30 @@ object IngestStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Transactional streaming sink: each micro-batch publishes ONE atomic
+    * [[graft.operators.SnapshotStore]] version carrying its batch id as
+    * a txn marker, so a batch replayed after a crash (foreachBatch's
+    * at-least-once delivery) is detected and skipped — end-to-end
+    * exactly-once into a versioned, time-travelable index, where
+    * [[upsertAvailable]]'s dynamic-overwrite sink is merely idempotent
+    * per batch. Readers concurrent with a commit always see a complete
+    * published snapshot (the SnapshotStore atomic-rename contract). */
+  def transactionalAvailable(spark: SparkSession, srcDir: String,
+      storeRoot: String, checkpointDir: String, streamId: String,
+      buckets: Int = 16, chunkSize: Int = 3000, overlap: Int = 200,
+      dim: Int = 64): Unit = {
+    val q = readDocuments(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = indexRows(batch, chunkSize, overlap, dim)
+        if (!rows.isEmpty)
+          graft.operators.SnapshotStore
+            .commitBatch(rows, storeRoot, buckets, streamId, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.operators.IngestionPipeline
 import graft.streaming.IngestStream
@@ -138,5 +139,54 @@ class IngestStreamSpec extends SparkTestBase {
     assert(merged === oneShot)
     // and more than one per-batch sketch actually contributed
     assert(spark.read.parquet(out).count() > oneShot.size)
+  }
+
+  test("transactional streaming sink: atomic versions, replayed batch skipped") {
+    import graft.operators.SnapshotStore
+    val src = tmp("txn_src"); val store = tmp("txn_store")
+    val cp = tmp("txn_cp")
+    Files.copy(Paths.get(sf0001, "documents.parquet"),
+      Paths.get(src, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    IngestStream.transactionalAvailable(spark, src, store, cp,
+      streamId = "spec_stream", buckets = 4,
+      chunkSize = 120, overlap = 20, dim = 8)
+
+    val v1 = SnapshotStore.currentVersion(spark, store).get
+    val got = rows(SnapshotStore.read(spark, store).drop("bucket"))
+    val batch = rows(IngestionPipeline.buildIndexFrom(
+      Tables.documents(spark, sf0001), 120, 20, 8))
+    assert(got === batch)
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "spec_stream")
+      === Some(0L))
+
+    // crash-replay: foreachBatch re-delivers batch 0 (checkpoint had not
+    // advanced) — the txn marker must make the re-commit a no-op
+    val replayRows = IngestionPipeline.buildIndexFrom(
+      Tables.documents(spark, sf0001), 120, 20, 8)
+    val vReplay = SnapshotStore.commitBatch(
+      replayRows, store, 4, "spec_stream", batchId = 0L)
+    assert(vReplay === v1)
+    assert(SnapshotStore.currentVersion(spark, store).get === v1)
+    assert(rows(SnapshotStore.read(spark, store).drop("bucket")) === batch)
+
+    // a genuinely new batch (re-parsed doc 0) applies as a keyed upsert…
+    val reparsed = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0L)
+      .withColumn("text", concat(col("text"), lit(" reparsed extra")))
+    val newRows = IngestionPipeline.buildIndexFrom(reparsed, 120, 20, 8)
+    val v2 = SnapshotStore.commitBatch(
+      newRows, store, 4, "spec_stream", batchId = 1L)
+    assert(v2 === v1 + 1)
+    val after = rows(SnapshotStore.read(spark, store).drop("bucket"))
+    val expected = rows(IngestionPipeline.buildIndexFrom(
+      Tables.documents(spark, sf0001).filter(col("doc_id") =!= 0L)
+        .unionByName(reparsed), 120, 20, 8))
+    assert(after === expected)
+    // …while time travel still serves the pre-upsert snapshot
+    assert(rows(SnapshotStore.read(spark, store, v1).drop("bucket"))
+      === batch)
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "spec_stream")
+      === Some(1L))
   }
 }
