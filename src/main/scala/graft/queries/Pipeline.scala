@@ -277,6 +277,35 @@ object Pipeline extends QueryPack {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).as("n_frame_bytes"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // Cross-modal retrieval (the CLIP-shaped join): text queries and
+    // decoded media features scored in one shared space, top-3 media per
+    // query. The 5-query side broadcasts (the r02 direction rule — the
+    // corpus side streams), scoring is the codegen'd cosine over the
+    // mapPartitions-decoded features, and the per-query top-k goes
+    // through the row_number form RowNumberLimitRule rewrites into the
+    // two-phase TopKPerKey operator. Feature determinism: raw byte
+    // histogram ratios (exact IEEE divisions of integer counts), NOT the
+    // rounded m02 presentation — the oracle replays them bit-exactly.
+    "m04_crossmodal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val feats = graft.operators.Multimodal.decodeFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(s, d))
+        .select(col("media_id"), col("feature"))
+      val queries = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"),
+          graft.functions.Embedder.embed(col("text"), 8).as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("media_id"))
+      feats.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("media_id"),
+          round(graft.functions.VectorFunctions
+            .cosine(col("q_emb"), col("feature")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "media_id", "score")
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -516,6 +545,33 @@ object Pipeline extends QueryPack {
          |FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
          |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
          |ORDER BY doc_id""".stripMargin,
+
+    "m04_crossmodal" ->
+      s"""WITH pos AS (SELECT doc_id, text,
+         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
+         |bk AS (SELECT doc_id,
+         |    ord(substring(text, cast(i as int), 1)) // 32 AS bucket FROM pos),
+         |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, cast(octet_length(encode(text)) as int) AS n
+         |  FROM documents),
+         |feats AS (SELECT t.doc_id AS media_id,
+         |  [${(0 until 8).map(b =>
+             s"cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / greatest(1.0, cast(t.n as double))")
+             .mkString(",\n   ")}] AS feature
+         |  FROM tot t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+         |  GROUP BY t.doc_id, t.n),
+         |q AS (SELECT doc_id AS q_id,
+         |    list_transform(range(0, 8), d ->
+         |      (${graft.functions.CrossHash.duckHash60("text || '#emb#' || cast(d as varchar)")} % 2000001) / 1000000.0 - 1.0) AS q_emb
+         |  FROM documents WHERE doc_id < 5),
+         |sc AS (SELECT q.q_id, f.media_id,
+         |    round(list_cosine_similarity(q.q_emb, f.feature), 6) AS score
+         |  FROM q, feats f),
+         |rk AS (SELECT q_id, media_id, score,
+         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, media_id) as int) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, media_id, score FROM rk WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
 
     "m02_media_features" ->
       s"""WITH pos AS (SELECT doc_id, text,
