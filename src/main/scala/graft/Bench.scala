@@ -91,9 +91,12 @@ object Bench {
       "t05_term_freq,t06_tfidf").split(",").toSet
     val totalR04 = results
       .filter { case (n, v) => r04Suite(n) && v >= 0.0 }.map(_._2).sum
+    // a failed r04-suite query must not make the subset total look
+    // FASTER than the r04 baseline that included it
+    val failedR04 = results.count { case (n, v) => r04Suite(n) && v < 0.0 }
     // n_queries: totals are only comparable across rounds at the same
     // query count (the suite grew 63 -> 134 during round 5).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

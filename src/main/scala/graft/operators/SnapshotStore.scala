@@ -129,11 +129,11 @@ object SnapshotStore {
     * without its data or vice versa. */
   private def publish(spark: SparkSession, root: String, v: Long,
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
+    require(meta.forall(_.startsWith("#")),
+      "SnapshotStore: metadata lines must start with '#'")
     val f = fs(spark, root)
     val tmp = new Path(root, f"_versions/.tmp-v$v%05d-${java.util.UUID.randomUUID()}")
     val outStream = f.create(tmp, true)
-    require(meta.forall(_.startsWith("#")),
-      "SnapshotStore: metadata lines must start with '#'")
     try outStream.write((meta ++ entries.sortBy(e => (e._1, e._2))
       .map { case (b, p) => s"$b\t$p" }).mkString("", "\n", "\n")
       .getBytes("UTF-8"))
@@ -152,7 +152,8 @@ object SnapshotStore {
     val v = currentVersion(spark, root).getOrElse(0L) + 1
     withBucket(index, buckets).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
-    publish(spark, root, v, listVersionFiles(spark, root, v), meta)
+    publish(spark, root, v, listVersionFiles(spark, root, v),
+      carriedTxn(spark, root, meta))
     v
   }
 
@@ -231,12 +232,45 @@ object SnapshotStore {
     merged.write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v,
-      keptEntries ++ listVersionFiles(spark, root, v), meta)
+      keptEntries ++ listVersionFiles(spark, root, v),
+      carriedTxn(spark, root, meta))
     v
   }
 
   private def txnLine(streamId: String, batchId: Long) =
     s"#txn\t$streamId\t$batchId"
+
+  /** Latest `#txn` marker per stream across published manifests, minus
+    * streams `fresh` re-marks — carried into EVERY new manifest so the
+    * newest manifest always holds the full replay state: a maintenance
+    * commit ([[optimize]]) or manifest retention ([[vacuum]]) can then
+    * never destroy the exactly-once contract. O(retained manifests) tiny
+    * reads per commit, bounded by vacuum. */
+  private def carriedTxn(spark: SparkSession, root: String,
+      fresh: Seq[String]): Seq[String] = {
+    val freshStreams = fresh.collect {
+      case l if l.startsWith("#txn\t") => l.split("\t", 3)(1)
+    }.toSet
+    val dir = new Path(root, "_versions")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return fresh
+    val vs = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toLong
+    }.sorted.reverse
+    val seen = mutable.LinkedHashSet.empty[String]
+    val carried = mutable.ArrayBuffer.empty[String]
+    vs.foreach { v =>
+      manifestMeta(spark, root, v).foreach { l =>
+        if (l.startsWith("#txn\t")) {
+          val sid = l.split("\t", 3)(1)
+          if (!seen.contains(sid) && !freshStreams.contains(sid)) {
+            seen += sid; carried += l
+          }
+        }
+      }
+    }
+    fresh ++ carried.toSeq
+  }
 
   /** Highest micro-batch id `streamId` has published, scanning manifests
     * newest-first (the Delta txn-action idea: the marker lives IN the
@@ -299,7 +333,8 @@ object SnapshotStore {
       .repartition(col("bucket"))
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
-    publish(spark, root, v, listVersionFiles(spark, root, v))
+    publish(spark, root, v, listVersionFiles(spark, root, v),
+      carriedTxn(spark, root, Nil))
     v
   }
 

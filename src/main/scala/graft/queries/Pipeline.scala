@@ -346,6 +346,20 @@ object Pipeline extends QueryPack {
   private def placeholderComponent(text: String, i: Int): String =
     s"(${graft.functions.CrossHash.duckHash60(s"'$text' || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
 
+  /** Oracle CTEs replaying [[graft.operators.Multimodal.FakeCodec]]'s
+    * byte histogram (ASCII fixture: ord(char) == byte — documented at
+    * m02). Shared by m02 (rounded presentation) and m04 (raw feature
+    * vectors for cosine), which must stay bit-identical to the codec.
+    * Final CTEs: `cnt` (doc_id, bucket, c) and `tot` (doc_id, n). */
+  private val duckFeatureCtes: String =
+    """pos AS (SELECT doc_id, text,
+      |    unnest(range(1, length(text) + 1)) AS i FROM documents),
+      |bk AS (SELECT doc_id,
+      |    ord(substring(text, cast(i as int), 1)) // 32 AS bucket FROM pos),
+      |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, cast(octet_length(encode(text)) as int) AS n
+      |  FROM documents)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "i01_ingest_index" ->
       s"""WITH t AS (SELECT doc_id, source, text,
@@ -547,13 +561,7 @@ object Pipeline extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
 
     "m04_crossmodal" ->
-      s"""WITH pos AS (SELECT doc_id, text,
-         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
-         |bk AS (SELECT doc_id,
-         |    ord(substring(text, cast(i as int), 1)) // 32 AS bucket FROM pos),
-         |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, cast(octet_length(encode(text)) as int) AS n
-         |  FROM documents),
+      s"""WITH $duckFeatureCtes,
          |feats AS (SELECT t.doc_id AS media_id,
          |  [${(0 until 8).map(b =>
              s"cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / greatest(1.0, cast(t.n as double))")
@@ -574,13 +582,7 @@ object Pipeline extends QueryPack {
          |ORDER BY q_id, rank""".stripMargin,
 
     "m02_media_features" ->
-      s"""WITH pos AS (SELECT doc_id, text,
-         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
-         |bk AS (SELECT doc_id,
-         |    ord(substring(text, cast(i as int), 1)) // 32 AS bucket FROM pos),
-         |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, cast(octet_length(encode(text)) as int) AS n
-         |  FROM documents)
+      s"""WITH $duckFeatureCtes
          |SELECT t.doc_id AS media_id, t.n AS n_bytes,
          |${(0 until 8).map(b =>
              s"  round(cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / greatest(1.0, cast(t.n as double)), 6) AS f$b")

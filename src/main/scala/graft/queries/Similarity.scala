@@ -277,9 +277,13 @@ object Similarity extends QueryPack {
           round(col("sb").cast("double") / col("n_members"), 6)
             .as("mean_second"),
           // a cell holding only its own centroid has sa = 0 — emit null,
-          // not a division error (the d11 empty-edge rule)
+          // not a division error (the d11 empty-edge rule). sb·1000
+          // widens through decimal(38,0): at sf0.1 max sb is already
+          // 2.5e14 (only ~36× headroom in 64 bits), and DuckDB's sum is
+          // int128 — Spark must not silently wrap where the oracle errors
           when(col("sa") === 0L, lit(null).cast("long"))
-            .otherwise(expr("cast((sb * 1000) div sa as bigint)"))
+            .otherwise(
+              expr("cast((cast(sb as decimal(38,0)) * 1000) div sa as bigint)"))
             .as("separation_permille"))
         .orderBy("cent_id")
     })

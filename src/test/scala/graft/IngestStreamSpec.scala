@@ -188,5 +188,18 @@ class IngestStreamSpec extends SparkTestBase {
       === batch)
     assert(SnapshotStore.lastCommittedBatch(spark, store, "spec_stream")
       === Some(1L))
+
+    // maintenance must not destroy the replay state: optimize publishes
+    // a marker-carrying manifest and vacuum drops the old ones — the
+    // replayed batch 1 must STILL be detected and skipped
+    val vOpt = SnapshotStore.optimize(spark, store)
+    SnapshotStore.vacuum(spark, store, keepVersions = 1)
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "spec_stream")
+      === Some(1L))
+    val vReplay2 = SnapshotStore.commitBatch(
+      newRows, store, 4, "spec_stream", batchId = 1L)
+    assert(vReplay2 === vOpt)
+    assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
+      === expected)
   }
 }
