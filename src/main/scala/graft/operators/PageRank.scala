@@ -39,10 +39,15 @@ object PageRank {
       .localCheckpoint(eager = false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
+    // fold out-degree into the edge list ONCE (a zipped join — both
+    // sides already src-partitioned, no exchange) instead of re-joining
+    // deg inside every iteration: each iteration is then exactly two
+    // exchanges — the one-row-per-node rank table to src-partitioning,
+    // and the partial-agg combine on dst
+    val ew = e.join(deg, "src").localCheckpoint(eager = false)
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      r = e.join(r, e("src") === r("node"))
-        .join(deg, "src")
+      r = ew.join(r, ew("src") === r("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("sc"))

@@ -164,7 +164,13 @@ object Warehouse extends QueryPack {
     // generation. Fan-out stays bounded by order size (the q51 pattern),
     // never corpus-shaped.
     "q57_pagerank" -> ((s, d) => {
+      // EAGER checkpoint of the co-purchase self-join: both union
+      // branches read it from the same shuffle-map stage, so a lazy
+      // checkpoint's blocks are not yet available when the second branch
+      // computes — each branch would re-run the join. Materializing first
+      // guarantees single evaluation.
       val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
+        .localCheckpoint(eager = true)
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(half.select(col("pb").as("src"), col("pa").as("dst")))
       graft.operators.PageRank.ranks(edges, iters = 3)
