@@ -182,6 +182,35 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // Hard-negative mining for contrastive embedding training — per
+    // query: the top SAME-label neighbour (the positive) and the top-3
+    // DIFFERENT-label neighbours (hard negatives — the highest-similarity
+    // wrong answers are exactly the pairs a contrastive loss learns
+    // most from). One corpus scan against the broadcast query set, one
+    // window over (q_id, kind); the corpus never shuffles. At corpus
+    // scale the candidate generation swaps to the IVF tier (s09's
+    // filtered probe) — the mining logic downstream is unchanged.
+    "s13_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy("q_id", "kind")
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          when(col("label") === col("q_label"), "pos").otherwise("neg")
+            .as("kind"),
+          round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+            .as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter((col("kind") === "pos" && col("rank") <= 1) ||
+          (col("kind") === "neg" && col("rank") <= 3))
+        .select("q_id", "kind", "rank", "vec_id", "sim")
+        .orderBy("q_id", "kind", "rank")
+    }),
+
     // Brute-force similarity self-join: exact top-3 neighbours for query
     // vectors 0..9 (cross-join against a broadcast query set + windowed
     // rank — the SURVEY §2.3 similarity-join composition).
@@ -597,6 +626,20 @@ object Similarity extends QueryPack {
         |  FROM approx)
         |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
+
+    "s13_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 5),
+        |cand AS (SELECT q.q_id, c.vec_id,
+        |    CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
+        |  FROM embeddings c JOIN q ON c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, kind, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id, kind ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, kind, rank, vec_id, sim FROM ranked
+        |WHERE (kind = 'pos' AND rank <= 1) OR (kind = 'neg' AND rank <= 3)
+        |ORDER BY q_id, kind, rank""".stripMargin,
 
     "s02_sim_join_topk" ->
       """WITH cand AS (SELECT q.vec_id AS q_id, c.vec_id,

@@ -563,6 +563,63 @@ object TextAnalysis extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-document LM-fit scoring — the CCNet/KenLM perplexity filter's
+    // integer-exact analog: score each document by how typical its
+    // bigram transitions are under the CORPUS bigram LM (t26's model,
+    // applied back per document). A transition's fit is its conditional
+    // permille P(w2|w1)·1000 in integer division; a document's score is
+    // the count-weighted mean (cross-multiplied, still integer) and its
+    // weakest transition the min — low mean/min flags machine-garbled or
+    // out-of-domain text exactly where a perplexity filter would, with
+    // no ln/pow parity risk. Plan shape: ONE (doc_id, bigram) partial
+    // agg; the LM derives from that same exchange (ReusedExchange — the
+    // corpus is scanned once), the w1 marginal broadcasts.
+    "t29_lm_fit" -> ((s, d) => {
+      val dg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+        .filter(size(split(col("g"), " ")) === 2)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val big = dg.groupBy("g").agg(sum("c").as("n"))
+      val marg = big
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .groupBy("w1").agg(sum("n").as("nw1"))
+      val perm = big
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(broadcast(marg), "w1")
+        .select(col("g"), expr("cast((n * 1000) div nw1 as bigint)")
+          .as("permille"))
+      dg.join(perm, "g")
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as("n_bigrams"),
+          count(lit(1)).as("n_unique"),
+          expr("cast(sum(c * permille) div sum(c) as bigint)")
+            .as("mean_permille"),
+          min("permille").as("min_permille"))
+        .orderBy("doc_id")
+    }),
+
+    // Sharded training-data export plan — the corpus-to-data-loader
+    // handoff: every document lands in exactly one of 16 deterministic
+    // hash shards (operators.ShardedExport — same md5 family as every
+    // keyed decision, so the oracle replays assignment bit-exactly).
+    // The per-shard accounting is the export's manifest: balanced
+    // n_docs/n_chars across shards is what lets a training job stripe
+    // workers across files evenly. Map-only assignment + one
+    // partial-agg shuffle; ≤ nShards output rows from any corpus size.
+    "t30_shard_stats" -> ((s, d) => {
+      graft.operators.ShardedExport
+        .assignShards(Tables.documents(s, d), 16)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_total"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
     "t21_countmin" -> ((s, d) => {
       val (depth, width) = (4, 256)
       val terms = Tables.documents(s, d)
@@ -680,6 +737,37 @@ object TextAnalysis extends QueryPack {
         |  cast(sum(cnt) as bigint) AS n_docs,
         |  min(n_chars) AS lo, max(n_chars) AS hi
         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "t29_lm_fit" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) END AS sh
+        |  FROM tok),
+        |dg AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(sh) AS g FROM shl)
+        |  WHERE len(string_split(g, ' ')) = 2 GROUP BY doc_id, g),
+        |big AS (SELECT g, cast(sum(c) as bigint) AS n FROM dg GROUP BY g),
+        |m AS (SELECT split_part(g, ' ', 1) AS w1, sum(n) AS nw1
+        |  FROM big GROUP BY 1),
+        |perm AS (SELECT big.g,
+        |    cast((big.n * 1000) // m.nw1 as bigint) AS permille
+        |  FROM big JOIN m ON split_part(big.g, ' ', 1) = m.w1)
+        |SELECT dg.doc_id,
+        |  cast(sum(dg.c) as bigint) AS n_bigrams,
+        |  cast(count(*) as bigint) AS n_unique,
+        |  cast(sum(dg.c * perm.permille) // sum(dg.c) as bigint) AS mean_permille,
+        |  cast(min(perm.permille) as bigint) AS min_permille
+        |FROM dg JOIN perm ON dg.g = perm.g
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "t30_shard_stats" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+        |    cast(${graft.functions.CrossHash.duckHash60("'shard#' || cast(doc_id as varchar)")} % 16 as int) AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS n_chars_total,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
     "t26_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),

@@ -82,6 +82,48 @@ class SinksSpec extends SparkTestBase {
     assert(leftovers === 0L)
   }
 
+  test("sharded export is deterministic, balanced, and one file per shard") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ShardedExport
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+
+    // assignment is a pure function of doc_id: two runs agree exactly
+    val a1 = ShardedExport.assignShards(docs, 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = ShardedExport.assignShards(docs, 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+    assert(a1.values.toSet.subsetOf((0 until 8).toSet))
+
+    val p = tmp()
+    ShardedExport.write(docs, 8, p)
+    val back = spark.read.parquet(p)
+    assert(back.count() === n)
+    // membership on read-back matches the pure-function assignment
+    val onDisk = back.select(col("doc_id"),
+        col("shard").cast("int").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(onDisk === a1)
+    // one data file per shard directory: shard count bounds file count
+    val shardDirs = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${dir.getName} has ${files.length} files, expected 1")
+    }
+    // within a shard, rows are in the seeded-shuffle order: re-reading
+    // a shard file yields the hash-then-key order the writer sorted by
+    val s0 = shardDirs.head
+    val rows = spark.read.parquet(s0.toString).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = rows.sortBy(id =>
+      (graft.functions.CrossHash.md5Hash60("order#" + id), id))
+    assert(rows === expected, "shard rows not in deterministic shuffle order")
+  }
+
   test("partitioned export prunes on read") {
     val docs = Tables.documents(spark, sf0001)
     val p = tmp()
