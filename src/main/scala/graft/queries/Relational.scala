@@ -672,6 +672,27 @@ object Relational extends QueryPack {
         .orderBy("w_start", "event_type")
     }),
 
+    // Event-transition matrix (first-order Markov over user behavior) —
+    // the sequence-mining composite beyond q19's gaps and q49's fixed
+    // funnel: P(next event type | current) per transition, in integer
+    // permille (cross-multiplied — the t26 discipline applied to event
+    // streams). One lag-window shuffle on user_id, one partial-agg
+    // shuffle on the (type, next) pair, marginals broadcast; output is
+    // |event_type|² rows from any corpus size.
+    "q62_event_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val cnt = trans.groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      val marg = cnt.groupBy("event_type").agg(sum("n").as("tot"))
+      cnt.join(broadcast(marg), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          expr("cast((n * 1000) div tot as bigint)").as("permille"))
+        .orderBy("event_type", "next_type")
+    }),
+
     // Tolerance range join (graft.operators.RangeJoin): click/view events
     // within ±30 s of each purchase, with NO equi-key — the pair predicate
     // is purely temporal, the case Catalyst can only plan as a nested-loop
@@ -1185,6 +1206,18 @@ object Relational extends QueryPack {
         |  count(*) AS n
         |FROM hops
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q62_event_markov" ->
+      """WITH tr AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM tr
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |  cast((c.n * 1000) // m.tot as bigint) AS permille
+        |FROM c JOIN m USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin,
 
     "q32_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

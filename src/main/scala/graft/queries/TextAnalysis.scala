@@ -571,19 +571,22 @@ object TextAnalysis extends QueryPack {
     // the count-weighted mean (cross-multiplied, still integer) and its
     // weakest transition the min — low mean/min flags machine-garbled or
     // out-of-domain text exactly where a perplexity filter would, with
-    // no ln/pow parity risk. Plan shape: ONE (doc_id, bigram) partial
-    // agg; the LM derives from that same exchange (ReusedExchange — the
-    // corpus is scanned once), the w1 marginal broadcasts.
+    // no ln/pow parity risk. Plan shape: the (doc_id, bigram) counts —
+    // the corpus-heavy explode + partial agg — compute ONCE and eagerly
+    // checkpoint (three consumers: the LM, the w1 marginal, and the
+    // per-doc join; exchange reuse does not unify them, verified on the
+    // executed plan), the w1 marginal broadcasts.
     "t29_lm_fit" -> ((s, d) => {
       val dg = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextFunctions.shingles(col("text"), 2)).as("g"))
         .filter(size(split(col("g"), " ")) === 2)
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true)
       val big = dg.groupBy("g").agg(sum("c").as("n"))
-      val marg = big
+      val marg = dg
         .withColumn("w1", substring_index(col("g"), " ", 1))
-        .groupBy("w1").agg(sum("n").as("nw1"))
+        .groupBy("w1").agg(sum("c").as("nw1"))
       val perm = big
         .withColumn("w1", substring_index(col("g"), " ", 1))
         .join(broadcast(marg), "w1")
