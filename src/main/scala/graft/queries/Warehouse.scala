@@ -50,6 +50,50 @@ object Warehouse extends QueryPack {
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Entity resolution over the part catalog — record linkage with
+    // DISTRIBUTED blocking (t20 is its broadcast-vocabulary cousin):
+    // entities pair only within their block (first name token), so the
+    // match join is one co-partitioned self-join on the block key — the
+    // quadratic comparison is bounded per block, never corpus-shaped; a
+    // length-difference prune runs before the levenshtein (integer DP,
+    // exact in both engines). Resolution here is direct-match
+    // canonicalization (each entity adopts its smallest matched id);
+    // transitive closure over the match graph is d08's operator,
+    // composable downstream. Output is per-block accounting — bounded
+    // by block count, not entities. A skewed block (one dominant first
+    // token) would concentrate its pairs on one task; the salting tools
+    // (q39/SkewTools) apply to the block key unchanged.
+    "q63_entity_resolution" -> ((s, d) => {
+      val e = Tables.part(s, d)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          substring_index(col("p_name"), " ", 1).as("blk"))
+      val a = e.select(col("blk"), col("id").as("ia"),
+        col("name").as("na"))
+      val b = e.select(col("blk"), col("id").as("ib"),
+        col("name").as("nb"))
+      val pairs = a.join(b, "blk")
+        .filter(col("ia") < col("ib") &&
+          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          levenshtein(col("na"), col("nb")) <= 1)
+        .select("blk", "ia", "ib")
+      val canon = e
+        .join(pairs.groupBy("ib").agg(min("ia").as("best")),
+          e("id") === col("ib"), "left")
+        .select(col("blk"), col("id"),
+          least(col("id"), coalesce(col("best"), col("id"))).as("canon"))
+      val np = pairs.groupBy("blk").agg(count(lit(1)).as("n_pairs"))
+      canon.groupBy("blk")
+        .agg(count(lit(1)).as("n_entities"),
+          sum(when(col("canon") < col("id"), 1L).otherwise(0L))
+            .as("n_merged"),
+          countDistinct("canon").as("n_canonical"))
+        .join(np, Seq("blk"), "left")
+        .select(col("blk"), col("n_entities"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          col("n_merged"), col("n_canonical"))
+        .orderBy("blk")
+    }),
+
     // TPC-H Q3 — shipping priority: orders not yet shipped for one market
     // segment, top 10 by outstanding revenue. lineitem ⋈ orders shuffles
     // on the order key; the filtered customer dim broadcasts into orders.
@@ -274,6 +318,25 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q63_entity_resolution" ->
+      """WITH e AS (SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT a.blk, a.id AS ia, b.id AS ib
+        |  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 1),
+        |best AS (SELECT ib, min(ia) AS best FROM pr GROUP BY ib),
+        |canon AS (SELECT e.blk, e.id,
+        |    least(e.id, coalesce(best.best, e.id)) AS canon
+        |  FROM e LEFT JOIN best ON best.ib = e.id),
+        |np AS (SELECT blk, count(*) AS n_pairs FROM pr GROUP BY blk)
+        |SELECT c.blk, count(*) AS n_entities,
+        |  cast(coalesce(any_value(np.n_pairs), 0) as bigint) AS n_pairs,
+        |  cast(sum(CASE WHEN c.canon < c.id THEN 1 ELSE 0 END) as bigint) AS n_merged,
+        |  cast(count(DISTINCT c.canon) as bigint) AS n_canonical
+        |FROM canon c LEFT JOIN np ON np.blk = c.blk
+        |GROUP BY c.blk ORDER BY c.blk""".stripMargin,
+
     "q42_shipping_priority" ->
       """SELECT l_orderkey,
         |  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue,
