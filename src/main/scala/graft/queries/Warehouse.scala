@@ -73,7 +73,9 @@ object Warehouse extends QueryPack {
         col("name").as("nb"))
       val pairs = a.join(b, "blk")
         .filter(col("ia") < col("ib") &&
-          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          // necessary condition for dist <= 1: edit distance is bounded
+          // below by the length difference — prune before the O(n²) DP
+          abs(length(col("na")) - length(col("nb"))) <= 1 &&
           levenshtein(col("na"), col("nb")) <= 1)
         .select("blk", "ia", "ib")
       val canon = e
@@ -208,11 +210,12 @@ object Warehouse extends QueryPack {
     // generation. Fan-out stays bounded by order size (the q51 pattern),
     // never corpus-shaped.
     "q57_pagerank" -> ((s, d) => {
-      // EAGER checkpoint of the co-purchase self-join: both union
-      // branches read it from the same shuffle-map stage, so a lazy
-      // checkpoint's blocks are not yet available when the second branch
-      // computes — each branch would re-run the join. Materializing first
-      // guarantees single evaluation.
+      // EAGER checkpoint of the co-purchase self-join: its consumers
+      // (the two union branches here, plus everything upstream of
+      // ranks' own checkpoint) would otherwise rely on exchange reuse
+      // or race lazily-materializing blocks within one stage —
+      // materializing first guarantees single evaluation regardless of
+      // how the planner carves the consumers into stages.
       val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
         .localCheckpoint(eager = true)
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
@@ -236,8 +239,10 @@ object Warehouse extends QueryPack {
     // Σ C(deg,2) and the 3T/W coefficient stay integer-exact until one
     // rounded division.
     "q60_triangles" -> ((s, d) => {
+      // eager for the same reason as q57: three consumers (deg's two
+      // union branches + the e join) must read materialized blocks
       val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val deg = half.select(col("pa").as("v"))
         .unionByName(half.select(col("pb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -323,7 +328,7 @@ object Warehouse extends QueryPack {
         |    split_part(p_name, ' ', 1) AS blk FROM part),
         |pr AS (SELECT a.blk, a.id AS ia, b.id AS ib
         |  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
-        |  WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  WHERE abs(length(a.name) - length(b.name)) <= 1
         |    AND levenshtein(a.name, b.name) <= 1),
         |best AS (SELECT ib, min(ia) AS best FROM pr GROUP BY ib),
         |canon AS (SELECT e.blk, e.id,
