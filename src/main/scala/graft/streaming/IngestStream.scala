@@ -101,6 +101,74 @@ object IngestStream {
     q.awaitTermination()
   }
 
+  /** Streaming near-duplicate dedup against a persistent fingerprint
+    * store — the streaming twin of the batch LSH pass (d02): each
+    * micro-batch computes its documents' MinHash band keys
+    * ([[graft.operators.MinHashLSH.bandAssignments]] — the flat codegen
+    * formulation unchanged; map-only + one partial-agg shuffle over the
+    * BATCH, never the history), probes them against the store of every
+    * previously ADMITTED document, and drops collisions. Within a batch
+    * the smaller doc_id wins (deterministic, one pass — a document
+    * colliding with any smaller-id batch sibling is dropped whether or
+    * not that sibling itself survived; the conservative one-shot form of
+    * the sequential admit-scan, exact when collisions don't chain).
+    *
+    * Scale shape: the history is touched only through an equi semi-join
+    * on (band, key) — fingerprints (k longs/doc), never texts, so state
+    * grows ~100 bytes/doc and the probe is a join a 1000-executor
+    * cluster shuffles by bucket key; the corpus-sized text table never
+    * re-reads. Collision = LSH band match (the Common-Crawl-style drop
+    * rule); compose [[graft.operators.MinHashLSH.nearDuplicates]]'s
+    * Jaccard verify downstream where precision matters more than one
+    * extra join.
+    *
+    * Delivery: state/output appends are at-least-once (a batch replayed
+    * after a crash between the two writes can re-append — route the
+    * admitted-docs sink through [[graft.operators.SnapshotStore
+    * .commitBatch]] as in [[transactionalAvailable]] when exactly-once
+    * matters; duplicate STATE rows only re-flag the same collisions, so
+    * dedup semantics are unaffected). */
+  def dedupAvailable(spark: SparkSession, srcDir: String, stateDir: String,
+      outDir: String, checkpointDir: String, bands: Int = 4,
+      rowsPerBand: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = readDocuments(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val nb = graft.operators.MinHashLSH
+            .bandAssignments(batch, bands, rowsPerBand)
+            .localCheckpoint(eager = true) // 3 consumers below
+          val prior =
+            try spark.read.parquet(stateDir)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              spark.emptyDataFrame
+                .select(lit(0L).as("doc_id"), lit(0).as("band"),
+                  lit("").as("key")).limit(0) }
+          val priorHit = nb
+            .join(prior, Seq("band", "key"), "left_semi")
+            .select("doc_id")
+          val a = nb.select(col("band"), col("key"), col("doc_id"))
+          val earlier = nb.select(col("band").as("band"),
+            col("key").as("key"), col("doc_id").as("smaller_id"))
+          val batchHit = a.join(earlier,
+              a("band") === earlier("band") && a("key") === earlier("key") &&
+                a("doc_id") > earlier("smaller_id"), "left_semi")
+            .select("doc_id")
+          val dropped = priorHit.union(batchHit).distinct()
+          val admitted = batch.join(dropped, Seq("doc_id"), "left_anti")
+            .localCheckpoint(eager = true) // consumed by both sinks
+          admitted.write.mode("append").parquet(outDir)
+          nb.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+            .write.mode("append").parquet(stateDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Transactional streaming sink: each micro-batch publishes ONE atomic
     * [[graft.operators.SnapshotStore]] version carrying its batch id as
     * a txn marker, so a batch replayed after a crash (foreachBatch's

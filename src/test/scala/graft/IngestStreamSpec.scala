@@ -202,4 +202,50 @@ class IngestStreamSpec extends SparkTestBase {
     assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
       === expected)
   }
+
+  test("streaming dedup drops near-dups of earlier batches and siblings") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different words about spark shuffle " +
+      "partitions and broadcast joins at massive scale"
+    val third = "yet another entirely unrelated document discussing " +
+      "parquet footers column pruning and predicate pushdown"
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", s"d$id.pdf", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: DataFrame, src: String, name: String): Unit = {
+      val stage = tmp("dedup_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    val src = tmp("dedup_src"); val state = tmp("dedup_state")
+    val out = tmp("dedup_out"); val cp = tmp("dedup_cp")
+    // state dir must not pre-exist as an empty parquet read target
+    Files.delete(Paths.get(state))
+
+    // batch 1: two distinct docs — both admitted
+    land(docsDf(Seq(1L -> base, 2L -> other)), src, "b1.parquet")
+    IngestStream.dedupAvailable(spark, src, state, out, cp)
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+
+    // batch 2: doc 5 near-dups doc 1 (cross-batch), doc 7 duplicates
+    // doc 6 (within-batch, larger id loses), doc 6 is novel
+    land(docsDf(Seq(5L -> nearDup, 6L -> third, 7L -> third)),
+      src, "b2.parquet")
+    IngestStream.dedupAvailable(spark, src, state, out, cp)
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 6L))
+
+    // the fingerprint store holds exactly the admitted documents
+    assert(spark.read.parquet(state).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 6L))
+
+    // batch 3: replaying nothing new is a no-op (checkpoint drains empty)
+    IngestStream.dedupAvailable(spark, src, state, out, cp)
+    assert(spark.read.parquet(out).count() === 3L)
+  }
 }
