@@ -120,6 +120,33 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
+  /** Output schema of [[frameByteCounts]]: per-frame RAW bucket counts. */
+  val frameCountSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("counts", ArrayType(LongType), nullable = false)))
+
+  /** Per-frame feature extraction emitting RAW integer bucket counts
+    * (the un-normalised form of [[FakeCodec]]'s histogram): counts sum
+    * exactly across frames — the representation temporal pooling wants,
+    * where pooling per-frame RATIOS would stack order-dependent float
+    * additions. Same mapPartitions decode shape as [[decodeFeatures]]. */
+  def frameByteCounts(frames: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(frameCountSchema)
+    frames.select("media_id", "frame_idx", "frame")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // positional get: rows produced by an upstream mapPartitions
+          // encoder carry no field-name schema
+          val payload = r.getAs[Array[Byte]](2)
+          val hist = new Array[Long](8)
+          payload.foreach { b => hist((b & 0xff) >> 5) += 1L }
+          Row(r.getLong(0), r.getInt(1), payload.length, hist)
+        }
+      }(enc)
+  }
+
   /** Frame-sampling stub: treats the payload as `nFrames` equal segments
     * and emits every `stride`-th — the flatMap row-explosion shape of a
     * real video frame sampler (one row in, many typed rows out, still

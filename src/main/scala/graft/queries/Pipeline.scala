@@ -279,6 +279,33 @@ object Pipeline extends QueryPack {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Temporal pooling over sampled frames — the video-embedding shape:
+    // per-frame features aggregate to ONE vector per media. Pooling runs
+    // over RAW integer bucket counts (Multimodal.frameByteCounts), not
+    // per-frame ratios: integer sums are order-independent across
+    // partitionings (mean-of-ratios would stack order-dependent float
+    // adds), with a single IEEE division at output — exact in both
+    // engines. Frame explosion and decode stay partition-local; the only
+    // shuffle is the per-media rollup.
+    "m05_frame_pool" -> ((s, d) => {
+      val fc = graft.operators.Multimodal.frameByteCounts(
+        graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.mediaFromDocuments(s, d),
+          nFrames = 6, stride = 2))
+      val aggs = Seq(count(lit(1)).as("n_frames"),
+        sum("n_bytes").as("sampled_bytes")) ++
+        (0 until 8).map(b =>
+          sum(element_at(col("counts"), b + 1)).as(s"c$b"))
+      fc.groupBy("media_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("media_id") +: col("n_frames") +:
+          col("sampled_bytes") +:
+          (0 until 8).map(b =>
+            round(col(s"c$b").cast("double") /
+              col("sampled_bytes").cast("double"), 6).as(s"p$b")): _*)
+        .orderBy("media_id")
+    }),
+
     // Cross-modal retrieval (the CLIP-shaped join): text queries and
     // decoded media features scored in one shared space, top-3 media per
     // query. The 5-query side broadcasts (the r02 direction rule — the
@@ -590,6 +617,29 @@ object Pipeline extends QueryPack {
          |FROM tot t LEFT JOIN cnt c ON c.doc_id = t.doc_id
          |GROUP BY t.doc_id, t.n
          |ORDER BY media_id""".stripMargin,
+
+    "m05_frame_pool" ->
+      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |seg AS (SELECT doc_id, text, n, greatest(1, n // 6) AS sl FROM d),
+        |fr AS (SELECT doc_id, text, cast(i.range as int) AS fi, n, sl
+        |  FROM seg, range(0, 6) i WHERE i.range % 2 = 0 AND i.range * sl < n),
+        |fb AS (SELECT doc_id, fi, text, fi * sl AS off,
+        |    least(n, (fi + 1) * sl) - fi * sl AS flen FROM fr),
+        |pos AS (SELECT doc_id, off, text,
+        |    unnest(range(1, flen + 1)) AS j FROM fb),
+        |bk AS (SELECT doc_id,
+        |    ord(substring(text, cast(off + j as int), 1)) // 32 AS bucket
+        |  FROM pos),
+        |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, cast(count(*) as bigint) AS n_frames,
+        |    cast(sum(flen) as bigint) AS sampled_bytes FROM fb GROUP BY doc_id)
+        |SELECT t.doc_id AS media_id, t.n_frames, t.sampled_bytes,
+        |${(0 until 8).map(b =>
+            s"  round(cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / cast(t.sampled_bytes as double), 6) AS p$b")
+            .mkString(",\n")}
+        |FROM tot t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+        |GROUP BY t.doc_id, t.n_frames, t.sampled_bytes
+        |ORDER BY media_id""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

@@ -205,8 +205,12 @@ object Similarity extends QueryPack {
           round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
             .as("sim"))
         .withColumn("rank", row_number().over(w))
-        .filter((col("kind") === "pos" && col("rank") <= 1) ||
-          (col("kind") === "neg" && col("rank") <= 3))
+        // the uniform rank <= 3 conjunct is what RowNumberLimitRule
+        // rewrites into TopKPerKey (bounded heaps, no full partition
+        // sort); the kind-specific cut rides above as a residual filter
+        .filter(col("rank") <= 3)
+        .filter(col("kind") === "neg" ||
+          (col("kind") === "pos" && col("rank") <= 1))
         .select("q_id", "kind", "rank", "vec_id", "sim")
         .orderBy("q_id", "kind", "rank")
     }),

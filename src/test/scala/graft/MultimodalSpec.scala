@@ -50,4 +50,26 @@ class MultimodalSpec extends SparkTestBase {
       assert(fs.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
     }
   }
+
+  test("frame byte counts are exact integer histograms of each frame") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(10)
+    val frames = Multimodal.sampleFrames(media, nFrames = 6, stride = 2)
+    val counted = Multimodal.frameByteCounts(frames).collect()
+    assert(counted.nonEmpty)
+    counted.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      val counts = r.getSeq[Long](3)
+      assert(counts.length === 8)
+      assert(counts.sum === n.toLong, "bucket counts must sum to bytes")
+    }
+    // cross-check one frame against a driver-side histogram
+    val f0 = frames.collect().head
+    val payload = f0.getAs[Array[Byte]]("frame")
+    val expected = new Array[Long](8)
+    payload.foreach { b => expected((b & 0xff) >> 5) += 1L }
+    val got = counted.find(r =>
+      r.getLong(0) == f0.getLong(0) &&
+        r.getAs[Int]("frame_idx") == f0.getAs[Int]("frame_idx")).get
+    assert(got.getSeq[Long](3).toSeq === expected.toSeq)
+  }
 }
