@@ -96,6 +96,37 @@ object Warehouse extends QueryPack {
         .orderBy("blk")
     }),
 
+    // TPC-H Q21's shape (suppliers who were the SOLE late shipper on a
+    // multi-supplier order) — the classic EXISTS + NOT-EXISTS pair on
+    // the same fact table, re-expressed Spark-first as per-order
+    // supplier aggregates: one lineitem ⋈ orders shuffle, one
+    // (order, supplier) rollup, one order-level rollup joined back —
+    // three bounded exchanges, where the textbook correlated-subquery
+    // form re-joins the corpus-scale lineitem to itself twice. "Late" =
+    // shipped more than 60 days after the order date (this schema has
+    // no commit/receipt dates); timestamp-interval arithmetic is exact
+    // millisecond integers in both engines.
+    "q64_sole_late_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val os = j.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("late"), 1L).otherwise(0L)).as("sl"))
+      val st = os.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("sl").as("n_late"))
+      os.filter(col("sl") === 1L)
+        .join(st.filter(col("n_supp") >= 2 && col("n_late") === 1L),
+          "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q3 — shipping priority: orders not yet shipped for one market
     // segment, top 10 by outstanding revenue. lineitem ⋈ orders shuffles
     // on the order key; the filtered customer dim broadcasts into orders.
@@ -323,6 +354,19 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q64_sole_late_supplier" ->
+      """WITH j AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+        |    (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |os AS (SELECT ok, sk, max(CASE WHEN late THEN 1 ELSE 0 END) AS sl
+        |  FROM j GROUP BY ok, sk),
+        |st AS (SELECT ok, count(*) AS n_supp, sum(sl) AS n_late
+        |  FROM os GROUP BY ok)
+        |SELECT os.sk AS l_suppkey, count(*) AS numwait
+        |FROM os JOIN st USING (ok)
+        |WHERE os.sl = 1 AND st.n_supp >= 2 AND st.n_late = 1
+        |GROUP BY os.sk ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
     "q63_entity_resolution" ->
       """WITH e AS (SELECT p_partkey AS id, p_name AS name,
         |    split_part(p_name, ' ', 1) AS blk FROM part),
