@@ -373,6 +373,18 @@ object Pipeline extends QueryPack {
   private def placeholderComponent(text: String, i: Int): String =
     s"(${graft.functions.CrossHash.duckHash60(s"'$text' || '#emb#' || '$i'")} % 2000001) / 1000000.0 - 1.0"
 
+  /** Oracle CTEs replaying [[graft.operators.Multimodal.sampleFrames]]'s
+    * geometry at the m03/m05 parameters (6 segments, stride 2) — shared
+    * so the two queries cannot drift from each other. Final CTE: `fb`
+    * (doc_id, fi, text, off, flen). */
+  private val duckFrameCtes: String =
+    """d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |seg AS (SELECT doc_id, text, n, greatest(1, n // 6) AS sl FROM d),
+      |fr AS (SELECT doc_id, text, cast(i.range as int) AS fi, n, sl
+      |  FROM seg, range(0, 6) i WHERE i.range % 2 = 0 AND i.range * sl < n),
+      |fb AS (SELECT doc_id, fi, text, fi * sl AS off,
+      |    least(n, (fi + 1) * sl) - fi * sl AS flen FROM fr)""".stripMargin
+
   /** Oracle CTEs replaying [[graft.operators.Multimodal.FakeCodec]]'s
     * byte histogram (ASCII fixture: ord(char) == byte — documented at
     * m02). Shared by m02 (rounded presentation) and m04 (raw feature
@@ -619,12 +631,7 @@ object Pipeline extends QueryPack {
          |ORDER BY media_id""".stripMargin,
 
     "m05_frame_pool" ->
-      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-        |seg AS (SELECT doc_id, text, n, greatest(1, n // 6) AS sl FROM d),
-        |fr AS (SELECT doc_id, text, cast(i.range as int) AS fi, n, sl
-        |  FROM seg, range(0, 6) i WHERE i.range % 2 = 0 AND i.range * sl < n),
-        |fb AS (SELECT doc_id, fi, text, fi * sl AS off,
-        |    least(n, (fi + 1) * sl) - fi * sl AS flen FROM fr),
+      s"""WITH $duckFrameCtes,
         |pos AS (SELECT doc_id, off, text,
         |    unnest(range(1, flen + 1)) AS j FROM fb),
         |bk AS (SELECT doc_id,
@@ -642,14 +649,10 @@ object Pipeline extends QueryPack {
         |ORDER BY media_id""".stripMargin,
 
     "m03_frame_sample" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        |seg AS (SELECT doc_id, n, greatest(1, n // 6) AS sl FROM d),
-        |fr AS (SELECT doc_id, cast(i.range as int) AS frame_idx, n, sl
-        |  FROM seg, range(0, 6) i WHERE i.range % 2 = 0 AND i.range * sl < n)
-        |SELECT doc_id AS media_id, frame_idx,
-        |  cast(least(n, (frame_idx + 1) * sl) - frame_idx * sl as int)
-        |    AS n_frame_bytes
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+      s"""WITH $duckFrameCtes
+        |SELECT doc_id AS media_id, fi AS frame_idx,
+        |  cast(flen as int) AS n_frame_bytes
+        |FROM fb ORDER BY media_id, frame_idx""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,

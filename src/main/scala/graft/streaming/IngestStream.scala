@@ -142,9 +142,10 @@ object IngestStream {
           val prior =
             try spark.read.parquet(stateDir)
             catch { case _: org.apache.spark.sql.AnalysisException =>
-              spark.emptyDataFrame
-                .select(lit(0L).as("doc_id"), lit(0).as("band"),
-                  lit("").as("key")).limit(0) }
+              // first batch: no store yet — empty frame in nb's schema
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                nb.schema) }
           val priorHit = nb
             .join(prior, Seq("band", "key"), "left_semi")
             .select("doc_id")
