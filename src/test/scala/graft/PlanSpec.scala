@@ -104,6 +104,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("s13 rank filter rewrites into TopKPerKey, no Window survives") {
+    // the uniform rank <= 3 conjunct must keep triggering
+    // RowNumberLimitRule; if the query's filter shape regresses, the
+    // plan falls back to a full per-partition window sort
+    val p = plan("s13_hard_negatives")
+    assert(p.contains("TopKPerKey"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the tight 5% contract at this fixed sf (the driver-hashed verdict
