@@ -305,9 +305,14 @@ object Similarity extends QueryPack {
         .agg(count(lit(1)).as("n_members"),
           sum(col("a")).as("sa"), sum(col("b")).as("sb"))
         .select(col("cell").as("cent_id"), col("n_members"),
-          round(col("sa").cast("double") / col("n_members"), 6)
+          // RAW single division, no round(): the means are ~1.5e12, and
+          // round(x, 6) disagrees across engines past |x| ≈ 9e9 (DuckDB
+          // scales by 1e6 — overflowing double precision — where Spark
+          // rounds the decimal rendering). The division itself is exact
+          // parity: bigint sum / int count, one correctly-rounded IEEE op
+          (col("sa").cast("double") / col("n_members"))
             .as("mean_intra"),
-          round(col("sb").cast("double") / col("n_members"), 6)
+          (col("sb").cast("double") / col("n_members"))
             .as("mean_second"),
           // a cell holding only its own centroid has sa = 0 — emit null,
           // not a division error (the d11 empty-edge rule). sb·1000
@@ -351,8 +356,8 @@ object Similarity extends QueryPack {
         |    cast(sum(a) as bigint) AS sa, cast(sum(b) as bigint) AS sb
         |  FROM ab GROUP BY cell)
         |SELECT cell AS cent_id, n_members,
-        |  round(cast(sa as double) / n_members, 6) AS mean_intra,
-        |  round(cast(sb as double) / n_members, 6) AS mean_second,
+        |  cast(sa as double) / n_members AS mean_intra,
+        |  cast(sb as double) / n_members AS mean_second,
         |  CASE WHEN sa = 0 THEN NULL
         |       ELSE cast((sb * 1000) // sa as bigint) END AS separation_permille
         |FROM agg ORDER BY cent_id""".stripMargin,
