@@ -94,6 +94,30 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(under === 0L, "count-min must never underestimate")
   }
 
+  test("round-5 additions behave on empty input") {
+    // sharded export: assignment of nothing is nothing; write of nothing
+    // still produces a readable (empty) target? — parquet needs ≥1 row
+    // per partition dir, so an empty write just creates no shard dirs;
+    // the assignment path itself must not throw
+    val sh = graft.operators.ShardedExport.assignShards(emptyDocs, 8)
+    assert(sh.count() === 0)
+
+    // winnowing/pagerank-style operators on empty frames
+    assert(graft.operators.Winnowing.sharedFingerprints(emptyDocs)
+      .count() === 0)
+    val emptyEdges = Tables.lineitem(spark, sf0001)
+      .filter(col("l_orderkey") < 0)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    assert(graft.operators.PageRank.ranks(emptyEdges, 2).count() === 0)
+
+    // frame pooling: empty media → no frames → no pooled rows
+    val m = graft.operators.Multimodal.frameByteCounts(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.mediaFromDocuments(spark, sf0001)
+          .filter(col("media_id") < 0), 6, 2))
+    assert(m.count() === 0)
+  }
+
   test("incremental agg: merging an empty delta is the identity") {
     val ev = Tables.events(spark, sf0001)
     val keys = Seq("user_id", "event_type")
