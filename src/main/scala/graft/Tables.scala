@@ -22,16 +22,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = p(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = p(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as nanos-since-epoch (legacy conf, runtime-settable)
-    * and truncate to a microsecond TIMESTAMP — exactly what DuckDB's
-    * `cast(ts as timestamp)` does to TIMESTAMP_NS, so oracle parity holds. */
+  /** events.ts arrives as parquet TIMESTAMP(NANOS) in early-round fixtures
+    * (Spark's vectorized reader rejects it — read as nanos-since-epoch via
+    * the legacy conf and truncate) or TIMESTAMP(MICROS) since the round-5
+    * regeneration (read natively). Both normalize to a session-tz
+    * microsecond TIMESTAMP — exactly what DuckDB's `cast(ts as timestamp)`
+    * yields for either physical type, so oracle parity holds (session tz
+    * is pinned to UTC by Verify/Bench/SparkTestBase). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr(
-        "timestamp_micros(cast(ts div 1000 as bigint))"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = p(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("timestamp_micros(cast(ts div 1000 as bigint))"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   /** Corpus analog of the reference's extracted-document store. */
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")

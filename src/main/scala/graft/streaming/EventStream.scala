@@ -20,8 +20,8 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema with ts as raw INT64 nanos (the fixture's
-    * parquet TIMESTAMP(NANOS) read under nanosAsLong). */
+  /** events.parquet schema with ts as raw INT64 nanos (the early-round
+    * fixtures' parquet TIMESTAMP(NANOS) read under nanosAsLong). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -30,17 +30,32 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded source over the events directory. */
+  /** Unbounded source over the events directory.
+    *
+    * A streaming file source needs a DECLARED schema, but the fixture's
+    * ts physical type changed across rounds (TIMESTAMP(NANOS) early,
+    * TIMESTAMP(MICROS) since the round-5 regeneration), so the declared
+    * schema is taken from one batch-read footer probe of the same glob —
+    * a driver-side metadata read, not a data scan — and ts then
+    * normalizes to the session-tz microsecond TIMESTAMP either way,
+    * keeping every downstream watermark/window identical to
+    * [[graft.Tables.events]]. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream
+      .schema(schema)
       // file source requires a directory: point at the fixture dir and
       // glob-filter to the events file (at scale: the event-log directory)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts",
+    if (tsType == LongType)
+      raw.withColumn("ts",
         expr("timestamp_micros(cast(ts div 1000 as bigint))"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling 1-hour counts/sums per event type with a 1-hour watermark:
