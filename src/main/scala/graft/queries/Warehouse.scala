@@ -269,52 +269,18 @@ object Warehouse extends QueryPack {
     // integer compares, so DuckDB replays it exactly; wedge count
     // Σ C(deg,2) and the 3T/W coefficient stay integer-exact until one
     // rounded division.
-    "q60_triangles" -> ((s, d) => {
-      // eager for the same reason as q57: three consumers (deg's two
-      // union branches + the e join) must read materialized blocks
-      val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
-        .localCheckpoint(eager = true)
-      val deg = half.select(col("pa").as("v"))
-        .unionByName(half.select(col("pb").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-      val aFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("pa") < col("pb"))
-      val e = half
-        .join(deg.select(col("v").as("pa"), col("dg").as("da")), "pa")
-        .join(deg.select(col("v").as("pb"), col("dg").as("db")), "pb")
-        .select(
-          when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
-          when(aFirst, col("pb")).otherwise(col("pa")).as("dst"))
-        .localCheckpoint(eager = false)
-      // Edge-iterator with adjacency intersection: a triangle a≺b≺c is
-      // counted exactly once, at edge (a,b), as c ∈ N⁺(a) ∩ N⁺(b) — the
-      // acyclic orientation makes both c-edges OUT-edges. One groupBy
-      // builds the per-node out-adjacency (out-degree is O(√m) after
-      // orientation), which broadcasts (~8 bytes/edge) onto a map-only
-      // per-edge intersection — measured 2× faster than materialising
-      // the Σ C(out-deg, 2) wedge stream (41M rows here) through a
-      // closure join. Past broadcast range, swap the hint for the
-      // wedge self-join + shuffle-hash closure: same count, same
-      // orientation, shuffle-only plan.
-      // checkpointed: the aggregation feeds TWO broadcasts (per-side
-      // projections differ, so exchange reuse would not dedupe them)
-      val adj = e.groupBy("src")
-        .agg(sort_array(collect_list(col("dst"))).as("nb"))
-        .localCheckpoint(eager = false)
-      val tri = e
-        .join(broadcast(adj.select(col("src"), col("nb").as("na"))), "src")
-        .join(broadcast(adj.select(col("src").as("dst"),
-          col("nb").as("nbb"))), "dst")
-        .select(size(array_intersect(col("na"), col("nbb"))).as("c"))
-        .agg(sum(col("c")).cast("long").as("n_triangles"))
-      val wedges = deg
-        .agg(expr("cast(sum((dg * (dg - 1)) div 2) as bigint)")
-          .as("n_wedges"))
-      tri.crossJoin(wedges)
+    "q60_triangles" -> ((s, d) =>
+      // Counting itself lives in operators/Triangles: compact-forward
+      // orientation, then an ADAPTIVE tier — broadcast-adjacency
+      // intersection while the oriented edge list fits broadcast range,
+      // wedge self-join + shuffle-hash closure past it (edge-count
+      // gated, the DupClusters pattern; both tiers spec-asserted equal
+      // and the shuffle tier plan-pinned broadcast-free).
+      graft.operators.Triangles
+        .count(coPurchasePairs(Tables.lineitem(s, d)).distinct())
         .select(col("n_triangles"), col("n_wedges"),
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-            .as("clustering_coeff"))
-    }),
+            .as("clustering_coeff"))),
 
     // TPC-H Q14 — promo revenue share: one fact scan in a shipdate
     // window, the 200-row part dim broadcast, ONE 1-row aggregate; the
