@@ -37,10 +37,28 @@ import org.apache.spark.sql.functions._
   * bucketed dynamic-overwrite upsert must materialize its merge before
   * deleting what it reads; here nothing is ever deleted on commit).
   *
-  * Concurrency contract: SINGLE WRITER (the same assumption a Delta
-  * table makes on object stores without a commit coordinator); rename
-  * makes each publish all-or-nothing and last-writer-wins. Readers are
-  * unlimited and never block.
+  * Concurrency contract: OPTIMISTIC single-winner. Pass
+  * `expectedVersion` (the version a writer based its work on; 0 = empty
+  * store) to [[commit]]/[[upsert]]/[[optimize]] and a writer that lost
+  * the race fails up front with [[SnapshotConflictException]] — BEFORE
+  * writing any data, so it can never clobber the winner's version dir —
+  * instead of silently dropping the winner's commit; retry = re-read,
+  * re-derive, re-commit (the Delta/Iceberg optimistic-commit loop).
+  * [[publish]] itself is the backstop CAS: it refuses an
+  * already-published version number and read-back-verifies the rename
+  * (a local-FS rename silently overwrites, so existence alone is not
+  * exclusive). Without `expectedVersion` the legacy single-writer
+  * contract applies. Readers are unlimited and never block.
+  *
+  * Schema contract: evolution across versions is ADDITIVE-ONLY. A new
+  * version may add columns (older files null-fill on read); dropping or
+  * retyping a column requires a full [[commit]] rewrite. [[read]]
+  * verifies this file-level — a manifest whose newer files drop or
+  * retype a column an older file carries raises
+  * [[SnapshotSchemaException]] naming the column — and [[upsert]]
+  * rejects fresh rows that retype a stored column up front (union
+  * coercion at write time would otherwise silently widen the stored
+  * type and mask the drift from the read-side check).
   *
   * Crash recovery: "immutable" applies to PUBLISHED files. A writer that
   * crashed between the data write and the manifest rename leaves an
@@ -50,6 +68,18 @@ import org.apache.spark.sql.functions._
   * (a published version's number is never reused: currentVersion moves
   * past it). The retry simply succeeds; no manual vacuum precondition.
   */
+/** A writer lost the optimistic-concurrency race: the store moved past
+  * the version the writer based its work on (or its version number was
+  * published by someone else first). Re-read, re-derive, retry. */
+final class SnapshotConflictException(msg: String)
+  extends IllegalStateException(msg)
+
+/** A version's files violate the additive-only schema contract — a
+  * column was dropped or retyped instead of added. The message names the
+  * column and both sides. */
+final class SnapshotSchemaException(msg: String)
+  extends IllegalStateException(msg)
+
 object SnapshotStore {
 
   private val VersionRe = "v(\\d{5})\\.manifest".r
@@ -104,6 +134,34 @@ object SnapshotStore {
     manifestText(spark, root, v).linesIterator
       .filter(_.startsWith("#")).toSeq
 
+  private def colLine(name: String, typ: String) = s"#col\t$name\t$typ"
+
+  /** The logical schema a version's manifest declares (`#col` lines,
+    * written by every publish since the schema contract landed), as
+    * (name, catalogString) in declaration order. None ⇒ legacy manifest
+    * predating declarations (validation is skipped for those). */
+  private def declaredCols(spark: SparkSession, root: String,
+      v: Long): Option[Seq[(String, String)]] = {
+    val cols = manifestMeta(spark, root, v).collect {
+      case l if l.startsWith("#col\t") =>
+        val Array(_, n, t) = l.split("\t", 3)
+        (n, t)
+    }
+    if (cols.isEmpty) None else Some(cols)
+  }
+
+  /** Columns the store itself manages: `bucket` is derived at write and
+    * `doc_id` is normalized to long on read/merge — their physical types
+    * legitimately vary across version dirs, so neither is declared nor
+    * validated (payload columns are). */
+  private val ManagedCols = Set("bucket", "doc_id")
+
+  /** Payload fields as (name, catalogString) declaration entries. */
+  private def schemaCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    schema.fields.toSeq.filterNot(f => ManagedCols.contains(f.name))
+      .map(f => (f.name, f.dataType.catalogString))
+
   /** List a just-written version dir as manifest entries. */
   private def listVersionFiles(spark: SparkSession, root: String,
       v: Long): Seq[(Long, String)] = {
@@ -126,34 +184,94 @@ object SnapshotStore {
   /** Atomically publish `entries` (+ optional `#` metadata lines) as
     * version `v`: temp write + rename — metadata rides the SAME atomic
     * rename as the file list, so a txn marker can never be published
-    * without its data or vice versa. */
-  private def publish(spark: SparkSession, root: String, v: Long,
+    * without its data or vice versa. CAS backstop: refuses an
+    * already-published `v`, and read-back-verifies the rename landed
+    * THIS writer's bytes (Hadoop's local-FS rename overwrites an
+    * existing destination instead of failing, so existence-then-rename
+    * alone is not exclusive) — the loser of a same-version race raises
+    * [[SnapshotConflictException]], never silently drops the winner.
+    * private[graft]: exposed to the spec to exercise the race paths. */
+  private[graft] def publish(spark: SparkSession, root: String, v: Long,
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
       "SnapshotStore: metadata lines must start with '#'")
     val f = fs(spark, root)
+    val dst = manifestPath(root, v)
+    if (f.exists(dst))
+      throw new SnapshotConflictException(
+        s"SnapshotStore: version $v is already published at $root — " +
+          s"a concurrent writer committed from the same parent ${v - 1}; " +
+          "re-read the store and retry")
+    val text = (meta ++ entries.sortBy(e => (e._1, e._2))
+      .map { case (b, p) => s"$b\t$p" }).mkString("", "\n", "\n")
     val tmp = new Path(root, f"_versions/.tmp-v$v%05d-${java.util.UUID.randomUUID()}")
     val outStream = f.create(tmp, true)
-    try outStream.write((meta ++ entries.sortBy(e => (e._1, e._2))
-      .map { case (b, p) => s"$b\t$p" }).mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
+    try outStream.write(text.getBytes("UTF-8"))
     finally outStream.close()
-    if (!f.rename(tmp, manifestPath(root, v)))
-      throw new IllegalStateException(
+    if (!f.rename(tmp, dst))
+      throw new SnapshotConflictException(
         s"SnapshotStore: failed to publish version $v at $root " +
           "(concurrent writer?)")
+    if (manifestText(spark, root, v) != text)
+      throw new SnapshotConflictException(
+        s"SnapshotStore: lost the publish race for version $v at $root — " +
+          "another writer's manifest landed; re-read the store and retry")
   }
 
+  /** Pre-flight optimistic-concurrency check: `expected` (when given) is
+    * the version this writer based its work on (0 = empty store); if the
+    * store has moved, fail HERE — before any data write — so a stale
+    * writer can never overwrite the winner's version dir. */
+  private def checkExpected(spark: SparkSession, root: String,
+      expected: Option[Long]): Unit =
+    expected.foreach { e =>
+      val cur = currentVersion(spark, root).getOrElse(0L)
+      if (cur != e)
+        throw new SnapshotConflictException(
+          s"SnapshotStore: concurrent write detected at $root — this " +
+            s"writer read version $e but the store is now at $cur; " +
+            "re-read the store and retry")
+    }
+
   /** Full-snapshot commit: write `index` (needs a `doc_id` column) as the
-    * next version. Returns the published version number. */
+    * next version. Returns the published version number. Pass
+    * `expectedVersion` (version this writer read; 0 = empty store) for
+    * optimistic conflict detection. A commit whose schema DROPS or
+    * RETYPES a column of the current version raises
+    * [[SnapshotSchemaException]] naming the column unless
+    * `allowSchemaChange = true` (the explicit full-rewrite opt-in);
+    * added columns are always fine. */
   def commit(index: DataFrame, root: String, buckets: Int,
-      meta: Seq[String] = Nil): Long = {
+      meta: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None,
+      allowSchemaChange: Boolean = false): Long = {
     val spark = index.sparkSession
-    val v = currentVersion(spark, root).getOrElse(0L) + 1
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(0L)
+    val declared = schemaCols(index.schema)
+    if (cur > 0 && !allowSchemaChange)
+      declaredCols(spark, root, cur).foreach { prev =>
+        val here = declared.toMap
+        prev.foreach { case (n, t) =>
+          here.get(n) match {
+            case None => throw new SnapshotSchemaException(
+              s"commit drops column '$n' ($t) present in version $cur at " +
+                s"$root — dropping is not additive evolution; pass " +
+                "allowSchemaChange = true for an intentional rewrite")
+            case Some(t2) if t2 != t => throw new SnapshotSchemaException(
+              s"commit retypes column '$n' from $t (version $cur) to $t2 " +
+                s"at $root — retyping is not additive evolution; pass " +
+                "allowSchemaChange = true for an intentional rewrite")
+            case _ =>
+          }
+        }
+      }
+    val v = cur + 1
     withBucket(index, buckets).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v, listVersionFiles(spark, root, v),
-      carriedTxn(spark, root, meta))
+      carriedTxn(spark, root, meta) ++
+        declared.map { case (n, t) => colLine(n, t) })
     v
   }
 
@@ -173,11 +291,42 @@ object SnapshotStore {
     // unions with older versions' files by null-filling the gap — the
     // additive-only evolution contract of the log-structured table formats
     // (renames/drops are a rewrite, not an evolution).
-    entries.groupBy(_._2.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+    val dirDfs = entries.groupBy(_._2.split("/").take(2).mkString("/"))
+      .toSeq.sortBy(_._1)
       .map { case (dir, es) =>
-        spark.read.option("basePath", s"$root/$dir")
-          .parquet(es.map(e => s"$root/${e._2}"): _*)
+        (dir, spark.read.option("basePath", s"$root/$dir")
+          .parquet(es.map(e => s"$root/${e._2}"): _*))
       }
+    // Validate every dir's PHYSICAL schema against the version's DECLARED
+    // schema (the `#col` manifest lines): a column a dir stores under a
+    // different type, or one the declaration no longer carries, is
+    // non-additive drift and fails HERE with the column's name — not as
+    // silent null-fill / silent type coercion downstream. Absence of a
+    // declared column from a dir is fine: that IS additive evolution
+    // (older files null-fill a later ADD). Legacy manifests without
+    // declarations skip the check.
+    declaredCols(spark, root, v).foreach { cols =>
+      val types = cols.toMap
+      dirDfs.foreach { case (dir, df) =>
+        df.schema.fields.filterNot(f => ManagedCols.contains(f.name))
+          .foreach { f =>
+          types.get(f.name) match {
+            case None => throw new SnapshotSchemaException(
+              s"version $v at $root: column '${f.name}' " +
+                s"(${f.dataType.catalogString}, stored in $dir) is missing " +
+                "from the version's declared schema — dropped without a " +
+                "full-rewrite commit")
+            case Some(t) if t != f.dataType.catalogString =>
+              throw new SnapshotSchemaException(
+                s"version $v at $root: column '${f.name}' is declared $t " +
+                  s"but $dir stores ${f.dataType.catalogString} — retyped " +
+                  "without a full-rewrite commit")
+            case _ =>
+          }
+        }
+      }
+    }
+    dirDfs.map(_._2)
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bucket", col("bucket").cast("long"))
@@ -191,11 +340,33 @@ object SnapshotStore {
     * fresh rebuild" holds in the empty edge). Returns the new version. */
   def upsert(spark: SparkSession, newRows: DataFrame,
       reingestedDocs: DataFrame, root: String, buckets: Int,
-      meta: Seq[String] = Nil): Long = {
+      meta: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long = {
+    checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — commit() an initial snapshot first"))
     val fresh = withBucket(newRows, buckets)
+    // Retype guard — at WRITE time, because the union below would coerce
+    // a retyped fresh column to the common type and write already-merged
+    // files, masking the drift from read()'s declared-vs-stored check.
+    // Fresh rows MAY omit stored columns (their rows null-fill — the
+    // additive contract's read behavior applied at write) and MAY add
+    // new ones; they may never change a stored column's type.
+    val curCols = declaredCols(spark, root, cur).getOrElse(
+      schemaCols(read(spark, root, cur).schema))
+    val curTypes = curCols.toMap
+    fresh.schema.fields.filterNot(f => ManagedCols.contains(f.name))
+      .foreach { f =>
+      curTypes.get(f.name).foreach { t =>
+        if (t != f.dataType.catalogString)
+          throw new SnapshotSchemaException(
+            s"upsert retypes column '${f.name}': stored $t, upsert rows " +
+              s"${f.dataType.catalogString} at $root — retyping is not " +
+              "additive evolution; use commit(allowSchemaChange = true) " +
+              "for an intentional rewrite")
+      }
+    }
     // union newRows' own ids: a doc present in newRows but omitted from
     // reingestedDocs must replace, not duplicate, its old vectors
     val upserted = reingestedDocs.select(col("doc_id").cast("long")
@@ -231,9 +402,15 @@ object SnapshotStore {
     // old files are immutable — no checkpoint fence needed before writing
     merged.write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    // declared schema grows monotonically: current declaration + any
+    // columns the fresh rows ADD (drops are impossible through upsert —
+    // carried files retain every stored column)
+    val newCols = curCols ++ schemaCols(fresh.schema)
+      .filterNot { case (n, _) => curTypes.contains(n) }
     publish(spark, root, v,
       keptEntries ++ listVersionFiles(spark, root, v),
-      carriedTxn(spark, root, meta))
+      carriedTxn(spark, root, meta) ++
+        newCols.map { case (n, t) => colLine(n, t) })
     v
   }
 
@@ -324,17 +501,24 @@ object SnapshotStore {
     * small files become unreferenced garbage for [[vacuum]]. The rewrite
     * shuffles once on the bucket column so each bucket lands whole in one
     * task → exactly one output file. Returns the new version. */
-  def optimize(spark: SparkSession, root: String): Long = {
+  def optimize(spark: SparkSession, root: String,
+      expectedVersion: Option[Long] = None): Long = {
+    checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — nothing to optimize"))
     val v = cur + 1
-    read(spark, root, cur)
+    val snap = read(spark, root, cur)
+    snap
       .repartition(col("bucket"))
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    // declare what was physically WRITTEN (the snapshot's union schema,
+    // payload types now guaranteed uniform by the read validation) — also
+    // materializes a declaration for legacy stores
     publish(spark, root, v, listVersionFiles(spark, root, v),
-      carriedTxn(spark, root, Nil))
+      carriedTxn(spark, root, Nil) ++
+        schemaCols(snap.schema).map { case (n, t) => colLine(n, t) })
     v
   }
 

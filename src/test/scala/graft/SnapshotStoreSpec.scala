@@ -117,7 +117,11 @@ class SnapshotStoreSpec extends SparkTestBase {
     def manifestFiles(v: Long): Seq[String] = {
       val src = scala.io.Source.fromFile(
         f"$root/_versions/v$v%05d.manifest")
-      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+      // skip '#' metadata (txn markers, declared-schema lines) — only
+      // data-file entries count
+      try src.getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally src.close()
     }
     assert(manifestFiles(preVersion).length > 4,
       "upserts should have accumulated more than one file per bucket")
@@ -210,6 +214,143 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(rows(SnapshotStore.read(spark, root, version = 3L)) === v3Rows)
     intercept[Exception] {
       SnapshotStore.read(spark, root, version = 1L).collect()
+    }
+  }
+
+  // --- optimistic concurrency ----------------------------------------
+
+  test("two writers from the same base: one wins, the stale one raises") {
+    val root = "target/snap-conflict"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val base = SnapshotStore.currentVersion(spark, root).get // both read v1
+    // writer A commits its upsert first and wins
+    val docA = docs.filter(col("doc_id") === 2)
+      .withColumn("text", concat(col("text"), lit(" by-A")))
+    val vA = SnapshotStore.upsert(spark, index(docA), docA.select("doc_id"),
+      root, 4, expectedVersion = Some(base))
+    assert(vA === 2L)
+    val winner = rows(SnapshotStore.read(spark, root))
+    // writer B, still holding base v1, must fail UP FRONT — before any
+    // data write, so nothing of A's version dir is disturbed
+    val docB = docs.filter(col("doc_id") === 3)
+      .withColumn("text", concat(col("text"), lit(" by-B")))
+    val ex = intercept[graft.operators.SnapshotConflictException] {
+      SnapshotStore.upsert(spark, index(docB), docB.select("doc_id"),
+        root, 4, expectedVersion = Some(base))
+    }
+    assert(ex.getMessage.contains("read version 1") &&
+      ex.getMessage.contains("now at 2"))
+    // the store is exactly the winner's state, still at the winner's version
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+    assert(rows(SnapshotStore.read(spark, root)) === winner)
+    // B retries the optimistic loop: re-read, re-derive, re-commit — fine
+    val vB = SnapshotStore.upsert(spark, index(docB), docB.select("doc_id"),
+      root, 4, expectedVersion = Some(2L))
+    assert(vB === 3L)
+  }
+
+  test("publish-level CAS: a racing same-version publish raises, winner intact") {
+    val root = "target/snap-publish-race"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val winner = rows(SnapshotStore.read(spark, root))
+    val manifest = scala.io.Source.fromFile(s"$root/_versions/v00001.manifest")
+    val entries = try manifest.getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(b, p) = l.split("\t", 2); (b.toLong, p) }.toList
+    finally manifest.close()
+    // a second writer that somehow raced to the same version number must
+    // be refused at the publish backstop, not silently overwrite
+    intercept[graft.operators.SnapshotConflictException] {
+      SnapshotStore.publish(spark, root, 1L, entries.take(1))
+    }
+    assert(rows(SnapshotStore.read(spark, root)) === winner)
+    // conflicted/crashed attempts' data files are plain orphans for vacuum
+    // (covered by the crash tests above — same unreferenced-file path)
+  }
+
+  test("stale-base commit and optimize raise the same named conflict") {
+    val root = "target/snap-conflict-commit"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4,
+      expectedVersion = Some(0L)) // empty store = version 0
+    intercept[graft.operators.SnapshotConflictException] {
+      SnapshotStore.commit(index(docs), root, buckets = 4,
+        expectedVersion = Some(0L)) // stale: store moved to v1
+    }
+    intercept[graft.operators.SnapshotConflictException] {
+      SnapshotStore.optimize(spark, root, expectedVersion = Some(0L))
+    }
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+  }
+
+  // --- non-additive schema evolution ----------------------------------
+
+  test("commit that drops a column raises a named error; opt-in rewrites") {
+    val root = "target/snap-schema-drop"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val dropped = index(docs).drop("title")
+    val ex = intercept[graft.operators.SnapshotSchemaException] {
+      SnapshotStore.commit(dropped, root, buckets = 4)
+    }
+    assert(ex.getMessage.contains("'title'"),
+      s"error must name the dropped column: ${ex.getMessage}")
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    // an INTENTIONAL rewrite is the documented escape hatch
+    val v = SnapshotStore.commit(dropped, root, buckets = 4,
+      allowSchemaChange = true)
+    assert(v === 2L)
+    assert(!SnapshotStore.read(spark, root).columns.contains("title"))
+  }
+
+  test("retyping a column raises a named error in commit AND upsert") {
+    val root = "target/snap-schema-retype"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val retypedFull = index(docs)
+      .withColumn("chunk_idx", col("chunk_idx").cast("string"))
+    val exCommit = intercept[graft.operators.SnapshotSchemaException] {
+      SnapshotStore.commit(retypedFull, root, buckets = 4)
+    }
+    assert(exCommit.getMessage.contains("'chunk_idx'") &&
+      exCommit.getMessage.contains("int") &&
+      exCommit.getMessage.contains("string"), exCommit.getMessage)
+    val doc3 = docs.filter(col("doc_id") === 3)
+    val exUpsert = intercept[graft.operators.SnapshotSchemaException] {
+      SnapshotStore.upsert(spark,
+        index(doc3).withColumn("chunk_idx", col("chunk_idx").cast("string")),
+        doc3.select("doc_id"), root, 4)
+    }
+    assert(exUpsert.getMessage.contains("'chunk_idx'"), exUpsert.getMessage)
+    // the failed writes left the published store fully intact
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    assert(rows(SnapshotStore.read(spark, root)) === rows(index(docs)))
+  }
+
+  test("declared schema survives upsert/optimize; reads validate against it") {
+    val root = "target/snap-schema-carry"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc2 = docs.filter(col("doc_id") === 2)
+    // an ADD rides through and extends the declaration
+    SnapshotStore.upsert(spark, index(doc2).withColumn("quality", lit(0.9)),
+      doc2.select("doc_id"), root, 4)
+    SnapshotStore.optimize(spark, root)
+    val out = SnapshotStore.read(spark, root)
+    assert(out.columns.contains("quality"))
+    // retype still refused AFTER the evolution + compaction
+    intercept[graft.operators.SnapshotSchemaException] {
+      SnapshotStore.upsert(spark,
+        index(doc2).withColumn("quality", lit("high")),
+        doc2.select("doc_id"), root, 4)
     }
   }
 }
