@@ -8,6 +8,10 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned HERE, not only via build.sbt's forked-run javaOptions: a
+      // spark-submit launch of Bench must render NTZ timestamps in the
+      // same zone the oracle (and Verify) use
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -96,7 +100,21 @@ object Bench {
     val failedR04 = results.count { case (n, v) => r04Suite(n) && v < 0.0 }
     // n_queries: totals are only comparable across rounds at the same
     // query count (the suite grew 63 -> 134 during round 5).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,"queries":$qs,"sf":"$sfDir"}""")
+    val big = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,"queries":$qs,"sf":"$sfDir"}"""
+    println(big)
+    // Artifact durability (BENCH_r05.json lost its totals to a tail
+    // capture that truncated from the FRONT of this line): repeat the
+    // totals WITHOUT the long per-query map as a final short line — any
+    // tail capture retains it — and persist the full JSON to a file.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,"sf":"$sfDir"}""")
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (big + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench file: $e")
+    }
     spark.stop()
   }
 }

@@ -28,17 +28,26 @@ object Tables {
     * regeneration (read natively). Both normalize to a session-tz
     * microsecond TIMESTAMP — exactly what DuckDB's `cast(ts as timestamp)`
     * yields for either physical type, so oracle parity holds (session tz
-    * is pinned to UTC by Verify/Bench/SparkTestBase). */
+    * is pinned to UTC by each entry point's SparkSession.builder —
+    * Verify, Bench and SparkTestBase all set spark.sql.session.timeZone).
+    * Any OTHER physical ts type fails loudly: a silent cast would turn a
+    * future fixture-regeneration surprise into nulls downstream instead
+    * of a named error here. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = p(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType => // TIMESTAMP(NANOS) read as nanos-since-epoch
         raw.withColumn("ts",
           expr("timestamp_micros(cast(ts div 1000 as bigint))"))
-      case _ =>
+      case TimestampType | TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected physical type $other (expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ) — " +
+          "the fixture changed again; adapt Tables.events deliberately")
     }
   }
   /** Corpus analog of the reference's extracted-document store. */

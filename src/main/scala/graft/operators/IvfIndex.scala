@@ -251,7 +251,7 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/index")
   }
 
-  private def readCentroids(spark: SparkSession,
+  private[operators] def readCentroids(spark: SparkSession,
       path: String): Array[(Long, Array[Long])] =
     spark.read.parquet(s"$path/centroids")
       .collect()

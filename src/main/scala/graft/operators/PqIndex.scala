@@ -181,6 +181,42 @@ object PqIndex {
     rankCoded(cands, codes, lut, topK)
   }
 
+  /** IVFADC **at rest**: [[searchIvf]]'s cascade with BOTH quantizers
+    * persisted. Candidates come from an [[IvfIndex.writeIndex]] store —
+    * probe cells resolve against its centroid sidecar (k rows,
+    * driver-side) and the index scan is PARTITION-PRUNED to the probed
+    * `cent_id=` dirs, reading only the id column; scores come from a
+    * [[writeIndex]] PQ store — stored codebook → broadcast query LUT,
+    * stored codes → asymmetric distance. The corpus embeddings are never
+    * read: the two index layouts fully replace them (plan-pinned in
+    * PqIndexSpec), which is the point of serving ANN from an index at
+    * 100 TB. Same result as the in-memory [[searchIvf]] when both stores
+    * were built from the same corpus with the same parameters
+    * (spec-asserted). `queries` needs (vec_id, embedding). */
+  def searchIvfIndexed(spark: SparkSession, ivfPath: String, pqPath: String,
+      queries: DataFrame, dim: Int = 64, m: Int = 8, nProbe: Int = 2,
+      topK: Int = 3): DataFrame = {
+    val cents = IvfIndex.readCentroids(spark, ivfPath)
+    val probes = IvfIndex.cellRanksWith(queries, cents)
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    // bounded driver pull: queries × nProbe cell ids
+    val probeCells = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0))
+    val cands = spark.read.parquet(s"$ivfPath/index")
+      .filter(col("cent_id").isin(probeCells: _*))
+      .select("vec_id", "cent_id") // column pruning: embeddings stay unread
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val cent = spark.read.parquet(s"$pqPath/codebook")
+    val codes = spark.read.parquet(s"$pqPath/codes")
+    val lut = distsAgainst(components(queries, dim / m), cent)
+      .select(col("vec_id").as("q_id"), col("j"), col("cent_id"),
+        col("dist"))
+    rankCoded(cands, codes, lut, topK)
+  }
+
   /** IVF×PQ cascade: IVF cell probing prunes the candidate set (only
     * vectors in the query's `nProbe` nearest cells are considered), then
     * PQ asymmetric distance ranks the survivors — coarse quantizer for

@@ -27,6 +27,14 @@ import graft.operators.{DupClusters, MinHashLSH, NgramJaccard, SimHash}
   */
 object DedupQueries extends QueryPack {
 
+  /** Upper doc_id bound of d11's sketch-recall eval slice. The TRUTH
+    * side of the audit is an exact all-pairs Jaccard — QUADRATIC in the
+    * slice size — so it must stay a bounded audit slice: lifting it to
+    * the corpus turns the recall check into a corpus crossJoin. Only the
+    * truth side needs the bound; the candidate side is the production
+    * banding path and scales. */
+  val SketchRecallEvalMaxDocId: Int = 300
+
   // d05 banded-SRP blocking: 8 hyperplanes → 2 bands × 4 bits. At corpus
   // scale raise planes/bandBits (smaller blocks) and bands (recall).
   private val SrpDim      = 64
@@ -161,12 +169,13 @@ object DedupQueries extends QueryPack {
     // Sketch-recall evaluation — the dedup analog of s04's ANN recall:
     // what fraction of TRUE near-dup pairs (exact 3-gram Jaccard ≥ 0.2,
     // d02's own verify definition) does the 4×3 MinHash banding catch as
-    // candidates? Truth is exact brute-force all-pairs over a bounded
-    // eval slice (doc_id < 300 — eval-scale only, like s04's exact
-    // top-3; production recall audits run on exactly such a slice), the
-    // candidate set is the production banding path unchanged.
+    // candidates? Truth is exact brute-force all-pairs over the bounded
+    // [[DedupQueries.SketchRecallEvalMaxDocId]] eval slice (production
+    // recall audits run on exactly such a slice), the candidate set is
+    // the production banding path unchanged.
     "d11_sketch_recall" -> ((s, d) => {
-      val sample = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") < SketchRecallEvalMaxDocId)
       val sh = sample.select(col("doc_id"),
         graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
       val truth = sh.as("a").crossJoin(sh.as("b"))
@@ -281,11 +290,11 @@ object DedupQueries extends QueryPack {
     "d11_sketch_recall" ->
       ("WITH " + MinHashLSH.duckSignatureCtes(12) + s""",
         |bands AS (${(0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM sig WHERE doc_id < 300")
+          s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM sig WHERE doc_id < $SketchRecallEvalMaxDocId")
           .mkString("\n  UNION ALL ")}),
         |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
-        |  WHERE a.doc_id < 300 AND b.doc_id < 300
+        |  WHERE a.doc_id < $SketchRecallEvalMaxDocId AND b.doc_id < $SketchRecallEvalMaxDocId
         |    AND round(cast(len(list_intersect(a.sh, b.sh)) as double)
         |      / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) >= 0.2),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

@@ -789,6 +789,35 @@ object Relational extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // q39's salting proof extended to a GENUINELY skewed input: a
+    // 90%-hot join key planted deterministically on the events fact
+    // (user_id % 10 < 9 all collapse to one mega-user — the power-law /
+    // null-key shape at 100 TB, where AQE's split still leaves one
+    // straggler task owning the hot key's entire dim join). The salted
+    // join spreads that key across 8 salts; the oracle replays the same
+    // CASE through a PLAIN join — hash-identical output proves the
+    // mitigation is output-invisible exactly where it matters
+    // (SkewSaltSpec additionally measures the per-partition spread and
+    // pins the salted exchange in the executed plan).
+    "q65_skew_salted" -> ((s, d) => {
+      val fact = Tables.events(s, d)
+        .withColumn("skew_user",
+          when(pmod(col("user_id"), lit(10)) < 9, lit(0L))
+            .otherwise(col("user_id")))
+        .select("skew_user", "event_id", "value")
+      // per-key dim derived from the fact itself (deterministic + SQL-
+      // replayable): weight = skew_user % 7 + 1
+      val dim = fact.select("skew_user").distinct()
+        .withColumn("weight", pmod(col("skew_user"), lit(7)) + lit(1))
+      graft.operators.SkewTools
+        .saltedJoin(fact, dim, "skew_user", "event_id", salts = 8)
+        .groupBy("skew_user")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value")) * col("weight")).cast("double")
+            .as("weighted_value"))
+        .orderBy("skew_user")
+    }),
+
     "q40_zorder_key" -> (zOrderKeyQuery _),
 
     // Correlated scalar subquery — Catalyst must DECORRELATE it into an
@@ -1340,6 +1369,18 @@ object Relational extends QueryPack {
         |  cast(sum(cast(value as decimal(12,2)) * weight) as double) AS weighted_value
         |FROM events JOIN w USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the PLAIN (unsalted) join over the same planted 90%-hot key —
+    // salting must be output-invisible
+    "q65_skew_salted" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS skew_user,
+        |    value FROM events),
+        |w AS (SELECT DISTINCT skew_user, skew_user % 7 + 1 AS weight FROM f)
+        |SELECT skew_user, count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2)) * weight) as double) AS weighted_value
+        |FROM f JOIN w USING (skew_user)
+        |GROUP BY skew_user ORDER BY skew_user""".stripMargin,
 
     "q38_approx_percentile" ->
       """WITH ranked AS (

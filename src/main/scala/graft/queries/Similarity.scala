@@ -27,13 +27,63 @@ object Similarity extends QueryPack {
   private val Dim = 64
   private val Planes = 4
 
-  /** SRP-LSH ANN: top-`topK` in-bucket neighbours of query vectors 0..4. */
+  /** Query-vector count (vec_id < this) of the ANN eval queries
+    * (s01/s04). The EXACT-truth side of the recall audit brute-forces
+    * corpus × this many cosine evaluations by design — keep it a bounded
+    * audit set; production lookups go through the indexed paths, which
+    * need no such bound. */
+  val AnnEvalQueries: Int = 5
+
+  /** The IVFADC oracle: deterministic first-16 centroids for both
+    * quantizers, integer-exact distances — shared by s07 (in-memory
+    * cascade) and s14 (the same cascade served from persisted layouts),
+    * which compute the identical quantity by construction. */
+  private lazy val PqIvfOracleSql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+      |  FROM embeddings),
+      |icents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+      |idists AS (SELECT a.vec_id, c.cent_id,
+      |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+      |  FROM q a, icents c),
+      |iranks AS (SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+      |  FROM idists),
+      |iassign AS (SELECT vec_id, cent_id FROM iranks WHERE rk = 1),
+      |iprobes AS (SELECT vec_id AS q_id, cent_id FROM iranks WHERE vec_id < $AnnEvalQueries AND rk <= 2),
+      |sub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+      |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+      |  FROM q, range(0, 8) j, range(0, 8) i),
+      |pcent AS (SELECT vec_id AS cent_id, j, i, v AS cv FROM sub WHERE vec_id < 16),
+      |pdists AS (SELECT s.vec_id, s.j, c.cent_id,
+      |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+      |  FROM sub s JOIN pcent c ON c.j = s.j AND c.i = s.i
+      |  GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, j, cent_id AS code FROM (
+      |  SELECT vec_id, j, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+      |  FROM pdists) WHERE rk = 1),
+      |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM pdists WHERE vec_id < $AnnEvalQueries),
+      |cand AS (SELECT p.q_id, a.vec_id FROM iprobes p
+      |  JOIN iassign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id),
+      |approx AS (SELECT c.q_id, c.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
+      |  FROM cand c JOIN codes cd ON cd.vec_id = c.vec_id
+      |  JOIN lut l ON l.q_id = c.q_id AND l.j = cd.j AND l.cent_id = cd.code
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT q_id, vec_id, approx_dist,
+      |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
+      |  FROM approx)
+      |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** SRP-LSH ANN: top-`topK` in-bucket neighbours of the
+    * [[AnnEvalQueries]] eval query vectors. */
   private def srpTopK(s: SparkSession, d: String, topK: Int): DataFrame = {
     val sigs = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.srpSignature(col("embedding"), Dim, Planes)
           .as("sig"))
-    val q = sigs.filter(col("vec_id") < 5)
+    val q = sigs.filter(col("vec_id") < AnnEvalQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("sig"))
     val w = Window.partitionBy("q_id")
@@ -48,11 +98,12 @@ object Similarity extends QueryPack {
       .select("q_id", "rank", "vec_id", "sim")
   }
 
-  /** Exact top-`topK` neighbours of query vectors 0..4 (brute force,
-    * broadcast query side). */
+  /** Exact top-`topK` neighbours of the [[AnnEvalQueries]] eval query
+    * vectors (brute force — the audit's truth side; cost is corpus ×
+    * queries, so the query set stays bounded — broadcast query side). */
   private def exactTopK(s: SparkSession, d: String, topK: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(col("vec_id") < AnnEvalQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id"))
@@ -89,7 +140,8 @@ object Similarity extends QueryPack {
       recall(srpTopK(s, d, 3), "srp")
         .unionByName(recall(
           graft.operators.IvfIndex.search(Tables.embeddings(s, d),
-            col("vec_id") < 5, k = 16, nProbe = 2, topK = 3), "ivf"))
+            col("vec_id") < AnnEvalQueries, k = 16, nProbe = 2, topK = 3),
+          "ivf"))
         .orderBy("method", "q_id")
     }),
 
@@ -162,8 +214,32 @@ object Similarity extends QueryPack {
     // stages, so the full cascade is oracle-checked.
     "s07_pq_ivf" -> ((s, d) => {
       graft.operators.PqIndex
-        .searchIvf(Tables.embeddings(s, d), col("vec_id") < 5,
+        .searchIvf(Tables.embeddings(s, d), col("vec_id") < AnnEvalQueries,
           dim = Dim, m = 8, k = 16, nCells = 16, nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVFADC at rest — s07's cascade with BOTH quantizers persisted:
+    // candidate cells from the stored IVF partition layout (probe =
+    // partition-pruned scan of the probed cent_id dirs, ids only),
+    // scores from the stored PQ codebook + codes. The corpus embeddings
+    // are read only to BUILD the stores and to select the query rows;
+    // the search itself never touches them (PqIndexSpec plan-pins it).
+    // Result ≡ s07 by construction, so it shares s07's oracle SQL.
+    "s14_pq_ivf_stored" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s14-ivfadc").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.writeIndex(emb, k = 16, s"$root/ivf")
+      graft.operators.PqIndex.writeIndex(emb, s"$root/pq", dim = Dim,
+        m = 8, k = 16)
+      graft.operators.PqIndex.searchIvfIndexed(s, s"$root/ivf", s"$root/pq",
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        dim = Dim, m = 8, nProbe = 2, topK = 3)
         .orderBy("q_id", "rank")
     }),
 
@@ -405,11 +481,11 @@ object Similarity extends QueryPack {
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "s01_ann_srp" ->
-      (srpCtes + """,
+      (srpCtes + s""",
         |cand AS (SELECT q.vec_id AS q_id, c.vec_id,
         |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) AS sim
         |  FROM esig q JOIN esig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 5),
+        |  WHERE q.vec_id < $AnnEvalQueries),
         |ranked AS (SELECT q_id, vec_id, sim,
         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
         |  FROM cand)
@@ -475,7 +551,7 @@ object Similarity extends QueryPack {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) DESC, c.vec_id) AS rnk
         |  FROM esig q JOIN esig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 5) WHERE rnk <= 3),
+        |  WHERE q.vec_id < $AnnEvalQueries) WHERE rnk <= 3),
         |iq AS (SELECT vec_id, embedding,
         |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
         |  FROM embeddings),
@@ -487,7 +563,7 @@ object Similarity extends QueryPack {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
         |  FROM idists),
         |iassign AS (SELECT vec_id, cent_id FROM iranks WHERE rk = 1),
-        |iprobes AS (SELECT vec_id AS q_id, cent_id FROM iranks WHERE vec_id < 5 AND rk <= 2),
+        |iprobes AS (SELECT vec_id AS q_id, cent_id FROM iranks WHERE vec_id < $AnnEvalQueries AND rk <= 2),
         |icand AS (SELECT p.q_id, a.vec_id,
         |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim
         |  FROM iprobes p
@@ -503,7 +579,7 @@ object Similarity extends QueryPack {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) DESC, c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 5) WHERE rnk <= 3),
+        |  WHERE q.vec_id < $AnnEvalQueries) WHERE rnk <= 3),
         |r AS (
         |  SELECT 'srp' AS method, e.q_id, round(cast(count(s.vec_id) as double) / 3.0, 6) AS recall
         |  FROM ex e LEFT JOIN srp s ON s.q_id = e.q_id AND s.vec_id = e.vec_id GROUP BY e.q_id
@@ -598,43 +674,11 @@ object Similarity extends QueryPack {
         |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
 
-    "s07_pq_ivf" ->
-      s"""WITH q AS (SELECT vec_id,
-        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
-        |  FROM embeddings),
-        |icents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
-        |idists AS (SELECT a.vec_id, c.cent_id,
-        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
-        |  FROM q a, icents c),
-        |iranks AS (SELECT vec_id, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
-        |  FROM idists),
-        |iassign AS (SELECT vec_id, cent_id FROM iranks WHERE rk = 1),
-        |iprobes AS (SELECT vec_id AS q_id, cent_id FROM iranks WHERE vec_id < 5 AND rk <= 2),
-        |sub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
-        |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
-        |  FROM q, range(0, 8) j, range(0, 8) i),
-        |pcent AS (SELECT vec_id AS cent_id, j, i, v AS cv FROM sub WHERE vec_id < 16),
-        |pdists AS (SELECT s.vec_id, s.j, c.cent_id,
-        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
-        |  FROM sub s JOIN pcent c ON c.j = s.j AND c.i = s.i
-        |  GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, j, cent_id AS code FROM (
-        |  SELECT vec_id, j, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
-        |  FROM pdists) WHERE rk = 1),
-        |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM pdists WHERE vec_id < 5),
-        |cand AS (SELECT p.q_id, a.vec_id FROM iprobes p
-        |  JOIN iassign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id),
-        |approx AS (SELECT c.q_id, c.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
-        |  FROM cand c JOIN codes cd ON cd.vec_id = c.vec_id
-        |  JOIN lut l ON l.q_id = c.q_id AND l.j = cd.j AND l.cent_id = cd.code
-        |  GROUP BY 1, 2),
-        |ranked AS (SELECT q_id, vec_id, approx_dist,
-        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
-        |  FROM approx)
-        |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin,
+    "s07_pq_ivf" -> PqIvfOracleSql,
+
+    // the stored cascade computes the identical quantity (same corpus,
+    // same parameters, quantizers persisted instead of in-memory)
+    "s14_pq_ivf_stored" -> PqIvfOracleSql,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -42,20 +42,33 @@ object EventStream {
     * [[graft.Tables.events]]. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.option("pathGlobFilter", "events.parquet")
-      .parquet(dir).schema("ts").dataType
-    val schema = StructType(rawSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    // declare the FULL probed schema, not rawSchema with ts patched in: a
+    // future regeneration that changes any other column's physical type
+    // must land here (and then fail the named checks below / downstream
+    // specs), never silently mismatch the declared streaming schema
+    val probed = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    require(probed.fieldNames.sameElements(rawSchema.fieldNames),
+      s"events.parquet columns drifted: expected " +
+        s"${rawSchema.fieldNames.mkString(",")}, found " +
+        s"${probed.fieldNames.mkString(",")} — adapt EventStream deliberately")
     val raw = spark.readStream
-      .schema(schema)
+      .schema(probed)
       // file source requires a directory: point at the fixture dir and
       // glob-filter to the events file (at scale: the event-log directory)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (tsType == LongType)
-      raw.withColumn("ts",
-        expr("timestamp_micros(cast(ts div 1000 as bigint))"))
-    else raw.withColumn("ts", col("ts").cast("timestamp"))
+    probed("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as nanos-since-epoch
+        raw.withColumn("ts",
+          expr("timestamp_micros(cast(ts div 1000 as bigint))"))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected physical type $other (expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ) — " +
+          "the fixture changed again; adapt EventStream deliberately")
+    }
   }
 
   /** Tumbling 1-hour counts/sums per event type with a 1-hour watermark:

@@ -46,12 +46,20 @@ object IngestStream {
 
   /** Unbounded corpus source: every parquet file that appears under `dir`
     * is one ingestion unit (the S3-listing analog, with the checkpoint
-    * replacing the reference's re-list-everything scan). */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+    * replacing the reference's re-list-everything scan).
+    * `maxFilesPerTrigger` paces the drain — a backlog splits into
+    * bounded micro-batches of ≤ n files instead of one giant batch, the
+    * backpressure control that keeps per-trigger state and sink commits
+    * bounded when a 100 TB backlog lands at once (AvailableNow still
+    * drains ALL of it, batch by batch, in one call). */
+  def readDocuments(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
 
   /** Chunk → id → embed, unchanged from the batch pipeline — map-only, so
     * it is streaming-compatible as-is (no aggregation, no watermark
@@ -181,8 +189,8 @@ object IngestStream {
   def transactionalAvailable(spark: SparkSession, srcDir: String,
       storeRoot: String, checkpointDir: String, streamId: String,
       buckets: Int = 16, chunkSize: Int = 3000, overlap: Int = 200,
-      dim: Int = 64): Unit = {
-    val q = readDocuments(spark, srcDir)
+      dim: Int = 64, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val rows = indexRows(batch, chunkSize, overlap, dim)

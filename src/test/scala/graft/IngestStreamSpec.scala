@@ -248,4 +248,52 @@ class IngestStreamSpec extends SparkTestBase {
     IngestStream.dedupAvailable(spark, src, state, out, cp)
     assert(spark.read.parquet(out).count() === 3L)
   }
+
+  test("paced drain: maxFilesPerTrigger=1 → bounded batches, one version each") {
+    import graft.operators.SnapshotStore
+    val src = tmp("paced_src"); val store = tmp("paced_store")
+    val cp = tmp("paced_cp")
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = tmp("paced_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    val fileDocs = (1L to 3L).map { i =>
+      Seq((i, s"paced ingestion document number $i with enough text to " +
+        s"produce several chunks of output ${"x" * (i.toInt * 10)}", "en",
+        s"p$i.pdf", 90L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    fileDocs.zipWithIndex.foreach { case (df, i) => land(df, s"f$i.parquet") }
+
+    // a 3-file backlog drained in ONE AvailableNow call, paced to 1 file
+    // per micro-batch — each batch must commit exactly one store version
+    IngestStream.transactionalAvailable(spark, src, store, cp,
+      streamId = "paced", buckets = 4, chunkSize = 20, overlap = 5,
+      dim = 8, maxFilesPerTrigger = Some(1))
+
+    assert(SnapshotStore.currentVersion(spark, store) === Some(3L),
+      "expected one published version per paced micro-batch")
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "paced")
+      === Some(2L), "expected batch ids 0..2, one per file")
+
+    // final state equals the batch build over the whole backlog
+    val all = fileDocs.reduce(_ unionByName _)
+    assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
+      === rows(IngestionPipeline.buildIndexFrom(all, 20, 5, 8)))
+
+    // per-batch row bound: each version's delta is exactly ONE file's
+    // chunk rows (multiset compare — file order is the source's choice)
+    val counts = (1L to 3L)
+      .map(v => SnapshotStore.read(spark, store, v).count())
+    val deltas = counts.zip(0L +: counts.dropRight(1)).map(t => t._1 - t._2)
+    val perFile = fileDocs
+      .map(df => IngestionPipeline.buildIndexFrom(df, 20, 5, 8).count())
+    assert(deltas.sorted === perFile.sorted,
+      s"per-batch deltas $deltas != per-file chunk counts $perFile")
+    assert(deltas.forall(d => d > 0 && d <= perFile.max),
+      s"a paced batch exceeded the single-file bound: $deltas")
+  }
 }

@@ -75,6 +75,34 @@ class PqIndexSpec extends SparkTestBase {
       s"stored-index search scanned the corpus:\n$plan")
   }
 
+  test("stored IVFADC equals the in-memory cascade, partition-pruned, corpus unread") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfadc").toString
+    graft.operators.IvfIndex.writeIndex(emb, k = 16, s"$root/ivf")
+    PqIndex.writeIndex(emb, s"$root/pq")
+
+    // literal query rows: the plan must then touch ONLY the two stores
+    val qRows = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect().toSeq
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows),
+      emb.select("vec_id", "embedding").schema)
+
+    val stored = PqIndex.searchIvfIndexed(spark, s"$root/ivf", s"$root/pq",
+      queries)
+    val live = PqIndex.searchIvf(emb, col("vec_id") < 5)
+    assert(stored.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === live.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    stored.collect() // AQE-finalize before reading the plan
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"stored IVFADC scanned the corpus:\n$plan")
+    // the IVF store is read under partition pruning on the probed cells
+    val pruned = "PartitionFilters: \\[[^\\]]*cent_id".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"IVF index scan is not partition-pruned on cent_id:\n$plan")
+  }
+
   test("search never plans a cartesian product and broadcasts the LUT") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = PqIndex.search(emb, col("vec_id") < 5)
