@@ -55,6 +55,26 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(out(0).getLong(0) === 7L && out(0).getBoolean(4))
   }
 
+  test("stored IVFADC with an empty query set returns empty, not an error") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_edge_adc")
+      .toString
+    graft.operators.IvfIndex.writeIndex(emb, k = 16, s"$root/ivf")
+    graft.operators.PqIndex.writeIndex(emb, s"$root/pq")
+    val out = graft.operators.PqIndex.searchIvfIndexed(spark,
+      s"$root/ivf", s"$root/pq",
+      emb.filter(col("vec_id") < 0).select("vec_id", "embedding"))
+    assert(out.count() === 0)
+  }
+
+  test("salted join on an empty fact returns empty") {
+    import spark.implicits._
+    val dim = Seq((1L, 2L)).toDF("k", "w")
+    val fact = Seq.empty[(Long, Long)].toDF("k", "id")
+    assert(graft.operators.SkewTools
+      .saltedJoin(fact, dim, "k", "id", salts = 8).count() === 0)
+  }
+
   test("TopKPerKey on empty input returns empty") {
     val out = graft.plans.TopKPerKey.topKPerKey(
       Tables.orders(spark, sf0001).filter(col("o_orderkey") < 0),

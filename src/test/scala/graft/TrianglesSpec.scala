@@ -68,6 +68,31 @@ class TrianglesSpec extends SparkTestBase {
       s"expected broadcast-adjacency intersection in:\n$plan")
   }
 
+  test("both tiers match an in-memory brute force on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong)).toVector
+      val adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (v, es) => (v, es.map(_._2).toSet) }
+      // each triangle is seen once per own edge: Σ_edges |N(a)∩N(b)| = 3T
+      val bruteTriangles = edges.map { case (a, b) =>
+        (adj(a) & adj(b)).size.toLong }.sum / 3
+      val bruteWedges = adj.values
+        .map(s => s.size.toLong * (s.size - 1) / 2).sum
+      val df = edges.toDF("pa", "pb")
+      for (limit <- Seq(Triangles.BroadcastEdgeLimit, 0L)) {
+        val row = Triangles.count(df, broadcastEdgeLimit = limit)
+          .as[(Long, Long)].collect().head
+        assert(row === ((bruteTriangles, bruteWedges)),
+          s"trial=$trial limit=$limit")
+      }
+    }
+  }
+
   test("empty graph yields a 0/0 row in both tiers (no null sums)") {
     val empty = Seq.empty[(Long, Long)].toDF("pa", "pb")
     for (limit <- Seq(Triangles.BroadcastEdgeLimit, 0L)) {
