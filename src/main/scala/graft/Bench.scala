@@ -38,6 +38,19 @@ object Bench {
       operators.IvfIndex.search(emb50,
         org.apache.spark.sql.functions.col("vec_id") < 3,
         k = 4, nProbe = 2, topK = 3).count()
+      // snapshot-store family: the commit/publish/read file paths and
+      // parquet-footer code JIT once here so i05/i10 time the operator,
+      // not first-use initialization (same rationale as the sketch
+      // warmup above) — a 20-doc store, built and dropped
+      val wroot = java.nio.file.Files
+        .createTempDirectory("graft_bench_warm").toString
+      val idx20 = operators.IngestionPipeline
+        .buildIndexFrom(spark.read.parquet(s"$sfDir/documents.parquet")
+          .limit(20), 120, 20, 8)
+      operators.SnapshotStore.commit(idx20, wroot, buckets = 4)
+      operators.SnapshotStore.upsert(spark, idx20.limit(5),
+        idx20.select("doc_id").limit(5).distinct(), wroot, 4)
+      operators.SnapshotStore.read(spark, wroot).count()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=d05,s03 restricts the run for local iteration; the
     // driver never sets it, so round artifacts always cover every query.
