@@ -52,4 +52,43 @@ object SkewTools {
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Tiled within-block SELF-join — the skew case [[saltedJoin]] cannot
+    * fix: all-pairs inside a blocking key (the entity-resolution /
+    * candidate-generation shape), where both join sides are the same
+    * table, so exploding a "dim" side is meaningless and one hot block
+    * makes a single task own C(n,2) comparisons.
+    *
+    * Every row gets a deterministic tile t = hash(`idCol`) mod `tiles`;
+    * an unordered pair lands in EXACTLY one tile-pair group (ti ≤ tj) —
+    * the left member fans out to groups (t, t..tiles-1), the right to
+    * (0..t, t), diagonal groups keep only id_a < id_b — and the join
+    * key becomes (block, ti, tj). A hot block's quadratic pair space
+    * thus spreads over tiles·(tiles+1)/2 tasks instead of one, for a
+    * LINEAR replication cost of ~(tiles+1)× per row — the standard
+    * triangle-partitioning of an all-pairs job.
+    *
+    * Returns one row per unordered within-block pair, every `df` column
+    * twice as `<col>_a` / `<col>_b`. Off-diagonal pairs order by tile,
+    * not id — normalize with least/greatest where id order matters
+    * (symmetric comparators like levenshtein don't care). */
+  def tiledSelfJoin(df: DataFrame, blockKey: String, idCol: String,
+      tiles: Int): DataFrame = {
+    require(tiles > 0)
+    val packed = df.select(col(blockKey).as("__blk"),
+      pmod(xxhash64(col(idCol)), lit(tiles.toLong)).as("__t"),
+      struct(df.columns.map(col): _*).as("__row"))
+    val left = packed.select(col("__blk"), col("__t").as("__ti"),
+        col("__row").as("__a"))
+      .withColumn("__tj",
+        explode(sequence(col("__ti"), lit(tiles.toLong - 1))))
+    val right = packed.select(col("__blk"), col("__t").as("__tj"),
+        col("__row").as("__b"))
+      .withColumn("__ti", explode(sequence(lit(0L), col("__tj"))))
+    left.join(right, Seq("__blk", "__ti", "__tj"))
+      .filter(col("__ti") =!= col("__tj") ||
+        col(s"__a.$idCol") < col(s"__b.$idCol"))
+      .select(df.columns.map(c => col(s"__a.$c").as(s"${c}_a")) ++
+        df.columns.map(c => col(s"__b.$c").as(s"${c}_b")): _*)
+  }
 }

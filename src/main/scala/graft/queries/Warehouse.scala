@@ -269,6 +269,41 @@ object Warehouse extends QueryPack {
     // integer compares, so DuckDB replays it exactly; wedge count
     // Σ C(deg,2) and the 3T/W coefficient stay integer-exact until one
     // rounded division.
+    // q63's blocking with a PLANTED 90%-hot block, routed through the
+    // tiled self-join (SkewTools.tiledSelfJoin) — the skew mitigation
+    // salting cannot provide for a self-join: the hot block's C(n,2)
+    // comparison space spreads across tile-pair tasks instead of one
+    // straggler. The oracle replays the identical pair set through a
+    // plain blocked self-join — hash-identical accounting proves the
+    // tiling is output-invisible (SkewSaltSpec pins the spread and the
+    // exactly-once pair property).
+    "q66_skew_blocked_er" -> ((s, d) => {
+      val e = Tables.part(s, d)
+        .filter(col("p_size") <= 5)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          when(pmod(col("p_partkey"), lit(10)) < 9, lit("hot"))
+            .otherwise(substring_index(col("p_name"), " ", 1)).as("blk"))
+      val ent = e.groupBy("blk").agg(count(lit(1)).as("n_entities"))
+      // levenshtein is symmetric — no id-order normalization needed;
+      // the length prune gates the edit distance exactly as in q63
+      val close = abs(length(col("name_a")) - length(col("name_b"))) <= 1
+      val pr = graft.operators.SkewTools.tiledSelfJoin(e, "blk", "id", 4)
+        .select(col("blk_a").as("blk"),
+          close.cast("int").as("close"),
+          when(close && levenshtein(col("name_a"), col("name_b")) <= 1,
+            lit(1)).otherwise(lit(0)).as("m"))
+      pr.groupBy("blk")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("close")).cast("long").as("n_close"),
+          sum(col("m")).cast("long").as("n_match"))
+        .join(ent, Seq("blk"), "right")
+        .select(col("blk"), col("n_entities"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+        .orderBy("blk")
+    }),
+
     "q60_triangles" -> ((s, d) =>
       // Counting itself lives in operators/Triangles: compact-forward
       // orientation, then an ADAPTIVE tier — broadcast-adjacency
@@ -332,6 +367,31 @@ object Warehouse extends QueryPack {
         |FROM os JOIN st USING (ok)
         |WHERE os.sl = 1 AND st.n_supp >= 2 AND st.n_late = 1
         |GROUP BY os.sk ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    // the tiled self-join must be pair-for-pair identical to the plain
+    // blocked self-join DuckDB runs here
+    "q66_skew_blocked_er" ->
+      """WITH e AS (SELECT p_partkey AS id, p_name AS name,
+        |    CASE WHEN p_partkey % 10 < 9 THEN 'hot'
+        |      ELSE split_part(p_name, ' ', 1) END AS blk
+        |  FROM part WHERE p_size <= 5),
+        |ne AS (SELECT blk, count(*) AS n_entities FROM e GROUP BY blk),
+        |pr AS (SELECT a.blk,
+        |    CASE WHEN abs(length(a.name) - length(b.name)) <= 1
+        |      THEN 1 ELSE 0 END AS close,
+        |    CASE WHEN abs(length(a.name) - length(b.name)) <= 1
+        |      AND levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END AS m
+        |  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id),
+        |pa AS (SELECT blk, cast(count(*) as bigint) AS n_pairs,
+        |    cast(sum(close) as bigint) AS n_close,
+        |    cast(sum(m) as bigint) AS n_match
+        |  FROM pr GROUP BY blk)
+        |SELECT ne.blk, ne.n_entities,
+        |  coalesce(pa.n_pairs, 0) AS n_pairs,
+        |  coalesce(pa.n_close, 0) AS n_close,
+        |  coalesce(pa.n_match, 0) AS n_match
+        |FROM ne LEFT JOIN pa ON pa.blk = ne.blk
+        |ORDER BY ne.blk""".stripMargin,
 
     "q63_entity_resolution" ->
       """WITH e AS (SELECT p_partkey AS id, p_name AS name,

@@ -62,6 +62,51 @@ class SkewSaltSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
+  test("tiled self-join yields exactly the naive blocked pair set, once each") {
+    val e = Tables.part(spark, sf0001)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+    val tiled = graft.operators.SkewTools.tiledSelfJoin(e, "blk", "id", 4)
+      .select(col("blk_a").as("blk"),
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+    val naive = e.select(col("blk"), col("id").as("lo"))
+      .join(e.select(col("blk"), col("id").as("hi")), "blk")
+      .filter(col("lo") < col("hi"))
+    assert(tiled.count() === naive.count())
+    assert(tiled.exceptAll(naive).isEmpty && naive.exceptAll(tiled).isEmpty)
+  }
+
+  test("tiling spreads a hot block's quadratic pair space across tile groups") {
+    import spark.implicits._
+    // one block owns 90% of the entities — the q63 nightmare block
+    val n = 400
+    val rows = (1 to n).map { i =>
+      (i.toLong, s"entity name $i", if (i % 10 != 0) "hot" else s"b$i")
+    }
+    val e = rows.toDF("id", "name", "blk")
+    val tiles = 4
+    // count pairs per (ti, tj) tile group — the join's task granularity
+    val t = pmod(xxhash64(col("id")), lit(tiles.toLong))
+    val tagged = e.filter(col("blk") === "hot").withColumn("__t", t)
+    val groupSizes = tagged.select(col("__t").as("ti"), col("id").as("a"))
+      .join(tagged.select(col("__t").as("tj"), col("id").as("b")),
+        col("ti") <= col("tj"))
+      .filter(col("ti") =!= col("tj") || col("a") < col("b"))
+      .groupBy("ti", "tj").count().collect().map(_.getLong(2).toDouble)
+    val share = groupSizes.max / groupSizes.sum
+    // naive: ONE task owns 100% of the hot block's C(360,2) pairs;
+    // tiled: 10 groups, the largest holds a modest fraction
+    assert(groupSizes.length === tiles * (tiles + 1) / 2)
+    assert(share < 0.25, s"hot block not spread: max group share $share")
+    // and the operator's own output over the same input is complete
+    val got = graft.operators.SkewTools.tiledSelfJoin(e, "blk", "id", tiles)
+      .count()
+    val hot = 360L; val singles = 40L
+    assert(got === hot * (hot - 1) / 2, s"expected C($hot,2), got $got " +
+      s"(+$singles singleton blocks contribute 0)")
+  }
+
   test("salting spreads the hot key: max partition share drops below half") {
     val n = 8
     def shares(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
