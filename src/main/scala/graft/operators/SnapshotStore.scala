@@ -332,6 +332,38 @@ object SnapshotStore {
       .withColumn("bucket", col("bucket").cast("long"))
   }
 
+  /** Newest version published at or before `tsMillis` (epoch millis) —
+    * the TIMESTAMP-AS-OF form of time travel. Publish time = the
+    * manifest file's storage mtime: operability metadata only, never
+    * part of any query result, so the engine's no-wall-clock determinism
+    * rule is untouched. Among eligible manifests the HIGHEST version
+    * wins (version order is the commit order; mtime ties/skew cannot
+    * reorder history). */
+  def versionAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Option[Long] = {
+    val dir = new Path(root, "_versions")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return None
+    val vs = f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if st.getModificationTime <= tsMillis =>
+          Some(n.toLong)
+        case _ => None
+      }
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** [[read]] of the snapshot current as of `tsMillis`; named error when
+    * nothing was published yet (or the asked-for history was vacuumed —
+    * retention bounds how far back a timestamp can reach). */
+  def readAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    read(spark, root, versionAsOf(spark, root, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version published at or before epoch-millis $tsMillis at " +
+          s"$root — too early, or that history was vacuumed")))
+
   /** Keyed upsert as a new version: every doc_id in `reingestedDocs` has
     * its old vectors dropped and `newRows`' replacements added, touching
     * only the buckets those documents hash to; all other buckets' files

@@ -217,6 +217,34 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("timestamp time travel: readAsOf resolves the version current at ts") {
+    val root = "target/snap-asof"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc3 = docs.filter(col("doc_id") === 3)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    SnapshotStore.upsert(spark, index(doc3), doc3.select("doc_id"), root, 4)
+    // pin publish times explicitly — the spec controls the clock
+    val t1 = 1700000000000L; val t2 = t1 + 60000
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_versions/v00001.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(t1))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_versions/v00002.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(t2))
+    assert(SnapshotStore.versionAsOf(spark, root, t1 - 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, root, t1 - 1)
+    }
+    // between the two commits → v1's rows; at/after the second → v2's
+    assert(rows(SnapshotStore.readAsOf(spark, root, t1 + 30000))
+      === rows(index(docs)))
+    assert(rows(SnapshotStore.readAsOf(spark, root, t2))
+      === rows(SnapshotStore.read(spark, root, 2L)))
+    assert(SnapshotStore.versionAsOf(spark, root, t2 + 1) === Some(2L))
+  }
+
   // --- optimistic concurrency ----------------------------------------
 
   test("two writers from the same base: one wins, the stale one raises") {
