@@ -136,6 +136,17 @@ object SnapshotStore {
 
   private def colLine(name: String, typ: String) = s"#col\t$name\t$typ"
 
+  private def bucketsLine(n: Int) = s"#buckets\t$n"
+
+  /** The bucket count a version's manifest records (`#buckets` line).
+    * None ⇒ legacy manifest predating the recording. */
+  def storedBuckets(spark: SparkSession, root: String,
+      v: Long): Option[Int] =
+    manifestMeta(spark, root, v).collectFirst {
+      case l if l.startsWith("#buckets\t") =>
+        l.stripPrefix("#buckets\t").trim.toInt
+    }
+
   /** The logical schema a version's manifest declares (`#col` lines,
     * written by every publish since the schema contract landed), as
     * (name, catalogString) in declaration order. None ⇒ legacy manifest
@@ -271,7 +282,8 @@ object SnapshotStore {
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     publish(spark, root, v, listVersionFiles(spark, root, v),
       carriedTxn(spark, root, meta) ++
-        declared.map { case (n, t) => colLine(n, t) })
+        declared.map { case (n, t) => colLine(n, t) } :+
+        bucketsLine(buckets))
     v
   }
 
@@ -285,6 +297,40 @@ object SnapshotStore {
         throw new IllegalArgumentException(s"no published version at $root"))
     val entries = readManifest(spark, root, v)
     require(entries.nonEmpty, s"version $v at $root is empty")
+    assemble(spark, root, v, entries)
+  }
+
+  /** Point lookup — the fetch-by-id analog: the rows of `docIds` only,
+    * scanning ONLY the files of the buckets those ids hash to (the
+    * manifest's `#buckets` modulus), so a B-bucket store reads ~|ids|/B
+    * of its files instead of all of them. `docIds` is a SMALL id set (it
+    * becomes an IN-list predicate); bulk reads go through [[read]]. */
+  def readDocs(spark: SparkSession, root: String, docIds: Seq[Long],
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val buckets = storedBuckets(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"store at $root predates bucket-count manifests — one " +
+          "commit()/upsert() records it"))
+    import spark.implicits._
+    // hash the ids through the SAME withBucket expression the writes use
+    // (a driver-side reimplementation could drift from Spark's xxhash64)
+    val target = withBucket(docIds.toDF("doc_id"), buckets)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val entries = readManifest(spark, root, v)
+      .filter(e => target.contains(e._1))
+    val base =
+      if (entries.nonEmpty) assemble(spark, root, v, entries)
+      else read(spark, root, v).limit(0) // schema-only empty edge
+    base.filter(col("doc_id").isin(docIds: _*))
+  }
+
+  /** Build the snapshot frame for a (sub)set of one version's manifest
+    * entries, schema-validated against the version's declaration. */
+  private def assemble(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(Long, String)]): DataFrame = {
     // one scan per contributing version dir (basePath restores the bucket
     // partition column); dirs ≤ retained versions, so the union stays tiny.
     // allowMissingColumns = schema evolution: a version that ADDED a column
@@ -378,6 +424,17 @@ object SnapshotStore {
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — commit() an initial snapshot first"))
+    // Bucket-count guard: hashing fresh rows with a DIFFERENT modulus
+    // than the stored layout would land them in the wrong partitions AND
+    // make the touched-bucket delete miss stale rows — silent corruption,
+    // so a mismatch is a named error, not a trusted parameter.
+    storedBuckets(spark, root, cur).foreach { b =>
+      if (b != buckets)
+        throw new IllegalArgumentException(
+          s"SnapshotStore: store at $root is bucketed $b ways but the " +
+            s"upsert passed buckets = $buckets — a mismatched modulus " +
+            "would corrupt the keyed delete; pass the stored count")
+    }
     val fresh = withBucket(newRows, buckets)
     // Retype guard — at WRITE time, because the union below would coerce
     // a retyped fresh column to the common type and write already-merged
@@ -442,7 +499,8 @@ object SnapshotStore {
     publish(spark, root, v,
       keptEntries ++ listVersionFiles(spark, root, v),
       carriedTxn(spark, root, meta) ++
-        newCols.map { case (n, t) => colLine(n, t) })
+        newCols.map { case (n, t) => colLine(n, t) } :+
+        bucketsLine(buckets))
     v
   }
 
@@ -550,7 +608,8 @@ object SnapshotStore {
     // materializes a declaration for legacy stores
     publish(spark, root, v, listVersionFiles(spark, root, v),
       carriedTxn(spark, root, Nil) ++
-        schemaCols(snap.schema).map { case (n, t) => colLine(n, t) })
+        schemaCols(snap.schema).map { case (n, t) => colLine(n, t) } ++
+        storedBuckets(spark, root, cur).map(bucketsLine).toSeq)
     v
   }
 

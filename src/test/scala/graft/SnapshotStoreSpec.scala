@@ -245,6 +245,49 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.versionAsOf(spark, root, t2 + 1) === Some(2L))
   }
 
+  test("upsert with a mismatched bucket count is a named error, not corruption") {
+    val root = "target/snap-bucket-guard"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc3 = docs.filter(col("doc_id") === 3)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.upsert(spark, index(doc3), doc3.select("doc_id"),
+        root, buckets = 8) // wrong modulus — would miss stale rows
+    }
+    assert(ex.getMessage.contains("bucketed 4") &&
+      ex.getMessage.contains("buckets = 8"), ex.getMessage)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+  }
+
+  test("readDocs fetches by id scanning only the target buckets' files") {
+    val root = "target/snap-readdocs"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 8)
+    // an upsert so the manifest spans two version dirs
+    val doc3 = docs.filter(col("doc_id") === 3)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    SnapshotStore.upsert(spark, index(doc3), doc3.select("doc_id"), root, 8)
+    val ids = Seq(3L, 7L)
+    val got = SnapshotStore.readDocs(spark, root, ids)
+    val full = SnapshotStore.read(spark, root)
+    assert(rows(got) === rows(full.filter(col("doc_id").isin(ids: _*))))
+    // bucket pruning is real: the lookup's scan reads strictly fewer
+    // files than the full snapshot's
+    assert(got.inputFiles.length > 0 &&
+      got.inputFiles.length < full.inputFiles.length,
+      s"no pruning: ${got.inputFiles.length} vs ${full.inputFiles.length}")
+    // ...and only files under the ids' bucket partitions
+    val okBuckets = full.filter(col("doc_id").isin(ids: _*))
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.inputFiles.forall(f =>
+      okBuckets.exists(b => f.contains(s"bucket=$b/"))),
+      s"scanned outside target buckets: ${got.inputFiles.mkString(", ")}")
+    // absent ids return empty, with the snapshot schema
+    assert(SnapshotStore.readDocs(spark, root, Seq(999999L)).count() === 0)
+  }
+
   // --- optimistic concurrency ----------------------------------------
 
   test("two writers from the same base: one wins, the stale one raises") {
