@@ -128,11 +128,33 @@ object IngestionPipeline {
       pmod(xxhash64(col("doc_id").cast("long")), lit(buckets.toLong)))
 
   /** Bucketed index at rest: partition dir = hash(doc_id) % buckets, the
-    * layout that keeps partition counts bounded at corpus scale. */
+    * layout that keeps partition counts bounded at corpus scale. The
+    * bucket modulus is recorded in a `_graft_buckets` sidecar so upserts
+    * can validate theirs instead of trusting the caller. */
   def writeIndexBucketed(index: DataFrame, path: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
     withBucket(index, buckets).write.mode("overwrite")
       .partitionBy("bucket").parquet(path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_buckets"), true)
+    try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The bucket modulus `path`'s `_graft_buckets` sidecar records (None
+    * for layouts written before the sidecar existed). */
+  def storedBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt)
+      finally in.close()
+    }
+  }
 
   /** Keyed upsert against a BUCKETED index — the 100 TB shape: a bucket
     * holds many documents, so replacement is read-merge-write over ONLY
@@ -157,6 +179,18 @@ object IngestionPipeline {
     * must never lazily re-read partitions the same job is deleting. */
   def upsertIndexBucketed(spark: SparkSession, newRows: DataFrame,
       reingestedDocs: DataFrame, path: String, buckets: Int): Unit = {
+    // Modulus guard (the SnapshotStore #buckets contract): hashing with a
+    // different bucket count than the stored layout would land fresh rows
+    // in the wrong partitions AND make the touched-bucket anti-join miss
+    // stale rows — named error instead of silent corruption. Layouts
+    // predating the sidecar keep the legacy trusted-parameter contract.
+    storedBuckets(spark, path).foreach { b =>
+      if (b != buckets)
+        throw new IllegalArgumentException(
+          s"bucketed index at $path is bucketed $b ways but the upsert " +
+            s"passed buckets = $buckets — a mismatched modulus would " +
+            "corrupt the keyed replace; pass the stored count")
+    }
     val fresh = withBucket(newRows, buckets)
     // anti-join out the UNION of the explicit id set and newRows' own
     // doc_ids: a document present in newRows but omitted from

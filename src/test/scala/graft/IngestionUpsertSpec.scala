@@ -120,6 +120,32 @@ class IngestionUpsertSpec extends SparkTestBase {
       s"stale bucket partitions survived a full delete: ${bucketDirs.mkString(", ")}")
   }
 
+  test("bucketed upsert with a mismatched modulus raises a named error") {
+    import spark.implicits._
+    val path = "target/ingest-upsert-modulus"
+    cleanup(path)
+    val (docs, _) = mutatedDocs()
+    IngestionPipeline.writeIndexBucketed(
+      IngestionPipeline.buildIndexFrom(docs, 120, 20, 8), path, buckets = 4)
+    assert(IngestionPipeline.storedBuckets(spark, path) === Some(4))
+    val ex = intercept[IllegalArgumentException] {
+      IngestionPipeline.upsertIndexBucketed(spark,
+        IngestionPipeline.buildIndexFrom(
+          docs.filter(col("doc_id") === 3), 120, 20, 8),
+        Seq(3L).toDF("doc_id"), path, buckets = 8)
+    }
+    assert(ex.getMessage.contains("bucketed 4") &&
+      ex.getMessage.contains("buckets = 8"), ex.getMessage)
+    // the matching modulus still works and the sidecar survives
+    IngestionPipeline.upsertIndexBucketed(spark,
+      IngestionPipeline.buildIndexFrom(
+        docs.filter(col("doc_id") === 3), 120, 20, 8),
+      Seq(3L).toDF("doc_id"), path, buckets = 4)
+    assert(IngestionPipeline.storedBuckets(spark, path) === Some(4))
+    assert(rows(spark.read.parquet(path).drop("bucket")) ===
+      rows(IngestionPipeline.buildIndexFrom(docs, 120, 20, 8)))
+  }
+
   test("upsert of an unchanged doc is idempotent") {
     val path = "target/ingest-upsert-keyed"
     // state from the first test: upsert doc 5's (unchanged) rows again
