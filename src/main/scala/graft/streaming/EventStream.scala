@@ -102,6 +102,28 @@ object EventStream {
           .as("w_start"),
         col("event_type"), col("n"))
 
+  /** Stream-STATIC enrichment join + windowed weighted rollup — the
+    * enrich-the-firehose shape: facts stream past a small static
+    * dimension. The dim side of a stream-static join holds NO join
+    * state (it re-resolves per micro-batch and broadcasts), so it needs
+    * no watermark and the dim table can be swapped/refreshed between
+    * triggers; only the aggregation state is watermark-bounded. Batch
+    * twin: q39's weighted aggregate bucketed hourly (StreamingSpec
+    * asserts stream ≡ batch). `weights` needs (event_type, weight). */
+  def enrichedHourly(events: DataFrame, weights: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(weights), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)") * col("weight"))
+          .cast("double").as("weighted_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n"), col("weighted_value"))
+
   /** Streaming exact dedup by event_id: duplicates arriving within the
     * watermark are dropped with bounded state
     * (dropDuplicatesWithinWatermark — the streaming twin of the batch

@@ -359,6 +359,40 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
   }
 
+  test("random op sequences: store state always equals the driver-side model") {
+    import spark.implicits._
+    val root = "target/snap-model"
+    cleanup(root)
+    val rnd = new scala.util.Random(11)
+    def df(m: Map[Long, Long]) =
+      m.toSeq.sortBy(_._1).toDF("doc_id", "tag")
+    var model: Map[Long, Long] = (1L to 10L).map(i => i -> 0L).toMap
+    SnapshotStore.commit(df(model), root, buckets = 4)
+    for (step <- 1 to 12) {
+      rnd.nextInt(5) match {
+        case 0 => // upsert: mutate an existing doc / add a new one
+          val ids = Seq(rnd.nextLong(20) + 1, rnd.nextLong(20) + 1).distinct
+          model = model ++ ids.map(_ -> step.toLong)
+          SnapshotStore.upsert(spark,
+            df(ids.map(_ -> step.toLong).toMap), ids.toDF("doc_id"),
+            root, 4)
+        case 1 if model.nonEmpty => // delete via empty re-ingest
+          val ids = Seq(model.keys.toSeq(rnd.nextInt(model.size)))
+          model = model -- ids
+          SnapshotStore.upsert(spark,
+            Seq.empty[(Long, Long)].toDF("doc_id", "tag"),
+            ids.toDF("doc_id"), root, 4)
+        case 2 => SnapshotStore.optimize(spark, root): Unit
+        case 3 => SnapshotStore.vacuum(spark, root, keepVersions = 2): Unit
+        case _ => // full-rewrite commit of the current model
+          SnapshotStore.commit(df(model), root, buckets = 4): Unit
+      }
+      val got = SnapshotStore.read(spark, root)
+        .select("doc_id", "tag").as[(Long, Long)].collect().toMap
+      assert(got === model, s"diverged from the model at step $step")
+    }
+  }
+
   // --- non-additive schema evolution ----------------------------------
 
   test("commit that drops a column raises a named error; opt-in rewrites") {

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.streaming.EventStream
 
 class StreamingSpec extends SparkTestBase {
@@ -12,6 +14,32 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("stream-static enrichment join equals the batch weighted rollup") {
+    import spark.implicits._
+    val weights = graft.queries.Relational.EventWeights
+      .toDF("event_type", "weight")
+    val streamed = EventStream.drainToMemory(
+        EventStream.enrichedHourly(
+          EventStream.readEvents(spark, sf0001), weights),
+        "complete", "graft_enrich_spec")
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sf0001)
+      .join(weights, Seq("event_type"))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)") * col("weight"))
+          .cast("double").as("weighted_value"))
+      .select("hour_start", "event_type", "n", "weighted_value")
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
   }
 
   test("streaming sliding windows equal the batch q61 result") {
