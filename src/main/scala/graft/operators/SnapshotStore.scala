@@ -199,9 +199,16 @@ object SnapshotStore {
     * already-published `v`, and read-back-verifies the rename landed
     * THIS writer's bytes (Hadoop's local-FS rename overwrites an
     * existing destination instead of failing, so existence-then-rename
-    * alone is not exclusive) — the loser of a same-version race raises
-    * [[SnapshotConflictException]], never silently drops the winner.
-    * private[graft]: exposed to the spec to exercise the race paths. */
+    * alone is not exclusive) — a writer that was overwritten raises
+    * [[SnapshotConflictException]] instead of silently believing it
+    * published. Residual window, stated honestly: on a local FS a
+    * racer whose rename lands INSIDE this writer's exists→rename gap
+    * is itself overwritten and only IT detects the loss — true mutual
+    * exclusion comes from the `expectedVersion` pre-flight (writers
+    * race different version numbers after it) and, on HDFS/object
+    * stores, from rename refusing an existing destination, which makes
+    * this backstop exact. private[graft]: exposed to the spec to
+    * exercise the race paths. */
   private[graft] def publish(spark: SparkSession, root: String, v: Long,
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
