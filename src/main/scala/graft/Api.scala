@@ -84,6 +84,29 @@ object Api {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** Fetch by id — the Pinecone `Index.fetch(ids)` analog
+    * (the reference reads back upserted vectors by their known ids):
+    * the requested vectors with their document metadata in the
+    * [[ragSearch]] result shape plus the stored embedding. The id
+    * predicate pushes into the parquet scan (`PushedFilters: In(vec_id)`)
+    * so the corpus is never fully read; a SnapshotStore-backed index
+    * additionally bucket-prunes via
+    * [[graft.operators.SnapshotStore.readDocs]]. Absent ids are simply
+    * absent from the result, as in the reference. */
+  def fetchVectors(spark: SparkSession, dir: String, ids: Seq[Long],
+      targetIndex: String = DocIndex): DataFrame = {
+    val hits = indexFor(spark, dir, targetIndex)
+      .filter(col("vec_id").isin(ids: _*))
+    Tables.documents(spark, dir)
+      .join(broadcast(hits), col("vec_id") === col("doc_id"), "inner")
+      .select(col("vec_id"),
+        substring(coalesce(concat_ws("#", col("source"), col("doc_id")),
+          lit("No title")), 1, 50).as("title"),
+        substring(col("text"), 1, 200).as("content"),
+        col("embedding"))
+      .orderBy("vec_id")
+  }
+
   /** Keyword search over the corpus: term-occurrence scoring, top-n —
     * the engine analog of the SerpAPI tool (num=5 at ra/agent.py:103). */
   def searchByTopic(spark: SparkSession, dir: String, terms: Seq[String],

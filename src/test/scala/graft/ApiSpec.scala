@@ -51,6 +51,19 @@ class ApiSpec extends SparkTestBase {
     assert(r.forall(_.getString(1).nonEmpty))
   }
 
+  test("fetchVectors returns exactly the present requested ids, id-pruned") {
+    val ids = Seq(2L, 5L, 999999L) // the last one does not exist
+    val df = Api.fetchVectors(spark, sf0001, ids)
+    val got = df.collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L, 5L))
+    assert(got.forall(r => r.getString(1).nonEmpty && !r.isNullAt(3)))
+    // the id predicate reaches the embeddings scan — no full corpus read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"vec_id IN-filter not pushed to the scan:\n$plan")
+    assert(Api.fetchVectors(spark, sf0001, Seq(888888L)).count() === 0)
+  }
+
   test("assembleReport has all three sections") {
     val sections = Api.assembleReport(spark, sf0001, "spark join")
       .select("section").distinct().collect().map(_.getString(0)).toSet
