@@ -251,6 +251,25 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/index")
   }
 
+  /** Dim guard for the persisted-index paths: vectors entering a stored
+    * layout (or querying it) must match the centroid dimensionality —
+    * a mismatch would silently score garbage distances (the fused
+    * distance loop runs over the shorter length), the same
+    * trusted-parameter corruption class as a wrong bucket modulus. One
+    * tiny min/max-size aggregate over the delta/query frame (never the
+    * corpus). */
+  private def requireDim(emb: DataFrame,
+      cents: Array[(Long, Array[Long])], what: String): Unit = {
+    val dim = cents.head._2.length
+    val r = emb.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).collect()(0)
+    if (!r.isNullAt(0) && (r.getInt(0) != dim || r.getInt(1) != dim))
+      throw new IllegalArgumentException(
+        s"$what: embedding dim ${r.getInt(0)}..${r.getInt(1)} does not " +
+          s"match the stored index's centroid dim $dim — wrong-dim " +
+          "vectors would silently score garbage distances")
+  }
+
   private[operators] def readCentroids(spark: SparkSession,
       path: String): Array[(Long, Array[Long])] =
     spark.read.parquet(s"$path/centroids")
@@ -269,11 +288,14 @@ object IvfIndex {
     * contract: vec_ids in `newEmb` are NEW (use [[upsertIndexed]] when
     * ids may already exist). */
   def appendToIndex(spark: SparkSession, path: String,
-      newEmb: DataFrame): Unit =
-    cellRanksWith(newEmb, readCentroids(spark, path))
+      newEmb: DataFrame): Unit = {
+    val cents = readCentroids(spark, path)
+    requireDim(newEmb, cents, "appendToIndex")
+    cellRanksWith(newEmb, cents)
       .filter(col("rk") === 1)
       .select("vec_id", "embedding", "cent_id")
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/index")
+  }
 
   /** Keyed upsert into a stored index: re-embedded vectors REPLACE their
     * old rows by vec_id. New assignments come from the persisted
@@ -288,6 +310,7 @@ object IvfIndex {
   def upsertIndexed(spark: SparkSession, path: String,
       newEmb: DataFrame): Unit = {
     val cents = readCentroids(spark, path)
+    requireDim(newEmb, cents, "upsertIndexed")
     val fresh = cellRanksWith(newEmb, cents)
       .filter(col("rk") === 1)
       .select("vec_id", "embedding", "cent_id")
@@ -320,6 +343,7 @@ object IvfIndex {
   def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     val cents = readCentroids(spark, path)
+    requireDim(queries, cents, "searchIndexed")
     val probes = cellRanksWith(queries, cents)
       .filter(col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

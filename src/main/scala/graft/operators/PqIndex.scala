@@ -160,7 +160,42 @@ object PqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     encodeFused(emb, collectCodebook(emb, k), dim, m)
       .write.mode("overwrite").parquet(s"$path/codes")
+    // geometry sidecar: searches validate their (dim, m) against what the
+    // codes were written with — a mismatched m would join the query LUT
+    // against the wrong subspace ids and silently return garbage ranks
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_pq"), true)
+    try out.write(s"$dim\t$m\t$k\n".getBytes("UTF-8")) finally out.close()
   }
+
+  /** The (dim, m, k) geometry `path`'s `_graft_pq` sidecar records (None
+    * for indexes written before the sidecar existed). */
+  def storedGeometry(spark: SparkSession,
+      path: String): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_pq")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val Array(d, m, k) =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split("\t")
+        finally in.close()
+      Some((d.toInt, m.toInt, k.toInt))
+    }
+  }
+
+  private def requireGeometry(spark: SparkSession, path: String, dim: Int,
+      m: Int, what: String): Unit =
+    storedGeometry(spark, path).foreach { case (d, sm, _) =>
+      if (d != dim || sm != m)
+        throw new IllegalArgumentException(
+          s"$what: PQ index at $path was written with dim=$d, m=$sm but " +
+            s"the search passed dim=$dim, m=$m — mismatched geometry " +
+            "would rank garbage distances; pass the stored values")
+    }
 
   /** Search a [[writeIndex]]-materialized index: the lookup table comes
     * from the query vectors × the stored codebook (tiny, broadcast), the
@@ -169,6 +204,7 @@ object PqIndex {
     * matching the written index's `dim`/`m`. */
   def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
       dim: Int = 64, m: Int = 8, topK: Int = 3): DataFrame = {
+    requireGeometry(spark, path, dim, m, "searchIndexed")
     val cent = spark.read.parquet(s"$path/codebook")
     val codes = spark.read.parquet(s"$path/codes")
     val lut = distsAgainst(components(queries, dim / m), cent)
@@ -196,6 +232,7 @@ object PqIndex {
   def searchIvfIndexed(spark: SparkSession, ivfPath: String, pqPath: String,
       queries: DataFrame, dim: Int = 64, m: Int = 8, nProbe: Int = 2,
       topK: Int = 3): DataFrame = {
+    requireGeometry(spark, pqPath, dim, m, "searchIvfIndexed")
     val cents = IvfIndex.readCentroids(spark, ivfPath)
     val probes = IvfIndex.cellRanksWith(queries, cents)
       .filter(col("rk") <= nProbe)

@@ -204,4 +204,22 @@ class IvfIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("corpusFilter"))
   }
+
+  test("wrong-dim vectors against a stored index raise a named error") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_dim")
+      .toString
+    IvfIndex.writeIndex(emb, k = 16, path)
+    val short = Seq((900001L, Seq.fill(8)(0.5))).toDF("vec_id", "embedding")
+    for (op <- Seq(
+        () => IvfIndex.appendToIndex(spark, path, short),
+        () => IvfIndex.upsertIndexed(spark, path, short),
+        () => IvfIndex.searchIndexed(spark, path, short, nProbe = 2,
+          topK = 3).collect(): Unit)) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("dim 8..8") &&
+        e.getMessage.contains("centroid dim 64"), e.getMessage)
+    }
+  }
 }

@@ -103,6 +103,23 @@ class PqIndexSpec extends SparkTestBase {
       s"IVF index scan is not partition-pruned on cent_id:\n$plan")
   }
 
+  test("mismatched PQ geometry against a stored index raises a named error") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_geo")
+      .toString
+    PqIndex.writeIndex(emb, path) // dim=64, m=8
+    assert(PqIndex.storedGeometry(spark, path) === Some((64, 8, 16)))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.searchIndexed(spark, path, queries, dim = 64, m = 16)
+    }
+    assert(e.getMessage.contains("m=8") && e.getMessage.contains("m=16"),
+      e.getMessage)
+    // the matching geometry still searches
+    assert(PqIndex.searchIndexed(spark, path, queries).count() > 0)
+  }
+
   test("search never plans a cartesian product and broadcasts the LUT") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = PqIndex.search(emb, col("vec_id") < 5)
