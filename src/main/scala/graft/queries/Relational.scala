@@ -652,6 +652,27 @@ object Relational extends QueryPack {
         .orderBy("hour_start", "event_type")
     }),
 
+    // q20 × q39 composed: the hourly WEIGHTED rollup that is the batch
+    // twin of the stream-static enrichment join
+    // (streaming/EventStream.enrichedHourly) — StreamingSpec asserts
+    // stream ≡ this, this oracle closes the chain to DuckDB, the same
+    // transitive coverage q20/q25/q37/q61 give their streaming twins.
+    "q67_hourly_weighted" -> ((s, d) => {
+      import s.implicits._
+      val weights = EventWeights.toDF("event_type", "weight")
+      Tables.events(s, d)
+        .join(broadcast(weights), Seq("event_type"))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value")) * col("weight")).cast("double")
+            .as("weighted_value"))
+        .select("hour_start", "event_type", "n", "weighted_value")
+        .orderBy("hour_start", "event_type")
+    }),
+
     // Hopping (sliding) window aggregation — q20's tumbling twin: 1-hour
     // windows every 30 minutes, so each event contributes to exactly
     // len/slide = 2 windows. Spark's window() explodes the hop
@@ -1223,6 +1244,15 @@ object Relational extends QueryPack {
         |  count(*) AS n,
         |  cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q67_hourly_weighted" ->
+      s"""WITH w(event_type, weight) AS (VALUES ${
+           EventWeights.map { case (t, v) => s"('$t', $v)" }.mkString(", ")})
+        |SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |  count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2)) * weight) as double) AS weighted_value
+        |FROM events JOIN w USING (event_type)
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q61_sliding_window" ->

@@ -26,17 +26,9 @@ class StreamingSpec extends SparkTestBase {
         "complete", "graft_enrich_spec")
       .orderBy("hour_start", "event_type")
       .collect().map(_.toSeq).toSeq
-    val batch = Tables.events(spark, sf0001)
-      .join(weights, Seq("event_type"))
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
-          .as("hour_start"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)") * col("weight"))
-          .cast("double").as("weighted_value"))
-      .select("hour_start", "event_type", "n", "weighted_value")
-      .orderBy("hour_start", "event_type")
+    // the batch twin is the ORACLE-CHECKED q67 — stream ≡ q67 ≡ DuckDB,
+    // the same transitive chain the other streaming twins have
+    val batch = SparkEntry.queries("q67_hourly_weighted")(spark, sf0001)
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch)
