@@ -594,20 +594,32 @@ object SnapshotStore {
   /** OPTIMIZE: republish the current snapshot as a new, compacted version
     * — one file per bucket (each accumulated upsert leaves another small
     * file per touched bucket; reads degrade as manifests grow long). Data
-    * is byte-identical, old versions stay readable (time travel), and the
+    * is row-identical, old versions stay readable (time travel), and the
     * small files become unreferenced garbage for [[vacuum]]. The rewrite
     * shuffles once on the bucket column so each bucket lands whole in one
-    * task → exactly one output file. Returns the new version. */
+    * task → exactly one output file; `sortByDocId` (default) additionally
+    * sorts each bucket's rows by doc_id IN THE SAME task's sort, so the
+    * compacted files carry monotone doc_id row-group statistics and
+    * [[readDocs]]' pushed `In(doc_id)` filter prunes row groups inside
+    * the (already bucket-pruned) files — free at write time, paid back
+    * on every point lookup. Returns the new version. */
   def optimize(spark: SparkSession, root: String,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      sortByDocId: Boolean = true): Long = {
     checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — nothing to optimize"))
     val v = cur + 1
     val snap = read(spark, root, cur)
-    snap
-      .repartition(col("bucket"))
+    val arranged =
+      if (sortByDocId)
+        // lead with the partition column: FileFormatWriter keeps a sort
+        // already prefixed by it, instead of inserting its own re-sort
+        snap.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("doc_id"))
+      else snap.repartition(col("bucket"))
+    arranged
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
     // declare what was physically WRITTEN (the snapshot's union schema,

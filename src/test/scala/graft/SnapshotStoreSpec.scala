@@ -217,6 +217,30 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("optimize writes each bucket sorted by doc_id (row-group skipping)") {
+    val root = "target/snap-optimize-sort"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc2 = docs.filter(col("doc_id") === 2)
+    SnapshotStore.upsert(spark, index(doc2), doc2.select("doc_id"), root, 4)
+    val before = rows(SnapshotStore.read(spark, root))
+    val v = SnapshotStore.optimize(spark, root)
+    assert(rows(SnapshotStore.read(spark, root, v)) === before)
+    // every compacted file carries its rows in doc_id order — monotone
+    // row-group min/max, so a pushed In(doc_id) can skip inside the file
+    val dataDir = new java.io.File(f"$root/data/v$v%05d")
+    val files = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(b => b.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"${f.getName} not doc_id-sorted")
+    }
+  }
+
   test("timestamp time travel: readAsOf resolves the version current at ts") {
     val root = "target/snap-asof"
     cleanup(root)
