@@ -61,8 +61,9 @@ object Warehouse extends QueryPack {
     // transitive closure over the match graph is d08's operator,
     // composable downstream. Output is per-block accounting — bounded
     // by block count, not entities. A skewed block (one dominant first
-    // token) would concentrate its pairs on one task; the salting tools
-    // (q39/SkewTools) apply to the block key unchanged.
+    // token) would concentrate its pairs on one task; the mitigation is
+    // SkewTools.tiledSelfJoin (salting cannot fix a SELF-join), and q66
+    // proves it output-invisible on a planted 90%-hot block.
     "q63_entity_resolution" -> ((s, d) => {
       val e = Tables.part(s, d)
         .select(col("p_partkey").as("id"), col("p_name").as("name"),
