@@ -200,6 +200,38 @@ object DedupQueries extends QueryPack {
             .as("recall"))
     }),
 
+    // LSH S-curve — d11's recall audit resolved per Jaccard decile: the
+    // diagnostic actually read when CHOOSING bands × rows (catch
+    // probability 1−(1−j^r)^b rises as an S-curve in j; this measures
+    // the empirical curve of the production 4×3 banding). Same bounded
+    // eval slice and truth definition as d11, truth floor lowered to
+    // jacc > 0 so the curve's low tail is visible; output is ≤ 10
+    // decile rows from any corpus size.
+    "d13_lsh_curve" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") < SketchRecallEvalMaxDocId)
+      val sh = sample.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      val truth = sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          round(graft.functions.TextFunctions
+            .jaccard(col("a.sh"), col("b.sh")), 6).as("jacc"))
+        .filter(col("jacc") > 0)
+        .localCheckpoint(eager = false) // two consumers below
+      val decile = floor(col("jacc") * 10).cast("int").as("jacc_decile")
+      val cand = MinHashLSH.candidatePairs(sample, 4, 3)
+      val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+        .groupBy(decile).agg(count(lit(1)).as("n_caught"))
+      truth.groupBy(decile).agg(count(lit(1)).as("n_truth"))
+        .join(caught, Seq("jacc_decile"), "left")
+        .select(col("jacc_decile"), col("n_truth"),
+          coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+          round(coalesce(col("n_caught"), lit(0L)).cast("double")
+            / col("n_truth"), 6).as("recall"))
+        .orderBy("jacc_decile")
+    }),
+
     // Winnowing (MOSS) shared-fingerprint pairs — the span-level sketch
     // between t04's one global min-hash and d09's exact block dedup:
     // docs sharing a substring of length ≥ w+k−1 = 15 chars are
@@ -306,6 +338,33 @@ object DedupQueries extends QueryPack {
         |SELECT n_truth, n_caught,
         |  round(cast(n_caught as double) / n_truth, 6) AS recall
         |FROM nt, nc""".stripMargin),
+
+    "d13_lsh_curve" ->
+      ("WITH " + MinHashLSH.duckSignatureCtes(12) + s""",
+        |bands AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, concat_ws(',', m${b * 3}, m${b * 3 + 1}, m${b * 3 + 2}) AS key FROM sig WHERE doc_id < $SketchRecallEvalMaxDocId")
+          .mkString("\n  UNION ALL ")}),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(cast(len(list_intersect(a.sh, b.sh)) as double)
+        |      / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) AS jacc
+        |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id < $SketchRecallEvalMaxDocId AND b.doc_id < $SketchRecallEvalMaxDocId
+        |    AND round(cast(len(list_intersect(a.sh, b.sh)) as double)
+        |      / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) > 0),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |caught AS (SELECT cast(floor(t.jacc * 10) as int) AS jacc_decile,
+        |    count(*) AS n_caught
+        |  FROM truth t JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+        |  GROUP BY 1),
+        |per AS (SELECT cast(floor(jacc * 10) as int) AS jacc_decile,
+        |    count(*) AS n_truth FROM truth GROUP BY 1)
+        |SELECT per.jacc_decile, per.n_truth,
+        |  cast(coalesce(caught.n_caught, 0) as bigint) AS n_caught,
+        |  round(cast(coalesce(caught.n_caught, 0) as double) / per.n_truth, 6) AS recall
+        |FROM per LEFT JOIN caught USING (jacc_decile)
+        |ORDER BY jacc_decile""".stripMargin),
 
     "d12_winnow_pairs" ->
       ("WITH " + graft.operators.Winnowing.duckFingerprintCtes(8, 8) + """,
