@@ -134,7 +134,15 @@ object SnapshotStore {
     manifestText(spark, root, v).linesIterator
       .filter(_.startsWith("#")).toSeq
 
-  private def colLine(name: String, typ: String) = s"#col\t$name\t$typ"
+  private def colLine(name: String, typ: String) = {
+    // tab is the field separator and newline the line separator — a
+    // column name containing either would shift/split the manifest's
+    // physical format and corrupt every later read of the version
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"SnapshotStore: column name '$name' contains tab/newline — " +
+        "rename the column before committing")
+    s"#col\t$name\t$typ"
+  }
 
   private def bucketsLine(n: Int) = s"#buckets\t$n"
 
@@ -213,6 +221,12 @@ object SnapshotStore {
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
       "SnapshotStore: metadata lines must start with '#'")
+    // an embedded newline would split a logical line in two and corrupt
+    // every later read of the manifest (lines are '\n'-joined below)
+    (meta ++ entries.map(_._2)).foreach { s =>
+      require(!s.exists(c => c == '\n' || c == '\r'),
+        s"SnapshotStore: manifest line contains a newline: '$s'")
+    }
     val f = fs(spark, root)
     val dst = manifestPath(root, v)
     if (f.exists(dst))
@@ -234,6 +248,40 @@ object SnapshotStore {
       throw new SnapshotConflictException(
         s"SnapshotStore: lost the publish race for version $v at $root — " +
           "another writer's manifest landed; re-read the store and retry")
+  }
+
+  /** Write a version's data files COLLISION-FREE: into a UUID staging
+    * dir, then one directory rename into `data/vNNNNN`. A same-parent
+    * racer can therefore never delete a winner's already-published
+    * files (the old direct overwrite write could): if the target dir
+    * exists WITH a published manifest the loser raises here without
+    * touching it; an orphan dir from a crashed attempt (no manifest) is
+    * replaced, preserving retry semantics; and a rename that loses the
+    * final race fails into a conflict, never into deletion. */
+  private def writeVersionDir(df: DataFrame, spark: SparkSession,
+      root: String, v: Long): Unit = {
+    val f = fs(spark, root)
+    val staging = new Path(root,
+      f"data/.staging-v$v%05d-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    val dst = new Path(root, vdir(v))
+    if (f.exists(dst)) {
+      if (f.exists(manifestPath(root, v))) {
+        f.delete(staging, true)
+        throw new SnapshotConflictException(
+          s"SnapshotStore: version $v at $root was published by a " +
+            "concurrent writer while this commit was writing data — " +
+            "re-read the store and retry")
+      }
+      f.delete(dst, true) // crashed attempt's orphan — the retry replaces it
+    }
+    if (!f.rename(staging, dst)) {
+      f.delete(staging, true)
+      throw new SnapshotConflictException(
+        s"SnapshotStore: could not move staged data into ${vdir(v)} at " +
+          s"$root (concurrent writer?) — re-read the store and retry")
+    }
   }
 
   /** Pre-flight optimistic-concurrency check: `expected` (when given) is
@@ -285,8 +333,7 @@ object SnapshotStore {
         }
       }
     val v = cur + 1
-    withBucket(index, buckets).write.mode("overwrite")
-      .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    writeVersionDir(withBucket(index, buckets), spark, root, v)
     publish(spark, root, v, listVersionFiles(spark, root, v),
       carriedTxn(spark, root, meta) ++
         declared.map { case (n, t) => colLine(n, t) } :+
@@ -303,7 +350,24 @@ object SnapshotStore {
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
     val entries = readManifest(spark, root, v)
-    require(entries.nonEmpty, s"version $v at $root is empty")
+    if (entries.isEmpty) {
+      // a published EMPTY snapshot is a valid state (an upsert can
+      // delete the last remaining document — "upsert ≡ fresh rebuild"
+      // holds in the empty edge), so it must read as an empty frame
+      // with the declared schema, not brick the store. Legacy manifests
+      // without a declaration cannot reconstruct one → named error.
+      val cols = declaredCols(spark, root, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v at $root is empty and predates schema " +
+            "declarations — nothing to reconstruct a schema from"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("doc_id", LongType) +:
+        cols.map { case (n, t) => StructField(n, DataType.fromDDL(t)) } :+
+        StructField("bucket", LongType))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     assemble(spark, root, v, entries)
   }
 
@@ -469,35 +533,32 @@ object SnapshotStore {
       .as("doc_id"))
       .union(newRows.select(col("doc_id").cast("long").as("doc_id")))
       .distinct()
+    // fresh's buckets need no extra union here: upserted already
+    // contains every newRows doc_id, and both hash through the same
+    // withBucket expression
     val touched = withBucket(upserted, buckets).select("bucket")
-      .union(fresh.select("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSet
+      .distinct().collect().map(_.getLong(0)).toSet
     val entries = readManifest(spark, root, cur)
     val (touchedEntries, keptEntries) =
       entries.partition(e => touched.contains(e._1))
     val v = cur + 1
     val merged = {
+      // carried survivors read through assemble — the same dir-grouped,
+      // SCHEMA-VALIDATED path read() uses (the previous inline copy
+      // skipped the declared-vs-stored check, so a drifted touched
+      // bucket could be union-coerced and rewritten, masking the drift)
       val kept =
         if (touchedEntries.isEmpty) None
-        else Some(
-          entries.groupBy(_._2.split("/").take(2).mkString("/")).toSeq
-            .map { case (dir, es) =>
-              val mine = es.filter(e => touched.contains(e._1))
-              if (mine.isEmpty) None
-              else Some(spark.read.option("basePath", s"$root/$dir")
-                .parquet(mine.map(e => s"$root/${e._2}"): _*))
-            }.flatten.reduce(_ unionByName _)
-            .withColumn("doc_id", col("doc_id").cast("long"))
-            .withColumn("bucket", col("bucket").cast("long"))
-            .join(upserted, Seq("doc_id"), "left_anti"))
+        else Some(assemble(spark, root, cur, touchedEntries)
+          .join(upserted, Seq("doc_id"), "left_anti"))
       // allowMissingColumns: an upsert may carry new columns (schema
       // evolution) — surviving old rows null-fill them
       kept.map(_.unionByName(fresh, allowMissingColumns = true))
         .getOrElse(fresh)
     }
-    // old files are immutable — no checkpoint fence needed before writing
-    merged.write.mode("overwrite")
-      .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    // old files are immutable — no checkpoint fence needed before the
+    // write; the staging rename keeps racers out of the version dir
+    writeVersionDir(merged, spark, root, v)
     // declared schema grows monotonically: current declaration + any
     // columns the fresh rows ADD (drops are impossible through upsert —
     // carried files retain every stored column)
@@ -619,9 +680,7 @@ object SnapshotStore {
         snap.repartition(col("bucket"))
           .sortWithinPartitions(col("bucket"), col("doc_id"))
       else snap.repartition(col("bucket"))
-    arranged
-      .write.mode("overwrite")
-      .partitionBy("bucket").parquet(s"$root/${vdir(v)}")
+    writeVersionDir(arranged, spark, root, v)
     // declare what was physically WRITTEN (the snapshot's union schema,
     // payload types now guaranteed uniform by the read validation) — also
     // materializes a declaration for legacy stores
@@ -634,7 +693,16 @@ object SnapshotStore {
 
   /** Drop all but the newest `keepVersions` manifests and delete every
     * data file no retained manifest references (including files from
-    * crashed commits that never published). Returns the deleted paths. */
+    * crashed commits that never published). Returns the deleted paths.
+    *
+    * In-flight-writer safety: an up-to-date writer is always producing
+    * version newestManifest + 1, so that version's dir, its staging
+    * dirs, and its tmp manifest are NEVER touched — vacuum concurrent
+    * with a live commit cannot delete data the commit is about to
+    * publish. (A STALE writer's files may be reaped mid-flight, but
+    * that writer fails its publish CAS anyway — fail-safe, not
+    * corrupting.) Older `.staging-*` / `.tmp-*` leftovers are crashed
+    * attempts and are swept. */
   def vacuum(spark: SparkSession, root: String,
       keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the current version")
@@ -644,14 +712,29 @@ object SnapshotStore {
     val versions = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
       case VersionRe(n) => n.toLong
     }.sorted
+    val inFlight = versions.lastOption.getOrElse(0L) + 1
     val (drop, keep) =
       versions.splitAt(math.max(0, versions.size - keepVersions))
     val referenced = keep.flatMap(v => readManifest(spark, root, v))
       .map(_._2).toSet
     val deleted = mutable.ArrayBuffer.empty[String]
+    val StagingRe = "\\.staging-v(\\d{5})-.*".r
+    val DataDirRe = "v(\\d{5})".r
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { vd =>
-      f.listStatus(vd.getPath).filter(s =>
+      val vdName = vd.getPath.getName
+      val vdVersion = vdName match {
+        case StagingRe(n) => Some(n.toLong)
+        case DataDirRe(n) => Some(n.toLong)
+        case _ => None
+      }
+      if (vdVersion.contains(inFlight)) {
+        // possibly being written right now — never touch it
+      } else if (vdName.startsWith(".staging-")) {
+        // a staging dir for any OTHER version is a crashed attempt
+        f.delete(vd.getPath, true)
+        deleted += s"data/$vdName"
+      } else f.listStatus(vd.getPath).filter(s =>
           s.isDirectory && s.getPath.getName.startsWith("bucket=")
         ).foreach { bd =>
         f.listStatus(bd.getPath).foreach { file =>
@@ -668,9 +751,23 @@ object SnapshotStore {
           f.delete(bd.getPath, true) // only non-data remnants left
       }
       // a version dir reduced to _SUCCESS/checksum remnants goes whole
-      if (!f.listStatus(vd.getPath).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith("bucket=")))
+      // (the in-flight version was skipped above and stays untouched)
+      if (!vdVersion.contains(inFlight) && !vdName.startsWith(".staging-") &&
+          f.exists(vd.getPath) &&
+          !f.listStatus(vd.getPath).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("bucket=")))
         f.delete(vd.getPath, true)
+    }
+    // crashed publishes leave .tmp-vNNNNN-uuid manifests; sweep all but
+    // the possibly-in-flight version's
+    val TmpRe = "\\.tmp-v(\\d{5})-.*".r
+    f.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case TmpRe(n) if n.toLong != inFlight =>
+          f.delete(st.getPath, false)
+          deleted += s"_versions/${st.getPath.getName}"
+        case _ =>
+      }
     }
     drop.foreach { v =>
       f.delete(manifestPath(root, v), false)

@@ -312,6 +312,62 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.readDocs(spark, root, Seq(999999L)).count() === 0)
   }
 
+  test("a fully-emptied store stays readable (empty frame, declared schema)") {
+    import spark.implicits._
+    val root = "target/snap-empty"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 3)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    // delete EVERY document via empty re-ingest → a published empty
+    // snapshot, which must read as empty — not brick the store
+    SnapshotStore.upsert(spark,
+      index(docs).filter(lit(false)),
+      docs.select("doc_id"), root, 4)
+    val empty = SnapshotStore.read(spark, root)
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("vec_key") &&
+      empty.columns.contains("doc_id"))
+    assert(SnapshotStore.readDocs(spark, root, Seq(1L)).count() === 0)
+    // and the store keeps working: a later upsert re-populates it
+    SnapshotStore.upsert(spark, index(docs), docs.select("doc_id"), root, 4)
+    assert(rows(SnapshotStore.read(spark, root)) === rows(index(docs)))
+  }
+
+  test("a column name containing tab or newline is rejected at commit") {
+    val root = "target/snap-badcol"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 3)
+    val bad = index(docs).withColumn("a\tb", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.commit(bad, root, buckets = 4)
+    }
+    assert(ex.getMessage.contains("tab/newline"), ex.getMessage)
+  }
+
+  test("vacuum never touches the in-flight version's dir or staging") {
+    val root = "target/snap-vacuum-inflight"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 5)
+    SnapshotStore.commit(index(docs), root, buckets = 4) // newest = 1
+    // simulate a LIVE writer mid-commit of version 2: its staging dir
+    // and (renamed) version dir exist, the manifest does not yet
+    val probe = index(docs).limit(2).withColumn("bucket", lit(0L))
+    probe.write.parquet(s"$root/data/.staging-v00002-deadbeef")
+    probe.write.partitionBy("bucket").parquet(s"$root/data/v00002")
+    // plus an OLD crashed attempt at version 9 — clearly stale
+    probe.write.parquet(s"$root/data/.staging-v00009-cafe")
+    val deleted = SnapshotStore.vacuum(spark, root, keepVersions = 2)
+    assert(new java.io.File(s"$root/data/.staging-v00002-deadbeef").exists,
+      "vacuum deleted a possibly-in-flight staging dir")
+    assert(new java.io.File(s"$root/data/v00002").exists,
+      "vacuum deleted a possibly-in-flight version dir")
+    assert(!new java.io.File(s"$root/data/.staging-v00009-cafe").exists,
+      "vacuum left a stale crashed staging dir")
+    assert(deleted.exists(_.startsWith("data/.staging-v00009")))
+    // the store itself is untouched
+    assert(rows(SnapshotStore.read(spark, root)) === rows(index(docs)))
+  }
+
   // --- optimistic concurrency ----------------------------------------
 
   test("two writers from the same base: one wins, the stale one raises") {
