@@ -74,13 +74,24 @@ object PqIndex {
     * quantized — k rows, the moral equivalent of broadcasting the
     * codebook (the IvfIndex.centroids pattern), which is what lets encode
     * run as a fused map-only expression. */
-  def collectCodebook(emb: DataFrame, k: Int): Array[(Long, Array[Long])] =
-    emb.filter(col("vec_id") < k)
+  def collectCodebook(emb: DataFrame, k: Int): Array[(Long, Array[Long])] = {
+    val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long"),
         VectorFunctions.quantize1e6(col("embedding")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+    // The vec_id < k codebook definition assumes 0-based contiguous ids
+    // (the fixture contract, and what the DuckDB oracles replay). A
+    // corpus whose ids start elsewhere would silently produce an
+    // empty/short codebook and zero search results — fail loudly
+    // instead.
+    require(cents.length == k,
+      s"PQ codebook selected ${cents.length} of $k vectors with " +
+        s"vec_id < $k — corpus ids are not 0-based/contiguous; remap ids " +
+        "or derive the codebook explicitly")
+    cents
+  }
 
   /** Encode: per (vector, subspace) the nearest centroid id —
     * (vec_id, j, code) — as ONE fused map-only projection: each
@@ -144,7 +155,10 @@ object PqIndex {
       m: Int = 8, k: Int = 16, topK: Int = 3): DataFrame = {
     val codes = encodeFused(emb, collectCodebook(emb, k), dim, m)
     val lut = queryLut(emb, queryFilter, dim, m, k)
-    val cands = codes.select(col("vec_id")).distinct()
+    // candidate ids come from emb directly — a distinct() over codes
+    // would shuffle n·m code rows (and re-run the encode projection)
+    // just to recover ids emb already holds uniquely
+    val cands = emb.select(col("vec_id"))
       .crossJoin(broadcast(lut.select(col("q_id")).distinct()))
       .filter(col("vec_id") =!= col("q_id"))
     rankCoded(cands, codes, lut, topK)
@@ -156,9 +170,14 @@ object PqIndex {
     * queries against the stored index never touch corpus embeddings. */
   def writeIndex(emb: DataFrame, path: String, dim: Int = 64, m: Int = 8,
       k: Int = 16): Unit = {
+    // validate geometry AND the codebook BEFORE the first write — a
+    // failure after the codebook overwrite would leave a previously
+    // valid index half-destroyed
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
+    val cents = collectCodebook(emb, k) // raises on a short codebook
     codebookRows(emb, dim / m, k)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    encodeFused(emb, collectCodebook(emb, k), dim, m)
+    encodeFused(emb, cents, dim, m)
       .write.mode("overwrite").parquet(s"$path/codes")
     // geometry sidecar: searches validate their (dim, m) against what the
     // codes were written with — a mismatched m would join the query LUT
@@ -228,7 +247,12 @@ object PqIndex {
     * PqIndexSpec), which is the point of serving ANN from an index at
     * 100 TB. Same result as the in-memory [[searchIvf]] when both stores
     * were built from the same corpus with the same parameters
-    * (spec-asserted). `queries` needs (vec_id, embedding). */
+    * (spec-asserted). `queries` needs (vec_id, embedding), and query ids
+    * SHARE the corpus id namespace: a query whose vec_id equals a stored
+    * id is treated as that vector itself and excluded from its own
+    * results (the self-exclusion every same-corpus search wants) —
+    * querying with foreign vectors requires ids outside the stored
+    * range. Same contract on [[searchIndexed]]. */
   def searchIvfIndexed(spark: SparkSession, ivfPath: String, pqPath: String,
       queries: DataFrame, dim: Int = 64, m: Int = 8, nProbe: Int = 2,
       topK: Int = 3): DataFrame = {

@@ -46,6 +46,12 @@ object SkewTools {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: String, salts: Int): DataFrame = {
     require(salts > 0)
+    // __salt is reserved: withColumn would silently REPLACE a caller's
+    // column of that name and the trailing drop would lose it from the
+    // output (the cellRanksWith clash-guard pattern)
+    require(!fact.columns.contains("__salt") &&
+        !dim.columns.contains("__salt"),
+      "saltedJoin: inputs must not contain a __salt column")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(col(saltSource)), lit(salts.toLong)))
     val explodedDim = dim.withColumn("__salt",

@@ -110,8 +110,10 @@ object Triangles {
         wedges.join(u.hint("shuffle_hash"), Seq("b", "c"), "left_semi")
           .agg(cnt(lit(1)).cast("long").as("n_triangles"))
       }
+    // coalesce for the same reason as the triangle count: an empty
+    // graph must yield 0, not a null sum
     val wedges = deg
-      .agg(expr("cast(sum((dg * (dg - 1)) div 2) as bigint)")
+      .agg(expr("cast(coalesce(sum((dg * (dg - 1)) div 2), 0) as bigint)")
         .as("n_wedges"))
     tri.crossJoin(wedges)
   }

@@ -512,7 +512,7 @@ object Warehouse extends QueryPack {
         |  FROM e e1 JOIN e e2 ON e1.src = e2.src
         |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
         |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
-        |w AS (SELECT cast(sum((dg * (dg - 1)) // 2) as bigint) AS n_wedges
+        |w AS (SELECT cast(coalesce(sum((dg * (dg - 1)) // 2), 0) as bigint) AS n_wedges
         |  FROM deg)
         |SELECT n_triangles, n_wedges,
         |  round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff

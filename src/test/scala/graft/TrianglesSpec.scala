@@ -98,7 +98,8 @@ class TrianglesSpec extends SparkTestBase {
     for (limit <- Seq(Triangles.BroadcastEdgeLimit, 0L)) {
       val row = Triangles.count(empty, broadcastEdgeLimit = limit).collect()
       assert(row.length === 1, s"limit=$limit")
-      assert(row.head.getLong(0) === 0L, s"limit=$limit")
+      assert(row.head.getLong(0) === 0L && row.head.getLong(1) === 0L,
+        s"limit=$limit: ${row.head}")
     }
   }
 }
