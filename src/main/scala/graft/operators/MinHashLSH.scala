@@ -82,14 +82,21 @@ object MinHashLSH {
   /** Near-duplicate pairs: LSH candidates verified by exact 3-gram
     * Jaccard ≥ threshold. The expensive part of verification is shingling,
     * so it runs only for documents that appear in a candidate pair: the
-    * candidate id set (tiny after banding) broadcasts into a semi-join
-    * that prunes the corpus BEFORE shingles are computed — at scale this
-    * is the difference between re-shingling the corpus and shingling a few
-    * hundred rows. */
+    * candidate MEMBER id set (near-dup-participant-sized, tiny after
+    * banding) semi-joins the corpus BEFORE shingles are computed — at
+    * scale this is the difference between re-shingling the corpus and
+    * shingling the near-dup participants only. The candidate pair set is
+    * checkpointed so deriving the member ids does not re-run the whole
+    * signature pipeline a second time. */
   def nearDuplicates(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.2): DataFrame = {
     val cand = candidatePairs(docs, bands, rowsPerBand)
+      .localCheckpoint(eager = false)
+    val members = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id")))
+      .distinct()
     val sh = docs
+      .join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
@@ -97,6 +104,47 @@ object MinHashLSH {
       .select(col("a_id"), col("b_id"),
         round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= threshold)
+  }
+
+  /** Per-document ADMISSION verdict of a new batch against the band store
+    * of previously admitted documents — the decision kernel of
+    * incremental corpus dedup, shared verbatim by the streaming path
+    * ([[graft.streaming.IngestStream.dedupAvailable]]) and its
+    * oracle-checked batch twin (d14): a new document is dropped when any
+    * of its LSH band keys collides with the store (`hit_prior`) or with a
+    * SMALLER-id batch sibling (`hit_batch` — deterministic one-pass
+    * within-batch rule: the conservative one-shot form of the sequential
+    * admit-scan, exact when collisions don't chain).
+    *
+    * Scale shape: the history is touched only through one equi semi-join
+    * on (band, key) — fingerprints, never texts — and the within-batch
+    * check is a band self-join over the BATCH only; nothing is
+    * corpus-shaped. Output: one row per batch doc_id present in
+    * `batchBands`, columns (doc_id, hit_prior, hit_batch, admitted).
+    *
+    * `batchBands` feeds three consumers here — checkpoint it upstream
+    * (as both callers do) so the signature pipeline runs once. */
+  def admissionVerdict(batchBands: DataFrame,
+      priorBands: DataFrame): DataFrame = {
+    val a = batchBands.select("band", "key", "doc_id")
+    val priorHit = a
+      .join(priorBands.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("__hp", lit(true))
+    val earlier = batchBands.select(col("band").as("band"),
+      col("key").as("key"), col("doc_id").as("smaller_id"))
+    val batchHit = a.join(earlier,
+        a("band") === earlier("band") && a("key") === earlier("key") &&
+          a("doc_id") > earlier("smaller_id"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("__hb", lit(true))
+    batchBands.select("doc_id").distinct()
+      .join(priorHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__hp"), lit(false)).as("hit_prior"),
+        coalesce(col("__hb"), lit(false)).as("hit_batch"))
+      .withColumn("admitted", !col("hit_prior") && !col("hit_batch"))
   }
 
   /** Oracle-side CTE bodies reproducing [[signatures]] in DuckDB SQL

@@ -35,6 +35,14 @@ object DedupQueries extends QueryPack {
     * banding path and scales. */
   val SketchRecallEvalMaxDocId: Int = 300
 
+  /** doc_id boundary of d14's incremental-dedup replay: documents below
+    * it stand in for the already-admitted history (their band
+    * fingerprints are the store), documents at/above it are the new
+    * batch. Purely a fixture split — BOTH sides stay banded equi-joins,
+    * so unlike [[SketchRecallEvalMaxDocId]] nothing here is quadratic
+    * and the boundary is not a scale guard. */
+  val IncrementalDedupPriorMaxDocId: Int = 300
+
   // d05 banded-SRP blocking: 8 hyperplanes → 2 bands × 4 bits. At corpus
   // scale raise planes/bandBits (smaller blocks) and bands (recall).
   private val SrpDim      = 64
@@ -246,6 +254,25 @@ object DedupQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Incremental corpus dedup — the oracle-checked BATCH TWIN of the
+    // streaming dedup-vs-fingerprint-store path (IngestStream
+    // .dedupAvailable): documents below the boundary are the admitted
+    // history (band fingerprints = the store), documents at/above it are
+    // one arriving batch, and the shared decision kernel
+    // (MinHashLSH.admissionVerdict) classifies every batch doc as
+    // colliding-with-store / colliding-with-smaller-batch-sibling /
+    // admitted. ONE signature pipeline over the corpus (checkpointed,
+    // then split by the boundary filter) feeds both sides.
+    "d14_incremental_dedup" -> ((s, d) => {
+      val bands = MinHashLSH
+        .bandAssignments(Tables.documents(s, d), 4, 3)
+        .localCheckpoint(eager = false) // consumed by both sides below
+      MinHashLSH.admissionVerdict(
+          bands.filter(col("doc_id") >= IncrementalDedupPriorMaxDocId),
+          bands.filter(col("doc_id") < IncrementalDedupPriorMaxDocId))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: semantic dedup confined to IVF cells — data-adaptive
     // blocking where d05's SRP bands are oblivious; reuses the ANN tier's
     // cell assignment (map-only vs centroid literals).
@@ -402,6 +429,24 @@ object DedupQueries extends QueryPack {
         |  (d.vec_id IS NULL) AS keep
         |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+
+    "d14_incremental_dedup" ->
+      (minhashBandsCte + s""",
+        |nb AS (SELECT * FROM bands WHERE doc_id >= $IncrementalDedupPriorMaxDocId),
+        |pr AS (SELECT band, key FROM bands WHERE doc_id < $IncrementalDedupPriorMaxDocId),
+        |hp AS (SELECT DISTINCT nb.doc_id FROM nb
+        |  JOIN pr ON nb.band = pr.band AND nb.key = pr.key),
+        |hb AS (SELECT DISTINCT a.doc_id FROM nb a
+        |  JOIN nb b ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id),
+        |ids AS (SELECT DISTINCT doc_id FROM nb)
+        |SELECT ids.doc_id,
+        |  (hp.doc_id IS NOT NULL) AS hit_prior,
+        |  (hb.doc_id IS NOT NULL) AS hit_batch,
+        |  (hp.doc_id IS NULL AND hb.doc_id IS NULL) AS admitted
+        |FROM ids
+        |LEFT JOIN hp ON hp.doc_id = ids.doc_id
+        |LEFT JOIN hb ON hb.doc_id = ids.doc_id
+        |ORDER BY ids.doc_id""".stripMargin),
 
     "d01_exact_dedup" ->
       """SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup FROM (

@@ -932,6 +932,40 @@ object Relational extends QueryPack {
         .orderBy("event_type", "hour_start")
     }),
 
+    // Forward-fill (last-observation-carried-forward) hourly resample —
+    // q47's gap-fill upgraded from "missing = 0" to "missing = last
+    // observed value", the imputation a metrics/feature store serves
+    // ("what was the latest known hourly total as of hour X?"). Same
+    // scale shape as q47: the only fact-width work is the hourly rollup;
+    // the grid is span × type rows (generated, tiny), and the LOCF
+    // window runs over HOURS per type — bounded state regardless of
+    // corpus size. last(ignoreNulls) is deterministic here because the
+    // window input has exactly one row per (type, hour). Hours before a
+    // type's first observation stay null (nothing to carry), matching
+    // DuckDB's IGNORE NULLS window exactly.
+    "q68_forward_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val hourly = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("hour_sum"))
+      val span = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      val hours = span.select(explode(
+        sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val grid = ev.select("event_type").distinct().crossJoin(hours)
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("filled_sum",
+          last(col("hour_sum"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("hour_sum").isNotNull.as("observed"),
+          col("filled_sum"))
+        .orderBy("event_type", "hour_start")
+    }),
+
     // Cumulative distinct users per day — the SCALABLE formulation: a
     // running COUNT(DISTINCT) window over raw events holds every seen id
     // in window state; instead, distinct collapses FIRST (min event day
@@ -1339,6 +1373,27 @@ object Relational extends QueryPack {
         |FROM types t CROSS JOIN hours hh
         |LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = hh.h
         |ORDER BY t.event_type, hour_start""".stripMargin,
+
+    "q68_forward_fill" ->
+      """WITH ev AS (SELECT event_type,
+        |    date_trunc('hour', cast(ts as timestamp)) AS h, value FROM events),
+        |hourly AS (SELECT event_type, h, count(*) AS n,
+        |    cast(sum(cast(value as decimal(12,2))) as double) AS hour_sum
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, hh.h FROM types t CROSS JOIN hours hh)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  coalesce(hourly.n, 0) AS n,
+        |  hourly.hour_sum IS NOT NULL AS observed,
+        |  last_value(hourly.hour_sum IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        |FROM grid g LEFT JOIN hourly
+        |  ON hourly.event_type = g.event_type AND hourly.h = g.h
+        |ORDER BY g.event_type, hour_start""".stripMargin,
 
     "q48_cumulative_users" ->
       """WITH fs AS (SELECT user_id, min(cast(cast(ts as timestamp) as date)) AS day FROM events GROUP BY 1),

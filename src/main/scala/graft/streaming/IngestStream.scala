@@ -154,17 +154,13 @@ object IngestStream {
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 nb.schema) }
-          val priorHit = nb
-            .join(prior, Seq("band", "key"), "left_semi")
+          // the decision kernel is shared with the oracle-checked batch
+          // twin (d14_incremental_dedup) — the streaming path's admission
+          // semantics are exactly what the DuckDB oracle pins there
+          val dropped = graft.operators.MinHashLSH
+            .admissionVerdict(nb, prior)
+            .filter(!col("admitted"))
             .select("doc_id")
-          val a = nb.select(col("band"), col("key"), col("doc_id"))
-          val earlier = nb.select(col("band").as("band"),
-            col("key").as("key"), col("doc_id").as("smaller_id"))
-          val batchHit = a.join(earlier,
-              a("band") === earlier("band") && a("key") === earlier("key") &&
-                a("doc_id") > earlier("smaller_id"), "left_semi")
-            .select("doc_id")
-          val dropped = priorHit.union(batchHit).distinct()
           val admitted = batch.join(dropped, Seq("doc_id"), "left_anti")
             .localCheckpoint(eager = true) // consumed by both sinks
           admitted.write.mode("append").parquet(outDir)
