@@ -238,4 +238,37 @@ class DedupSpec extends SparkTestBase {
     val tiny = Seq((9L, "abc")).toDF("doc_id", "text")
     assert(graft.operators.Winnowing.fingerprints(tiny).count() === 1L)
   }
+
+  test("admission verdict: prior hits, sibling hits, and chain conservatism") {
+    import graft.operators.MinHashLSH
+    // Synthetic band frames (the verdict's contract is over band keys, so
+    // the signature pipeline is out of the picture here).
+    val prior = Seq((0, "x", 1L)).toDF("band", "key", "doc_id")
+    val batch = Seq(
+      (0, "x", 10L),             // collides with the store
+      (1, "y", 11L),             // clean, but 12 collides WITH IT
+      (1, "y", 12L),             // smaller-sibling hit (11 < 12)
+      (2, "q", 12L),             // 13 chains through 12 only
+      (2, "q", 13L),             // conservative one-shot: dropped anyway
+      (3, "z", 14L))             // clean
+      .toDF("band", "key", "doc_id")
+    val v = MinHashLSH.admissionVerdict(batch, prior)
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(v === Seq(
+      (10L, true, false, false),
+      (11L, false, false, true),
+      (12L, false, true, false),
+      // 13 is dropped because 12 is its smaller sibling — even though 12
+      // itself was dropped: the documented conservative one-shot rule
+      (13L, false, true, false),
+      (14L, false, false, true)))
+
+    // Empty store: only within-batch collisions fire.
+    val emptyPrior = prior.filter($"doc_id" < 0L)
+    val v2 = MinHashLSH.admissionVerdict(batch, emptyPrior)
+      .filter($"doc_id" === 10L)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(v2 === Seq((10L, false, false, true)))
+  }
 }
