@@ -299,6 +299,33 @@ object SnapshotStore {
             "re-read the store and retry")
     }
 
+  /** Optimistic-concurrency RETRY loop — the client half of the
+    * `expectedVersion` contract: conflict detection alone (round-6 OCC)
+    * still makes the losing writer's job fail; real multi-writer
+    * pipelines re-read and re-apply. `attempt` receives the freshly
+    * observed current version (0 = empty store) and must pass it as its
+    * mutation's `expectedVersion` (and re-derive anything it computed
+    * FROM the store against that version — the loop re-invokes the
+    * whole closure, so reads inside it see the winner's state). A
+    * [[SnapshotConflictException]] triggers re-observe + retry, up to
+    * `maxAttempts`; any other failure propagates immediately. Livelock
+    * is bounded: each retry means some OTHER writer published, so
+    * system-wide progress is guaranteed even under contention. */
+  def withConflictRetry[T](spark: SparkSession, root: String,
+      maxAttempts: Int = 5)(attempt: Long => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    var last: SnapshotConflictException = null
+    var i = 0
+    while (i < maxAttempts) {
+      val observed = currentVersion(spark, root).getOrElse(0L)
+      try return attempt(observed)
+      catch { case e: SnapshotConflictException => last = e; i += 1 }
+    }
+    throw new SnapshotConflictException(
+      s"SnapshotStore: mutation at $root still conflicting after " +
+        s"$maxAttempts attempts — last conflict: ${last.getMessage}")
+  }
+
   /** Full-snapshot commit: write `index` (needs a `doc_id` column) as the
     * next version. Returns the published version number. Pass
     * `expectedVersion` (version this writer read; 0 = empty store) for

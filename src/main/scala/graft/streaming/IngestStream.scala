@@ -174,6 +174,61 @@ object IngestStream {
     q.awaitTermination()
   }
 
+  /** [[dedupAvailable]] with BOTH sinks transactional — the composition
+    * its delivery note routes to when exactly-once matters: the admitted
+    * documents AND the fingerprint state each land in a
+    * [[graft.operators.SnapshotStore]] via `commitBatch`, so a batch
+    * replayed after a crash (before, between, or after the two commits)
+    * is detected by its txn marker per store and skipped — no duplicate
+    * admitted rows, no duplicate state rows, and readers always see a
+    * complete published snapshot of either store. The admission decision
+    * kernel is unchanged ([[graft.operators.MinHashLSH
+    * .admissionVerdict]], d14's oracle); prior fingerprints now read
+    * from the state STORE's current snapshot (bounded, versioned,
+    * OPTIMIZE/vacuum-able like any index). A batch whose documents are
+    * ALL dropped publishes nothing — replay recomputes the same empty
+    * admitted set deterministically. */
+  def dedupTransactionalAvailable(spark: SparkSession, srcDir: String,
+      stateRoot: String, storeRoot: String, checkpointDir: String,
+      streamId: String, buckets: Int = 4, bands: Int = 4,
+      rowsPerBand: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SnapshotStore
+    val q = readDocuments(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val nb = graft.operators.MinHashLSH
+            .bandAssignments(batch, bands, rowsPerBand)
+            .localCheckpoint(eager = true) // 3 consumers below
+          val prior = SnapshotStore.currentVersion(spark, stateRoot) match {
+            case Some(_) => SnapshotStore.read(spark, stateRoot)
+              .select("doc_id", "band", "key")
+            case None => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              nb.schema)
+          }
+          val dropped = graft.operators.MinHashLSH
+            .admissionVerdict(nb, prior)
+            .filter(!col("admitted"))
+            .select("doc_id")
+          val admitted = batch.join(dropped, Seq("doc_id"), "left_anti")
+            .localCheckpoint(eager = true) // consumed by both commits
+          if (!admitted.isEmpty) {
+            SnapshotStore.commitBatch(admitted, storeRoot, buckets,
+              streamId, batchId): Unit
+            SnapshotStore.commitBatch(
+              nb.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi"),
+              stateRoot, buckets, streamId, batchId): Unit
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Transactional streaming sink: each micro-batch publishes ONE atomic
     * [[graft.operators.SnapshotStore]] version carrying its batch id as
     * a txn marker, so a batch replayed after a crash (foreachBatch's

@@ -249,6 +249,65 @@ class IngestStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 3L)
   }
 
+  test("transactional dedup: exactly-once admitted docs + state, replay no-ops") {
+    import graft.operators.SnapshotStore
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different words about spark shuffle " +
+      "partitions and broadcast joins at massive scale"
+    val third = "yet another entirely unrelated document discussing " +
+      "parquet footers column pruning and predicate pushdown"
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", s"d$id.pdf", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: DataFrame, src: String, name: String): Unit = {
+      val stage = tmp("txdedup_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    val src = tmp("txdedup_src"); val state = tmp("txdedup_state")
+    val store = tmp("txdedup_store"); val cp = tmp("txdedup_cp")
+    Files.delete(Paths.get(state)); Files.delete(Paths.get(store))
+
+    // batch 0: two distinct docs — both admitted, one version per store
+    land(docsDf(Seq(1L -> base, 2L -> other)), src, "b1.parquet")
+    IngestStream.dedupTransactionalAvailable(spark, src, state, store, cp,
+      streamId = "txdedup")
+    def admittedIds = SnapshotStore.read(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admittedIds === Seq(1L, 2L))
+    assert(SnapshotStore.currentVersion(spark, store) === Some(1L))
+    assert(SnapshotStore.currentVersion(spark, state) === Some(1L))
+
+    // batch 1: 5 near-dups 1 (cross-batch vs the state STORE), 7
+    // duplicates 6 within-batch, 6 is novel
+    land(docsDf(Seq(5L -> nearDup, 6L -> third, 7L -> third)),
+      src, "b2.parquet")
+    IngestStream.dedupTransactionalAvailable(spark, src, state, store, cp,
+      streamId = "txdedup")
+    assert(admittedIds === Seq(1L, 2L, 6L))
+    assert(SnapshotStore.read(spark, state).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 6L))
+    val v2 = SnapshotStore.currentVersion(spark, store).get
+
+    // crash-replay of batch 1 straight at the sinks: both stores carry
+    // its txn marker, so the re-commit is a no-op on each
+    val replayDocs = docsDf(Seq(6L -> third))
+    assert(SnapshotStore.commitBatch(replayDocs, store, 4, "txdedup", 1L)
+      === v2)
+    assert(SnapshotStore.currentVersion(spark, store).get === v2)
+    assert(admittedIds === Seq(1L, 2L, 6L))
+
+    // re-triggering with no new files is a no-op (checkpoint drains empty)
+    IngestStream.dedupTransactionalAvailable(spark, src, state, store, cp,
+      streamId = "txdedup")
+    assert(SnapshotStore.currentVersion(spark, store).get === v2)
+    assert(admittedIds === Seq(1L, 2L, 6L))
+  }
+
   test("paced drain: maxFilesPerTrigger=1 → bounded batches, one version each") {
     import graft.operators.SnapshotStore
     val src = tmp("paced_src"); val store = tmp("paced_store")

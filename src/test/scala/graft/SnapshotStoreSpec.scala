@@ -402,6 +402,49 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(vB === 3L)
   }
 
+  test("withConflictRetry: a raced writer retries and both deltas land") {
+    val root = "target/snap-retry"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+
+    // writer B's attempt closure; an external writer (A) sneaks a commit
+    // in AFTER B observes the version but BEFORE B's own upsert — the
+    // first attempt must conflict, the automatic retry must succeed
+    val docA = docs.filter(col("doc_id") === 2)
+      .withColumn("text", concat(col("text"), lit(" by-A")))
+    val docB = docs.filter(col("doc_id") === 3)
+      .withColumn("text", concat(col("text"), lit(" by-B")))
+    var attempts = 0
+    val vB = SnapshotStore.withConflictRetry(spark, root) { observed =>
+      attempts += 1
+      if (attempts == 1) // the interleaved competitor
+        SnapshotStore.upsert(spark, index(docA), docA.select("doc_id"),
+          root, 4)
+      SnapshotStore.upsert(spark, index(docB), docB.select("doc_id"),
+        root, 4, expectedVersion = Some(observed))
+    }
+    assert(attempts === 2)
+    assert(vB === 3L)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(3L))
+    // both writers' deltas are in the final state — nothing was lost
+    val current = docs
+      .filter(col("doc_id") =!= 2 && col("doc_id") =!= 3)
+      .unionByName(docA).unionByName(docB)
+    assert(rows(SnapshotStore.read(spark, root)) === rows(index(current)))
+
+    // a conflict that never clears exhausts maxAttempts with a named error
+    var calls = 0
+    val ex = intercept[graft.operators.SnapshotConflictException] {
+      SnapshotStore.withConflictRetry(spark, root, maxAttempts = 3) { _ =>
+        calls += 1
+        throw new graft.operators.SnapshotConflictException("synthetic")
+      }
+    }
+    assert(calls === 3)
+    assert(ex.getMessage.contains("after 3 attempts"))
+  }
+
   test("publish-level CAS: a racing same-version publish raises, winner intact") {
     val root = "target/snap-publish-race"
     cleanup(root)
