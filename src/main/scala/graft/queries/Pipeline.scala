@@ -117,6 +117,48 @@ object Pipeline extends QueryPack {
         .orderBy("k")
     }),
 
+    // Distribution-drift monitor between two snapshot VERSIONS — the
+    // aggregate-level counterpart of i10's row-level CDF, and the check a
+    // training pipeline runs before trusting a refreshed corpus ("did
+    // the re-ingest shift my length/source mix?"). Both versions read
+    // through the store's time travel; the drift statistic is
+    // integer-permille bucket shares and their absolute difference
+    // (L∞/L1 over deciles — the PSI shape without its ln, so both
+    // engines agree at every boundary). Per version: one bucket rollup
+    // (≤10 rows from any corpus size); the compare is a 10-row join.
+    "i11_snapshot_drift" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i11-drift").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+      val v1 = graft.operators.SnapshotStore.commit(docs, root, buckets = 8)
+      // the refresh: every doc_id % 5 == 0 re-ingests with doubled text
+      val mutated = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), col("text")))
+        .withColumn("n_chars", col("n_chars") * 2)
+      val v2 = graft.operators.SnapshotStore.upsert(s, mutated,
+        mutated.select("doc_id"), root, buckets = 8)
+      def buckets(v: Long, n: String) =
+        graft.operators.SnapshotStore.read(s, root, v)
+          .select(expr("cast(least(n_chars div 50, 9) as int)").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as(n))
+      val a = buckets(v1, "n_v1"); val b = buckets(v2, "n_v2")
+      val joined = a.join(b, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      val tot = joined.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_v1"), col("n_v2"),
+          expr("cast((n_v1 * 1000) div t1 as bigint)").as("p1_permille"),
+          expr("cast((n_v2 * 1000) div t2 as bigint)").as("p2_permille"))
+        .withColumn("drift_permille",
+          abs(col("p1_permille") - col("p2_permille")))
+        .orderBy("bucket")
+    }),
+
     // Transactional index maintenance end-to-end: commit a full snapshot
     // of the chunk→embed index (manifest-published, graft.operators
     // .SnapshotStore), then keyed-upsert ONE amended document as version
@@ -445,6 +487,27 @@ object Pipeline extends QueryPack {
         |    ON c1.doc_id = c2.doc_id AND c1.chunk_idx = c2.chunk_idx)
         |SELECT concat_ws('_', doc_id, chunk_idx) AS k, status
         |FROM j WHERE status IS NOT NULL ORDER BY k""".stripMargin,
+
+    // v1 = the corpus as-is; v2 = docs with doc_id % 5 == 0 at doubled
+    // n_chars — replayed set-theoretically, no store in the oracle
+    "i11_snapshot_drift" ->
+      """WITH v1 AS (SELECT n_chars FROM documents),
+        |v2 AS (SELECT CASE WHEN doc_id % 5 = 0 THEN n_chars * 2
+        |         ELSE n_chars END AS n_chars FROM documents),
+        |b1 AS (SELECT cast(least(n_chars // 50, 9) as int) AS bucket,
+        |    count(*) AS n_v1 FROM v1 GROUP BY 1),
+        |b2 AS (SELECT cast(least(n_chars // 50, 9) as int) AS bucket,
+        |    count(*) AS n_v2 FROM v2 GROUP BY 1),
+        |j AS (SELECT coalesce(b1.bucket, b2.bucket) AS bucket,
+        |    coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2
+        |  FROM b1 FULL OUTER JOIN b2 ON b1.bucket = b2.bucket),
+        |t AS (SELECT sum(n_v1) AS t1, sum(n_v2) AS t2 FROM j)
+        |SELECT bucket, n_v1, n_v2,
+        |  cast((n_v1 * 1000) // t1 as bigint) AS p1_permille,
+        |  cast((n_v2 * 1000) // t2 as bigint) AS p2_permille,
+        |  abs(cast((n_v1 * 1000) // t1 as bigint)
+        |    - cast((n_v2 * 1000) // t2 as bigint)) AS drift_permille
+        |FROM j, t ORDER BY bucket""".stripMargin,
 
     "i05_snapshot_upsert" ->
       s"""WITH m AS (SELECT doc_id, source,
