@@ -117,6 +117,38 @@ object Pipeline extends QueryPack {
         .orderBy("k")
     }),
 
+    // Doc-level dense retrieval over MEAN-POOLED chunk vectors — the
+    // third multi-vector reduction beside chunk-level top-k (r02) and
+    // MaxSim (i04): each document's representation is the mean of its
+    // chunk embeddings (what single-vector RAG stores per document), and
+    // retrieval scores the POOLED vectors. Pooling runs in exact integer
+    // space (per-component sums of the 1e6-quantized chunks — the s10
+    // centroid discipline: BIGINT sums are order-independent, so no
+    // float partial-agg drift), with ONE division per component at
+    // output; both engines then cosine identical doubles. One partial-agg
+    // shuffle of (doc_id, dim longs); the query vector is a literal.
+    "i12_doc_pooling" -> ((s, d) => {
+      val dim = 8
+      val idx = IngestionPipeline.buildIndex(s, d, chunkSize = 120,
+        overlap = 20, dim = dim)
+      val sums = (0 until dim).map(i =>
+        sum(round(element_at(col("embedding"), i + 1) * 1e6).cast("long"))
+          .as(s"s$i"))
+      val pooled = idx.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sums: _*)
+        .select(col("doc_id"), col("n_chunks"),
+          array((0 until dim).map(i =>
+            col(s"s$i").cast("double") /
+              (col("n_chunks").cast("double") * 1e6)): _*).as("doc_vec"))
+      val qv = graft.functions.Embedder.embedQuery("spark stream", dim)
+      pooled
+        .select(col("doc_id"), col("n_chunks"),
+          round(graft.functions.VectorFunctions.cosine(col("doc_vec"),
+            array(qv.map(lit): _*)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Distribution-drift monitor between two snapshot VERSIONS — the
     // aggregate-level counterpart of i10's row-level CDF, and the check a
     // training pipeline runs before trusting a refreshed corpus ("did
@@ -487,6 +519,33 @@ object Pipeline extends QueryPack {
         |    ON c1.doc_id = c2.doc_id AND c1.chunk_idx = c2.chunk_idx)
         |SELECT concat_ws('_', doc_id, chunk_idx) AS k, status
         |FROM j WHERE status IS NOT NULL ORDER BY k""".stripMargin,
+
+    // per-chunk components rebuilt from the embedder formula in INTEGER
+    // form (hash % 2000001 − 1e6), summed per (doc, dim), one division —
+    // the same arithmetic the Spark side pools, so the doubles match
+    "i12_doc_pooling" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+         |  FROM documents),
+         |c AS (SELECT doc_id, substring(text, cast(i as int) * 100 + 1, 120) AS chunk
+         |  FROM (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM t)),
+         |comp AS (SELECT doc_id, d.range AS dim,
+         |    cast(${graft.functions.CrossHash.duckHash60(
+                "chunk || '#emb#' || cast(d.range as varchar)")} % 2000001 - 1000000 as bigint) AS q
+         |  FROM c, range(0, 8) d),
+         |ps AS (SELECT doc_id, dim, cast(sum(q) as bigint) AS sq,
+         |    count(*) AS nch
+         |  FROM comp GROUP BY doc_id, dim),
+         |pooled AS (SELECT doc_id, cast(max(nch) as bigint) AS n_chunks,
+         |    list(cast(sq as double) / (cast(nch as double) * 1000000.0)
+         |      ORDER BY dim) AS doc_vec
+         |  FROM ps GROUP BY doc_id),
+         |qv AS (SELECT [${(0 until 8).map(i =>
+                placeholderComponent("spark stream", i)).mkString(", ")}] AS v)
+         |SELECT doc_id, n_chunks,
+         |  round(list_cosine_similarity(doc_vec, v), 6) AS sim
+         |FROM pooled, qv
+         |ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin,
 
     // v1 = the corpus as-is; v2 = docs with doc_id % 5 == 0 at doubled
     // n_chars — replayed set-theoretically, no store in the oracle
