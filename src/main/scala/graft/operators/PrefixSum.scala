@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — a running total over a TOTAL ordering
+  * of the whole dataset.
+  *
+  * The naive form, `sum(v).over(Window.orderBy(keys…))`, plans as a
+  * SINGLE-partition window: Spark funnels every row through one task to
+  * honor the global ordering (it even warns `No Partition Defined for
+  * Window operation`). Fine for q48-style inputs that were collapsed to a
+  * bounded row count first; a scale cliff when the running total ranges
+  * over the corpus itself (token-budget corpus selection, global quota
+  * cuts, ranked exports).
+  *
+  * This is the classic two-phase formulation instead:
+  *
+  *   1. `repartitionByRange` on the ordering — partition i holds rows
+  *      strictly before partition i+1, so `spark_partition_id()` IS the
+  *      global order of the slices;
+  *   2. a per-partition running sum (window partitioned by that id —
+  *      each window group is one slice, state bounded by slice size);
+  *   3. each slice's EXCLUSIVE offset (total of all earlier slices) from
+  *      a ≤ numPartitions-row aggregate, shipped back as a broadcast
+  *      join — the only driver traffic is one row per partition.
+  *
+  * The ordering must be TOTAL (pass a unique tiebreaker last): range
+  * partitioning may split equal keys across boundaries, and within-slice
+  * tie order would otherwise be nondeterministic. Correctness does not
+  * depend on where the sampled range boundaries fall — only on the
+  * ordering they respect.
+  */
+object PrefixSum {
+
+  /** Append `out` = running sum of `value` over the total ordering
+    * `order` (first key most significant). `numPartitions` defaults to
+    * `spark.sql.shuffle.partitions`. */
+  def withRunningTotal(df: DataFrame, value: Column, order: Seq[Column],
+      out: String, numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "PrefixSum: ordering must be non-empty")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(n, order: _*)
+      .withColumn("__slice", spark_partition_id())
+    val w = Window.partitionBy("__slice").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(value).over(w))
+    // one row per slice; exclusive offsets computed on the driver over a
+    // bounded (≤ n) collect, then broadcast back
+    val totals = ranged.groupBy("__slice")
+      .agg(sum(value).cast("long").as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (slice, t) =>
+      val o = (slice, acc); acc += t; o
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__slice", "__off")
+    local
+      .join(broadcast(offDf), Seq("__slice"), "left")
+      .withColumn(out, col("__local") + coalesce(col("__off"), lit(0L)))
+      .drop("__slice", "__local", "__off")
+  }
+}

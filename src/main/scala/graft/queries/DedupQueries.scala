@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{CrossHash, VectorFunctions}
 import graft.operators.{DupClusters, MinHashLSH, NgramJaccard, SimHash}
 
 /** Deduplication operator family over the document corpus — the
@@ -34,6 +34,58 @@ object DedupQueries extends QueryPack {
     * truth side needs the bound; the candidate side is the production
     * banding path and scales. */
   val SketchRecallEvalMaxDocId: Int = 300
+
+  /** Duplicate CLUSTERS (shared by d08 and d15): transitive closure of
+    * exact-dup + SimHash near-dup pairs via min-label propagation —
+    * every doc labelled with its cluster's minimum id, singletons
+    * labelling themselves. Columns: (doc_id, cluster_id).
+    *
+    * SimHash runs over canonical REPRESENTATIVES only (the
+    * DedupPipeline.summary collapse): connectivity is unchanged — copies
+    * reach their canonical through the exact star edges, and identical
+    * text means identical signatures, so rep-vs-rep pairs span exactly
+    * the components the full-corpus pairs would. The oracle computes the
+    * full-corpus closure and must keep matching. */
+  /** DuckDB replay of [[clusterAssignments]] — full-corpus transitive
+    * closure (recursive reachability + min label), ending in CTE
+    * `asg(doc_id, cluster_id)` for d08/d15 to select from. */
+  private lazy val DuckClusterCtes: String =
+    "WITH RECURSIVE " + SimHash.duckSignatureCtes() + """,
+      |bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
+      |  FROM sigs, range(0, 4) b),
+      |near AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |exact AS (SELECT canonical_id AS a_id, doc_id AS b_id FROM (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents)
+      |  WHERE doc_id <> canonical_id),
+      |pairs AS (SELECT a_id, b_id FROM exact UNION SELECT a_id, b_id FROM near),
+      |e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
+      |reach AS (SELECT s AS id, d AS r FROM e
+      |  UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+      |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
+      |asg AS (SELECT d.doc_id,
+      |  least(d.doc_id, coalesce(lab.m, d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)""".stripMargin
+
+  private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy("h")
+    val withCanon = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val exact = withCanon
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+    val reps = withCanon
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "text")
+    // no distinct here: assign() dedups the directed edge list anyway
+    val pairs = exact
+      .unionByName(SimHash.nearPairs(reps).select("a_id", "b_id"))
+    DupClusters.assign(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
 
   /** doc_id boundary of d14's incremental-dedup replay: documents below
     * it stand in for the already-admitted history (their band
@@ -92,30 +144,25 @@ object DedupQueries extends QueryPack {
     // near-dup pairs via min-label propagation — every doc labelled with
     // its cluster's minimum id, singletons labelling themselves; the
     // keep-one-per-cluster artifact pairwise queries can't express.
-    "d08_dup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val w = Window.partitionBy("h")
-      val withCanon = docs
-        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-      val exact = withCanon
-        .filter(col("doc_id") =!= col("canonical_id"))
-        .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
-      // SimHash runs over canonical REPRESENTATIVES only (the
-      // DedupPipeline.summary collapse): connectivity is unchanged —
-      // copies reach their canonical through the exact star edges, and
-      // identical text means identical signatures, so rep-vs-rep pairs
-      // span exactly the components the full-corpus pairs would. The
-      // oracle computes the full-corpus closure and must keep matching.
-      val reps = withCanon
-        .filter(col("doc_id") === col("canonical_id"))
-        .select("doc_id", "text")
-      // no distinct here: assign() dedups the directed edge list anyway
-      val pairs = exact
-        .unionByName(SimHash.nearPairs(reps).select("a_id", "b_id"))
-      DupClusters.assign(docs.select(col("doc_id").as("id")), pairs)
-        .select(col("id").as("doc_id"), col("cluster_id"),
-          (col("id") === col("cluster_id")).as("is_canonical"))
+    "d08_dup_clusters" -> ((s, d) =>
+      clusterAssignments(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")),
+
+    // Leakage-free train/val/test split: the WHOLE duplicate cluster
+    // lands in one split, so no near-duplicate of a test document can
+    // sit in train — the contamination guarantee a per-doc hash split
+    // (t28) cannot give once the corpus has near-dups. The split is a
+    // pure function of d08's cluster label (hash of the canonical id →
+    // 80/10/10), so it adds zero shuffles beyond the clustering itself.
+    "d15_cluster_split" -> ((s, d) => {
+      val b = pmod(CrossHash.hash60(
+        concat(lit("split#"), col("cluster_id"))), lit(10))
+      clusterAssignments(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          when(b < 8, "train").when(b === 8, "val").otherwise("test")
+            .as("split"))
         .orderBy("doc_id")
     }),
 
@@ -473,25 +520,18 @@ object DedupQueries extends QueryPack {
         |WHERE jacc >= 0.2 ORDER BY a_id, b_id""".stripMargin),
 
     "d08_dup_clusters" ->
-      ("WITH RECURSIVE " + SimHash.duckSignatureCtes() + """,
-        |bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
-        |  FROM sigs, range(0, 4) b),
-        |near AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-        |    AND a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-        |exact AS (SELECT canonical_id AS a_id, doc_id AS b_id FROM (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents)
-        |  WHERE doc_id <> canonical_id),
-        |pairs AS (SELECT a_id, b_id FROM exact UNION SELECT a_id, b_id FROM near),
-        |e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
-        |reach AS (SELECT s AS id, d AS r FROM e
-        |  UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
-        |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
-        |SELECT d.doc_id,
-        |  least(d.doc_id, coalesce(lab.m, d.doc_id)) AS cluster_id,
-        |  least(d.doc_id, coalesce(lab.m, d.doc_id)) = d.doc_id AS is_canonical
-        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+      (DuckClusterCtes + """
+        |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+        |FROM asg ORDER BY doc_id""".stripMargin),
+
+    "d15_cluster_split" ->
+      (DuckClusterCtes + s""",
+        |h AS (SELECT doc_id, cluster_id,
+        |  ${CrossHash.duckHash60("'split#' || cast(cluster_id as varchar)")} % 10 AS b
+        |  FROM asg)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin),
 
     "d03_simhash" ->
       ("WITH " + SimHash.duckSignatureCtes() +

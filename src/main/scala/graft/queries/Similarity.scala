@@ -34,6 +34,15 @@ object Similarity extends QueryPack {
     * need no such bound. */
   val AnnEvalQueries: Int = 5
 
+  /** s15 MMR candidate-pool size (top-N by query similarity). The greedy
+    * stage is driver-side O(pool² · picks) integer work — keep the pool
+    * bounded; candidate GENERATION is the distributed part and needs no
+    * such bound. */
+  val MmrCandidates: Int = 15
+
+  /** s15 MMR picks (output rows). */
+  val MmrK: Int = 5
+
   /** The IVFADC oracle: deterministic first-16 centroids for both
     * quantizers, integer-exact distances — shared by s07 (in-memory
     * cascade) and s14 (the same cascade served from persisted layouts),
@@ -311,6 +320,61 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rank")
     }),
 
+    // Maximal-marginal-relevance diversity re-rank — retrieval that
+    // trades raw similarity for coverage (λ = 0.5): pick the candidate
+    // maximizing λ·sim(q,c) − (1−λ)·max sim(c, picked), k times. The
+    // candidate pool is a DISTRIBUTED top-[[MmrCandidates]] cosine scan
+    // (TakeOrderedAndProject — the corpus never collects); the greedy
+    // selection itself is inherently sequential in k, so it runs on the
+    // driver over the BOUNDED pool — all-integer micro-similarity
+    // arithmetic (round(sim,6)·1e6 as BIGINT), so scores, and therefore
+    // picks and tie-breaks, are exact in both engines; the ×2-scaled
+    // λ=0.5 score divides back to a double only at output.
+    "s15_mmr_rerank" -> ((s, d) => {
+      def micro(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        round(round(VectorFunctions.cosine(a, b), 6) * 1e6).cast("long")
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          micro(col("embedding"), col("q_emb")).as("qsim_u"))
+        .orderBy(col("qsim_u").desc, col("vec_id"))
+        .limit(MmrCandidates)
+        .localCheckpoint(eager = true) // bounded pool, reused 3×
+      val a = cand.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      val b = cand.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      val pairSim = a.join(broadcast(b), col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"), micro(col("ea"), col("eb")).as("sim_u"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val qsims = cand.select("vec_id", "qsim_u").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      for (rank <- 1 to math.min(MmrK, qsims.length)) {
+        val (id, qs, m2) = qsims
+          .filter { case (id, _) => !chosen.contains(id) }
+          .map { case (id, qs) =>
+            val maxPair =
+              if (chosen.isEmpty) 0L
+              else chosen.map(c => pairSim((id, c))).max
+            (id, qs, qs - maxPair)
+          }
+          .minBy { case (id, _, m2) => (-m2, id) }
+        out += ((rank, id, qs, m2))
+        chosen += id
+      }
+      import s.implicits._
+      out.toSeq.toDF("rank", "vec_id", "qsim_u", "m2")
+        .select(col("rank"), col("vec_id"),
+          (col("qsim_u").cast("double") / 1e6).as("qsim"),
+          (col("m2").cast("double") / 2e6).as("mmr_score"))
+        .orderBy("rank")
+    }),
+
     // Retrieve-then-rerank over the compressed index — the production ANN
     // recall-recovery shape: PQ asymmetric distance generates top-20
     // candidates from the 32×-compressed codes (corpus embeddings never
@@ -479,6 +543,46 @@ object Similarity extends QueryPack {
              s"  round(cast(sum(cast(round(embedding[${i + 1}] * 1e6) as bigint)) as double) / (cast(count(*) as double) * 1e6), 6) AS c$i")
              .mkString(",\n")}
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // the greedy re-ranks one state row per step: the recursive term
+    // joins the single current state against remaining candidates
+    // (neighbour sims carried as per-candidate struct lists so no
+    // correlated subquery is needed) and keeps row_number() = 1 — the
+    // same integer argmax + (m2 desc, vec_id) tie-break as the engine
+    "s15_mmr_rerank" ->
+      s"""WITH RECURSIVE
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (SELECT b.vec_id, b.embedding,
+        |    cast(round(round(list_cosine_similarity(cast(b.embedding as double[]), cast(q.qe as double[])), 6) * 1000000.0) as bigint) AS qsim_u
+        |  FROM embeddings b, q WHERE b.vec_id <> 0),
+        |cand AS (SELECT vec_id, embedding, qsim_u FROM scored
+        |  ORDER BY qsim_u DESC, vec_id LIMIT $MmrCandidates),
+        |pair AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    cast(round(round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) * 1000000.0) as bigint) AS sim_u
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |candn AS (SELECT c.vec_id, c.qsim_u,
+        |    list(struct_pack(other := p.ib, sim := p.sim_u)) AS nbrs
+        |  FROM cand c JOIN pair p ON p.ia = c.vec_id GROUP BY c.vec_id, c.qsim_u),
+        |sel AS (
+        |  SELECT 1 AS rnk, vec_id, qsim_u, qsim_u AS m2, [vec_id] AS ids
+        |  FROM (SELECT * FROM cand ORDER BY qsim_u DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT rnk, vec_id, qsim_u, m2, ids FROM (
+        |    SELECT rnk, vec_id, qsim_u, m2, ids,
+        |      row_number() OVER (ORDER BY m2 DESC, vec_id) AS rn
+        |    FROM (
+        |      SELECT s.rnk + 1 AS rnk, c.vec_id, c.qsim_u,
+        |        c.qsim_u - coalesce(list_max(list_transform(
+        |          list_filter(c.nbrs, x -> list_contains(s.ids, x.other)),
+        |          x -> x.sim)), 0) AS m2,
+        |        list_append(s.ids, c.vec_id) AS ids
+        |      FROM sel s JOIN candn c ON NOT list_contains(s.ids, c.vec_id)
+        |      WHERE s.rnk < $MmrK))
+        |  WHERE rn = 1)
+        |SELECT rnk AS rank, vec_id,
+        |  cast(qsim_u as double) / 1000000.0 AS qsim,
+        |  cast(m2 as double) / 2000000.0 AS mmr_score
+        |FROM sel ORDER BY rank""".stripMargin,
 
     "s01_ann_srp" ->
       (srpCtes + s""",

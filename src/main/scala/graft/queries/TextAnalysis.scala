@@ -623,6 +623,36 @@ object TextAnalysis extends QueryPack {
         .orderBy("shard")
     }),
 
+    // Token-budget corpus selection — "take the best documents until the
+    // token budget is spent", the final cut a pretraining-data pipeline
+    // makes after scoring ("select top-quality docs up to 10B tokens").
+    // Docs rank by t02's quality score (total order: quality desc, then
+    // doc_id), a GLOBAL running token count accumulates in rank order,
+    // and the selection keeps every doc whose cumulative total fits.
+    // The running sum is the scale trap here: a bare
+    // Window.orderBy(quality) funnels the corpus through ONE task.
+    // operators.PrefixSum is the two-phase distributed form instead —
+    // range-repartition on the ordering, per-slice running sums, slice
+    // offsets broadcast back from a ≤ numPartitions-row aggregate — so
+    // the cumsum scales like any shuffle. Output is bounded by
+    // budget / min_doc_tokens regardless of corpus size.
+    "t31_token_budget" -> ((s, d) => {
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val stop = TextFunctions.stopwordRatio(col("text"))
+      val punct = TextFunctions.punctRatio(col("text"))
+      val lenTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("tokens"),
+          round(stop * 0.5 + (lit(1.0) - punct) * 0.3 + lenTerm * 0.2, 6)
+            .as("quality"))
+      graft.operators.PrefixSum
+        .withRunningTotal(scored, col("tokens"),
+          Seq(col("quality").desc, col("doc_id")), "cum_tokens")
+        .filter(col("cum_tokens") <= TokenBudget)
+        .orderBy(col("quality").desc, col("doc_id"))
+    }),
+
     "t21_countmin" -> ((s, d) => {
       val (depth, width) = (4, 256)
       val terms = Tables.documents(s, d)
@@ -710,6 +740,12 @@ object TextAnalysis extends QueryPack {
   /** t16 training-sequence length (tokens per packed bin). */
   val PackTargetTokens: Long = 2048L
 
+  /** t31 selection budget (BPE tokens). Absolute by design: the output is
+    * bounded by budget / min_doc_tokens at ANY corpus size — at sf0.01
+    * (~27k corpus tokens) it cuts mid-corpus, at sf0.1 it selects the
+    * same-order top slice of a 10× corpus. */
+  val TokenBudget: Long = 15000L
+
   private def duckMarker(words: Seq[String]): String =
     s"cast(len(list_filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")}))) as int)"
 
@@ -762,6 +798,30 @@ object TextAnalysis extends QueryPack {
         |  cast(min(perm.permille) as bigint) AS min_permille
         |FROM dg JOIN perm ON dg.g = perm.g
         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    // t02's quality expression verbatim; ROWS frame over the total
+    // (quality desc, doc_id) ordering, cum cast back to bigint (DuckDB
+    // sums BIGINT into HUGEINT)
+    "t31_token_budget" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) as bigint) AS tokens,
+         |  cast(len(list_filter(t, x -> x in ('the','a','an','of','and','or','to','in','is','it'))) as double)
+         |    / cast(greatest(len(t), 1) as double) AS stop,
+         |  cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double)
+         |    / cast(greatest(length(text), 1) as double) AS punct,
+         |  least(cast(len(t) as double) / 100.0, 1.0) AS len_term
+         |  FROM tok),
+         |s AS (SELECT doc_id, tokens,
+         |  round(stop * 0.5 + (1.0 - punct) * 0.3 + len_term * 0.2, 6) AS quality
+         |  FROM m),
+         |c AS (SELECT doc_id, tokens, quality,
+         |  cast(sum(tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+         |  FROM s)
+         |SELECT doc_id, tokens, quality, cum_tokens FROM c
+         |WHERE cum_tokens <= ${TokenBudget}
+         |ORDER BY quality DESC, doc_id""".stripMargin,
 
     "t30_shard_stats" ->
       s"""WITH h AS (SELECT doc_id, n_chars,
