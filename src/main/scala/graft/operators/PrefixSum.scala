@@ -48,10 +48,19 @@ object PrefixSum {
       .withColumn("__slice", spark_partition_id())
     val w = Window.partitionBy("__slice").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // MATERIALIZE the sliced running sums once: the offsets collect and
+    // the final join are separate actions, and repartitionByRange's
+    // boundary SAMPLING is seeded by the (per-action) RDD id — without a
+    // cut, the two jobs could slice the data differently and the offsets
+    // would not belong to the slices they are added to. (Invisible at
+    // test scale, where the sample covers the input and boundaries are
+    // exact quantiles either way.) One materialization is the price of a
+    // consistent slicing; both consumers below read it.
     val local = ranged.withColumn("__local", sum(value).over(w))
+      .localCheckpoint(eager = true)
     // one row per slice; exclusive offsets computed on the driver over a
     // bounded (≤ n) collect, then broadcast back
-    val totals = ranged.groupBy("__slice")
+    val totals = local.groupBy("__slice")
       .agg(sum(value).cast("long").as("__t"))
       .collect()
       .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))

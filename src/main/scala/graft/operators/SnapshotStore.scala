@@ -718,9 +718,104 @@ object SnapshotStore {
     v
   }
 
+  // ---- named tags ---------------------------------------------------
+
+  /** Tag names are single path segments: no separators, no traversal,
+    * nothing a filesystem path could reinterpret. */
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]{0,63}".r
+
+  private def tagPath(root: String, name: String) =
+    new Path(root, s"_tags/$name.tag")
+
+  private def requireTagName(name: String): Unit =
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"SnapshotStore: invalid tag name '$name' — use 1-64 chars of " +
+        "[A-Za-z0-9._-], starting alphanumeric")
+
+  /** Pin `version` (default: the current one) under a NAME — the
+    * Delta/Iceberg tag idea: a release/audit pointer a reader can
+    * resolve without knowing version numbers, and a retention pin —
+    * [[vacuum]] never drops a tagged version, however old, until the
+    * tag is deleted. Re-pointing an existing tag requires
+    * `force = true` (a silently moved release pointer is how a "frozen"
+    * eval set drifts). Returns the pinned version. */
+  def tag(spark: SparkSession, root: String, name: String,
+      version: Long = -1L, force: Boolean = false): Long = {
+    requireTagName(name)
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no published version at $root — nothing to tag"))
+    val f = fs(spark, root)
+    if (!f.exists(manifestPath(root, v)))
+      throw new IllegalArgumentException(
+        s"SnapshotStore: cannot tag version $v at $root — no such " +
+          "published version")
+    val dst = tagPath(root, name)
+    if (f.exists(dst) && !force)
+      throw new IllegalArgumentException(
+        s"SnapshotStore: tag '$name' already exists at $root " +
+          s"(→ v${tagVersion(spark, root, name).getOrElse(-1L)}); pass " +
+          "force = true to move it")
+    val tmp = new Path(root,
+      s"_tags/.tmp-$name-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false) // force: re-point
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"SnapshotStore: failed to publish tag '$name' at $root")
+    v
+  }
+
+  /** The version a tag points at, if the tag exists. */
+  def tagVersion(spark: SparkSession, root: String,
+      name: String): Option[Long] = {
+    requireTagName(name)
+    val f = fs(spark, root)
+    val p = tagPath(root, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** All tags as (name, version), name-sorted. */
+  def listTags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    val dir = new Path(root, "_tags")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.endsWith(".tag") && !n.startsWith(".") =>
+        n.stripSuffix(".tag")
+    }.sorted.flatMap(n => tagVersion(spark, root, n).map((n, _)))
+  }
+
+  /** Read the snapshot a tag pins — time travel by name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, tagVersion(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no tag '$name' at $root")))
+
+  /** Drop a tag (its version becomes vacuum-collectable again). Returns
+    * whether the tag existed. */
+  def deleteTag(spark: SparkSession, root: String, name: String): Boolean = {
+    requireTagName(name)
+    val f = fs(spark, root)
+    val p = tagPath(root, name)
+    f.exists(p) && f.delete(p, false)
+  }
+
   /** Drop all but the newest `keepVersions` manifests and delete every
     * data file no retained manifest references (including files from
-    * crashed commits that never published). Returns the deleted paths.
+    * crashed commits that never published). Tagged versions are PINNED:
+    * their manifests and files are retained regardless of age until
+    * [[deleteTag]]. Returns the deleted paths.
     *
     * In-flight-writer safety: an up-to-date writer is always producing
     * version newestManifest + 1, so that version's dir, its staging
@@ -740,8 +835,11 @@ object SnapshotStore {
       case VersionRe(n) => n.toLong
     }.sorted
     val inFlight = versions.lastOption.getOrElse(0L) + 1
-    val (drop, keep) =
+    val pinned = listTags(spark, root).map(_._2).toSet
+    val (dropCand, keepTail) =
       versions.splitAt(math.max(0, versions.size - keepVersions))
+    val drop = dropCand.filterNot(pinned)
+    val keep = dropCand.filter(pinned) ++ keepTail
     val referenced = keep.flatMap(v => readManifest(spark, root, v))
       .map(_._2).toSet
     val deleted = mutable.ArrayBuffer.empty[String]
@@ -784,6 +882,14 @@ object SnapshotStore {
           !f.listStatus(vd.getPath).exists(s =>
             s.isDirectory && s.getPath.getName.startsWith("bucket=")))
         f.delete(vd.getPath, true)
+    }
+    // crashed tag publishes leave _tags/.tmp-<name>-uuid files
+    val tagsDir = new Path(root, "_tags")
+    if (f.exists(tagsDir)) f.listStatus(tagsDir).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-")) {
+        f.delete(st.getPath, false)
+        deleted += s"_tags/${st.getPath.getName}"
+      }
     }
     // crashed publishes leave .tmp-vNNNNN-uuid manifests; sweep all but
     // the possibly-in-flight version's

@@ -166,6 +166,25 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The capstone pretraining-data cut: DEDUP then SELECT — cluster
+    // representatives only (d08's canonical per duplicate cluster, so a
+    // 100k-copy boilerplate page spends its tokens once), quality-ranked,
+    // kept until the token budget is spent (t31's distributed prefix
+    // sum). Composing the stages costs one semi-join between them; the
+    // clustering and the scoring each scan the corpus once.
+    "d16_dedup_budget" -> ((s, d) => {
+      val canon = clusterAssignments(s, d)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      val scored = TextAnalysis.scoredDocs(s, d)
+        .join(canon, Seq("doc_id"), "left_semi")
+      graft.operators.PrefixSum
+        .withRunningTotal(scored, col("tokens"),
+          Seq(col("quality").desc, col("doc_id")), "cum_tokens")
+        .filter(col("cum_tokens") <= TextAnalysis.TokenBudget)
+        .orderBy(col("quality").desc, col("doc_id"))
+    }),
+
     // Composed cleaning verdict: all sketch signals per document.
     "d06_dedup_summary" -> ((s, d) => {
       graft.operators.DedupPipeline.summary(Tables.documents(s, d))
@@ -532,6 +551,20 @@ object DedupQueries extends QueryPack {
         |SELECT doc_id, cluster_id,
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin),
+
+    // cluster closure + shared scoring CTEs, restricted to canonical
+    // docs before the running total — t31's cut over d08's survivors
+    "d16_dedup_budget" ->
+      (DuckClusterCtes + ",\n" + TextAnalysis.DuckScoredCtes + s""",
+        |cs AS (SELECT sq.* FROM sq
+        |  JOIN asg ON asg.doc_id = sq.doc_id AND asg.doc_id = asg.cluster_id),
+        |c AS (SELECT doc_id, tokens, quality,
+        |  cast(sum(tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+        |  FROM cs)
+        |SELECT doc_id, tokens, quality, cum_tokens FROM c
+        |WHERE cum_tokens <= ${TextAnalysis.TokenBudget}
+        |ORDER BY quality DESC, doc_id""".stripMargin),
 
     "d03_simhash" ->
       ("WITH " + SimHash.duckSignatureCtes() +

@@ -637,20 +637,30 @@ object TextAnalysis extends QueryPack {
     // the cumsum scales like any shuffle. Output is bounded by
     // budget / min_doc_tokens regardless of corpus size.
     "t31_token_budget" -> ((s, d) => {
-      val nTok = size(TextFunctions.tokens(col("text")))
-      val stop = TextFunctions.stopwordRatio(col("text"))
-      val punct = TextFunctions.punctRatio(col("text"))
-      val lenTerm = least(nTok.cast("double") / 100.0, lit(1.0))
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long").as("tokens"),
-          round(stop * 0.5 + (lit(1.0) - punct) * 0.3 + lenTerm * 0.2, 6)
-            .as("quality"))
       graft.operators.PrefixSum
-        .withRunningTotal(scored, col("tokens"),
+        .withRunningTotal(scoredDocs(s, d), col("tokens"),
           Seq(col("quality").desc, col("doc_id")), "cum_tokens")
         .filter(col("cum_tokens") <= TokenBudget)
         .orderBy(col("quality").desc, col("doc_id"))
+    }),
+
+    // Curriculum staging — order the corpus by quality and cut it into
+    // [[CurriculumStages]] stages of EQUAL TOKEN MASS (not equal doc
+    // count: long docs fill a stage faster), the schedule a
+    // curriculum-learning trainer consumes stage by stage. Same
+    // distributed prefix sum as t31; the stage is t25's equi-depth
+    // formula over the token cumsum — exact integer div, so boundaries
+    // are engine-exact. One broadcast 1-row total; no extra corpus pass.
+    "t32_curriculum" -> ((s, d) => {
+      val cum = graft.operators.PrefixSum
+        .withRunningTotal(scoredDocs(s, d), col("tokens"),
+          Seq(col("quality").desc, col("doc_id")), "cum_tokens")
+      val total = cum.agg(sum(col("tokens")).as("__total"))
+      cum.crossJoin(broadcast(total))
+        .withColumn("stage",
+          expr(s"cast(((cum_tokens - 1) * $CurriculumStages) div __total as int)"))
+        .select("doc_id", "quality", "cum_tokens", "stage")
+        .orderBy("doc_id")
     }),
 
     "t21_countmin" -> ((s, d) => {
@@ -746,6 +756,40 @@ object TextAnalysis extends QueryPack {
     * same-order top slice of a 10× corpus. */
   val TokenBudget: Long = 15000L
 
+  /** t32 curriculum stage count (equal token mass per stage). */
+  val CurriculumStages: Int = 4
+
+  /** DuckDB replay of [[scoredDocs]] — CTE chain ending in
+    * `sq(doc_id, tokens, quality)`; shared by the t31/t32/d16 oracles. */
+  private[queries] val DuckScoredCtes: String =
+    """tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |m AS (SELECT doc_id,
+      |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) as bigint) AS tokens,
+      |  cast(len(list_filter(t, x -> x in ('the','a','an','of','and','or','to','in','is','it'))) as double)
+      |    / cast(greatest(len(t), 1) as double) AS stop,
+      |  cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double)
+      |    / cast(greatest(length(text), 1) as double) AS punct,
+      |  least(cast(len(t) as double) / 100.0, 1.0) AS len_term
+      |  FROM tok),
+      |sq AS (SELECT doc_id, tokens,
+      |  round(stop * 0.5 + (1.0 - punct) * 0.3 + len_term * 0.2, 6) AS quality
+      |  FROM m)""".stripMargin
+
+  /** Per-document (tokens, quality) scoring shared by t31/t32 (and
+    * d16's dedup-aware budget cut) — t03's BPE token count and t02's
+    * quality expression verbatim. */
+  private[queries] def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(TextFunctions.tokens(col("text")))
+    val stop = TextFunctions.stopwordRatio(col("text"))
+    val punct = TextFunctions.punctRatio(col("text"))
+    val lenTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("tokens"),
+        round(stop * 0.5 + (lit(1.0) - punct) * 0.3 + lenTerm * 0.2, 6)
+          .as("quality"))
+  }
+
   private def duckMarker(words: Seq[String]): String =
     s"cast(len(list_filter(t, x -> x in (${words.map(w => s"'$w'").mkString(", ")}))) as int)"
 
@@ -799,29 +843,31 @@ object TextAnalysis extends QueryPack {
         |FROM dg JOIN perm ON dg.g = perm.g
         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
 
-    // t02's quality expression verbatim; ROWS frame over the total
-    // (quality desc, doc_id) ordering, cum cast back to bigint (DuckDB
-    // sums BIGINT into HUGEINT)
+    // shared scoring CTEs (t02's quality verbatim); ROWS frame over the
+    // total (quality desc, doc_id) ordering, cum cast back to bigint
+    // (DuckDB sums BIGINT into HUGEINT)
     "t31_token_budget" ->
-      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-         |m AS (SELECT doc_id,
-         |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) as bigint) AS tokens,
-         |  cast(len(list_filter(t, x -> x in ('the','a','an','of','and','or','to','in','is','it'))) as double)
-         |    / cast(greatest(len(t), 1) as double) AS stop,
-         |  cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as double)
-         |    / cast(greatest(length(text), 1) as double) AS punct,
-         |  least(cast(len(t) as double) / 100.0, 1.0) AS len_term
-         |  FROM tok),
-         |s AS (SELECT doc_id, tokens,
-         |  round(stop * 0.5 + (1.0 - punct) * 0.3 + len_term * 0.2, 6) AS quality
-         |  FROM m),
+      (s"WITH $DuckScoredCtes" + s""",
          |c AS (SELECT doc_id, tokens, quality,
          |  cast(sum(tokens) OVER (ORDER BY quality DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
-         |  FROM s)
+         |  FROM sq)
          |SELECT doc_id, tokens, quality, cum_tokens FROM c
          |WHERE cum_tokens <= ${TokenBudget}
-         |ORDER BY quality DESC, doc_id""".stripMargin,
+         |ORDER BY quality DESC, doc_id""".stripMargin),
+
+    // same scoring + cumsum CTEs as t31; stage = t25's equi-depth
+    // formula (exact integer division) over the token cumsum
+    "t32_curriculum" ->
+      (s"WITH $DuckScoredCtes" + s""",
+         |c AS (SELECT doc_id, tokens, quality,
+         |  cast(sum(tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+         |  FROM sq),
+         |tot AS (SELECT cast(sum(tokens) as bigint) AS total FROM sq)
+         |SELECT doc_id, quality, cum_tokens,
+         |  cast(((cum_tokens - 1) * $CurriculumStages) // total as int) AS stage
+         |FROM c, tot ORDER BY doc_id""".stripMargin),
 
     "t30_shard_stats" ->
       s"""WITH h AS (SELECT doc_id, n_chars,

@@ -82,4 +82,15 @@ class PrefixSumSpec extends SparkTestBase {
     val total = Tables.documents(spark, sf0001).count()
     assert(out.count() > 0 && out.count() < total)
   }
+
+  test("d16 selects only cluster canonicals, within budget") {
+    val out = SparkEntry.queries("d16_dedup_budget")(spark, sf0001)
+      .localCheckpoint(eager = true)
+    val canon = SparkEntry.queries("d08_dup_clusters")(spark, sf0001)
+      .filter(col("is_canonical")).select("doc_id")
+    assert(out.join(canon, Seq("doc_id"), "left_anti").count() === 0)
+    val maxCum = out.agg(max("cum_tokens")).collect()(0).getLong(0)
+    assert(maxCum <= graft.queries.TextAnalysis.TokenBudget)
+    assert(out.count() > 0)
+  }
 }

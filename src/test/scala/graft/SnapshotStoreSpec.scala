@@ -581,4 +581,55 @@ class SnapshotStoreSpec extends SparkTestBase {
         doc2.select("doc_id"), root, 4)
     }
   }
+
+  test("tags pin versions across vacuum; readTag time-travels by name") {
+    val root = "target/snap-tags"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    val before = rows(index(docs))
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    assert(SnapshotStore.tag(spark, root, "release-1") === 1L)
+    // two more versions push v1 out of the keepVersions=1 window
+    val doc2 = docs.filter(col("doc_id") === 2)
+    SnapshotStore.upsert(spark, index(doc2), doc2.select("doc_id"), root, 4)
+    SnapshotStore.optimize(spark, root)
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    // the tagged snapshot survived, bit-exact; untagged v2 is gone
+    assert(rows(SnapshotStore.readTag(spark, root, "release-1")) === before)
+    assert(SnapshotStore.listTags(spark, root) === Seq(("release-1", 1L)))
+    intercept[Exception] { SnapshotStore.read(spark, root, version = 2L) }
+    // dropping the tag makes v1 collectable again
+    assert(SnapshotStore.deleteTag(spark, root, "release-1"))
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    intercept[Exception] { SnapshotStore.read(spark, root, version = 1L) }
+    assert(SnapshotStore.tagVersion(spark, root, "release-1").isEmpty)
+  }
+
+  test("re-pointing a tag needs force; bad tag names are named errors") {
+    val root = "target/snap-tag-force"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    val doc2 = docs.filter(col("doc_id") === 2)
+    SnapshotStore.upsert(spark, index(doc2), doc2.select("doc_id"), root, 4)
+    SnapshotStore.tag(spark, root, "eval", version = 1L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.tag(spark, root, "eval", version = 2L)
+    }
+    assert(e.getMessage.contains("force"))
+    assert(SnapshotStore.tagVersion(spark, root, "eval") === Some(1L))
+    assert(SnapshotStore.tag(spark, root, "eval", version = 2L,
+      force = true) === 2L)
+    assert(SnapshotStore.tagVersion(spark, root, "eval") === Some(2L))
+    // traversal / separator names never reach the filesystem
+    Seq("../evil", "a/b", "", ".hidden", "x" * 65).foreach { bad =>
+      intercept[IllegalArgumentException] {
+        SnapshotStore.tag(spark, root, bad)
+      }
+    }
+    // tagging a never-published version is a named error
+    intercept[IllegalArgumentException] {
+      SnapshotStore.tag(spark, root, "future", version = 99L)
+    }
+  }
 }
