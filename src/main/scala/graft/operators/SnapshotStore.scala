@@ -718,6 +718,36 @@ object SnapshotStore {
     v
   }
 
+  /** Restore: publish a NEW head version whose content is exactly
+    * `toVersion`'s — the Delta-RESTORE idea for backing out a bad
+    * ingest. History is append-only: the backed-out versions stay
+    * time-travelable until [[vacuum]], and the restore itself is one
+    * manifest write — the old version's file entries and metadata
+    * (schema declaration, bucket modulus, txn markers — the restored
+    * state's exactly-once watermark belongs to the restored state) are
+    * re-referenced verbatim; no data file is copied or touched, so the
+    * restored files survive vacuum for as long as the new head does.
+    *
+    * An explicit restore is by nature the full-rewrite opt-in: the head
+    * schema becomes `toVersion`'s declaration even where that drops a
+    * column a later version had added. Honors the optimistic-concurrency
+    * contract via `expectedVersion`. Returns the new head version. */
+  def rollback(spark: SparkSession, root: String, toVersion: Long,
+      expectedVersion: Option[Long] = None): Long = {
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to roll back"))
+    if (!fs(spark, root).exists(manifestPath(root, toVersion)))
+      throw new IllegalArgumentException(
+        s"SnapshotStore: cannot roll back to version $toVersion at " +
+          s"$root — no such published version (vacuumed?)")
+    val v = cur + 1
+    publish(spark, root, v, readManifest(spark, root, toVersion),
+      manifestMeta(spark, root, toVersion))
+    v
+  }
+
   // ---- named tags ---------------------------------------------------
 
   /** Tag names are single path segments: no separators, no traversal,
@@ -762,10 +792,20 @@ object SnapshotStore {
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8"))
     finally out.close()
-    if (f.exists(dst)) f.delete(dst, false) // force: re-point
+    // only an explicit force may displace an existing tag — without it,
+    // a tag that appeared since the check above must fail the publish,
+    // not be silently deleted or overwritten (a local-FS rename
+    // overwrites silently, so the rename result alone is not exclusive:
+    // read back, the same discipline as the manifest publish CAS)
+    if (force && f.exists(dst)) f.delete(dst, false)
     if (!f.rename(tmp, dst))
       throw new IllegalStateException(
-        s"SnapshotStore: failed to publish tag '$name' at $root")
+        s"SnapshotStore: failed to publish tag '$name' at $root " +
+          "(concurrent tag writer?)")
+    if (!tagVersion(spark, root, name).contains(v))
+      throw new IllegalStateException(
+        s"SnapshotStore: lost the tag-publish race for '$name' at $root " +
+          "— another writer's tag landed; re-check and retry")
     v
   }
 

@@ -162,6 +162,54 @@ object RagQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Pseudo-relevance query expansion — the IR trick for vocabulary
+    // mismatch: each seed term pulls in its strongest corpus collocate
+    // (doc-level lift = co·N·1000 div (df_s·df_t), integer permille —
+    // t27's association measure restricted to the SEED posting lists,
+    // so the pair space is seeds × co-occurring vocabulary, never
+    // vocab²), and retrieval scores distinct expanded-term hits per
+    // doc. One posting scan feeds df, co, and scoring; the expanded
+    // term set is a broadcast of |seeds|·2 rows.
+    "r17_query_expand" -> ((s, d) => {
+      val seeds = Seq("spark", "join")
+      val docs = Tables.documents(s, d)
+      val posts = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text"))))
+          .as("term"))
+      val df = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      // stopwords (t02's list) can't be expansions, and a collocate
+      // needs support (co ≥ 10 docs) before its lift is trusted
+      val stop = Seq("the", "a", "an", "of", "and", "or", "to", "in",
+        "is", "it")
+      val co = posts.filter(col("term").isin(seeds: _*))
+        .select(col("doc_id"), col("term").as("seed"))
+        .join(posts, "doc_id")
+        .filter(col("term") =!= col("seed") &&
+          !col("term").isin(seeds: _*) && !col("term").isin(stop: _*))
+        .groupBy("seed", "term").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 10)
+      val lifted = co
+        .join(df.select(col("term"), col("df").as("df_t")), "term")
+        .join(broadcast(df.filter(col("term").isin(seeds: _*))
+          .select(col("term").as("seed"), col("df").as("df_s"))), "seed")
+        .crossJoin(broadcast(n))
+        .withColumn("lift",
+          expr("cast((co * n_docs * 1000) div (df_s * df_t) as bigint)"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("seed")
+        .orderBy(col("lift").desc, col("co").desc, col("term"))
+      val expansions = lifted
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("term")
+      import s.implicits._
+      val expanded = expansions
+        .union(seeds.toDF("term")).distinct()
+      posts.join(broadcast(expanded), "term")
+        .groupBy("doc_id").agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Document catalog: distinct sources with first-doc-per-source dedup —
     // the deterministic form of ra/server.py:36-43's first-seen-wins.
     "r03_doc_listing" -> ((s, d) => {
@@ -333,6 +381,31 @@ object RagQueries extends QueryPack {
         |GROUP BY doc_id
         |HAVING count(DISTINCT term) = 3
         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    // doc-distinct postings feed df, seed co-occurrence, and scoring;
+    // top-1 collocate per seed by integer lift (co floor 10, stopwords
+    // excluded), then distinct expanded-term hits per doc
+    "r17_query_expand" ->
+      """WITH posts AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sp AS (SELECT doc_id, term AS seed FROM posts WHERE term IN ('spark', 'join')),
+        |co AS (SELECT sp.seed, p.term, count(*) AS co
+        |  FROM sp JOIN posts p USING (doc_id)
+        |  WHERE p.term <> sp.seed AND p.term NOT IN ('spark', 'join')
+        |    AND p.term NOT IN ('the','a','an','of','and','or','to','in','is','it')
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |l AS (SELECT co.seed, co.term, co.co,
+        |    cast((co.co * n.n_docs * 1000) // (ds.df * dt.df) as bigint) AS lift
+        |  FROM co JOIN df dt ON dt.term = co.term JOIN df ds ON ds.term = co.seed, n),
+        |exp1 AS (SELECT term FROM (
+        |    SELECT seed, term,
+        |      row_number() OVER (PARTITION BY seed ORDER BY lift DESC, co DESC, term) AS rk
+        |    FROM l) WHERE rk = 1),
+        |terms AS (SELECT term FROM exp1 UNION SELECT unnest(['spark', 'join']) AS term)
+        |SELECT doc_id, cast(count(*) as bigint) AS score
+        |FROM posts JOIN terms USING (term)
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "r01_topk_sim" ->
       (duckTopk.replace("%K%", "100") +

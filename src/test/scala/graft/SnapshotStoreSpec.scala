@@ -632,4 +632,39 @@ class SnapshotStoreSpec extends SparkTestBase {
       SnapshotStore.tag(spark, root, "future", version = 99L)
     }
   }
+
+  test("rollback publishes a new head equal to the old version") {
+    val root = "target/snap-rollback"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    val v1Rows = rows(index(docs))
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    // a "bad ingest": doc 2 re-ingested with amended text
+    val bad = docs.filter(col("doc_id") === 2)
+      .withColumn("text", concat(col("text"), lit(" CORRUPTED")))
+    SnapshotStore.upsert(spark, index(bad), bad.select("doc_id"), root, 4)
+    assert(rows(SnapshotStore.read(spark, root)) !== v1Rows)
+    val v3 = SnapshotStore.rollback(spark, root, toVersion = 1L,
+      expectedVersion = Some(2L))
+    assert(v3 === 3L)
+    // head restored bit-exact; the backed-out version stays readable
+    assert(rows(SnapshotStore.read(spark, root)) === v1Rows)
+    assert(rows(SnapshotStore.read(spark, root, version = 2L)) !==
+      v1Rows)
+    // restored head keeps working: vacuum to head-only, then upsert on top
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    assert(rows(SnapshotStore.read(spark, root)) === v1Rows)
+    val doc3 = docs.filter(col("doc_id") === 3)
+    SnapshotStore.upsert(spark, index(doc3), doc3.select("doc_id"), root, 4)
+    assert(rows(SnapshotStore.read(spark, root)) === v1Rows)
+    // stale-base rollback honors the CAS
+    intercept[graft.operators.SnapshotConflictException] {
+      SnapshotStore.rollback(spark, root, toVersion = 3L,
+        expectedVersion = Some(1L))
+    }
+    // rolling back to a vacuumed version is a named error
+    intercept[IllegalArgumentException] {
+      SnapshotStore.rollback(spark, root, toVersion = 2L)
+    }
+  }
 }
