@@ -68,6 +68,17 @@ object DedupQueries extends QueryPack {
       |  least(d.doc_id, coalesce(lab.m, d.doc_id)) AS cluster_id
       |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)""".stripMargin
 
+  /** d15/d17's split assignment: whole cluster → one of train/val/test
+    * by hash of the cluster label (80/10/10). */
+  private def splitAssignments(s: SparkSession, d: String): DataFrame = {
+    val b = pmod(CrossHash.hash60(
+      concat(lit("split#"), col("cluster_id"))), lit(10))
+    clusterAssignments(s, d)
+      .select(col("doc_id"), col("cluster_id"),
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+          .as("split"))
+  }
+
   private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val w = Window.partitionBy("h")
@@ -156,14 +167,35 @@ object DedupQueries extends QueryPack {
     // (t28) cannot give once the corpus has near-dups. The split is a
     // pure function of d08's cluster label (hash of the canonical id →
     // 80/10/10), so it adds zero shuffles beyond the clustering itself.
-    "d15_cluster_split" -> ((s, d) => {
-      val b = pmod(CrossHash.hash60(
-        concat(lit("split#"), col("cluster_id"))), lit(10))
-      clusterAssignments(s, d)
-        .select(col("doc_id"), col("cluster_id"),
-          when(b < 8, "train").when(b === 8, "val").otherwise("test")
-            .as("split"))
-        .orderBy("doc_id")
+    "d15_cluster_split" -> ((s, d) =>
+      splitAssignments(s, d).orderBy("doc_id")),
+
+    // Cross-split contamination AUDIT — the check d15's guarantee does
+    // NOT cover: d15 keeps d08's clusters (exact + SimHash edges)
+    // split-pure by construction, but an INDEPENDENT detector can still
+    // find near-dup pairs that straddle splits (here d07's n-gram
+    // Jaccard, whose shingle evidence sees pairs SimHash banding
+    // misses). The audit counts straddling pairs — the residual
+    // train↔test leakage a benchmark-decontamination report quotes.
+    // Cost: the two existing pipelines + two equi-joins on pair
+    // endpoints; one summary row out.
+    "d17_split_leakage" -> ((s, d) => {
+      val pairs = NgramJaccard.nearDuplicates(Tables.documents(s, d))
+        .select("a_id", "b_id")
+      val splits = splitAssignments(s, d).select("doc_id", "split")
+      pairs
+        .join(splits.select(col("doc_id").as("a_id"),
+          col("split").as("split_a")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"),
+          col("split").as("split_b")), "b_id")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_leaks"))
+        .withColumn("leak_permille", expr(
+          "cast(case when n_pairs = 0 then 0 " +
+            "else n_leaks * 1000 div n_pairs end as bigint)"))
+        .orderBy("n_pairs")
     }),
 
     // The capstone pretraining-data cut: DEDUP then SELECT — cluster
@@ -551,6 +583,30 @@ object DedupQueries extends QueryPack {
         |SELECT doc_id, cluster_id,
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin),
+
+    // cluster closure + split CASE + prefixed jaccard CTEs ("j" avoids
+    // name collisions); straddling-pair count over the pair endpoints
+    "d17_split_leakage" ->
+      (DuckClusterCtes + s""",
+        |h AS (SELECT doc_id, cluster_id,
+        |  ${CrossHash.duckHash60("'split#' || cast(cluster_id as varchar)")} % 10 AS b
+        |  FROM asg),
+        |spl AS (SELECT doc_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM h),
+        |""".stripMargin
+        + NgramJaccard.duckJaccardCtes(3, 100, "j") + """,
+        |jp AS (SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id,
+        |    round(cast(c as double) / cast(sa.n + sb.n - c as double), 6) AS jacc
+        |  FROM jco JOIN jsz sa ON sa.doc_id = a_id JOIN jsz sb ON sb.doc_id = b_id)
+        |  WHERE jacc >= 0.2),
+        |lk AS (SELECT cast(count(*) as bigint) AS n_pairs,
+        |    cast(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) as bigint) AS n_leaks
+        |  FROM jp JOIN spl a ON a.doc_id = jp.a_id JOIN spl b ON b.doc_id = jp.b_id)
+        |SELECT n_pairs, n_leaks,
+        |  cast(CASE WHEN n_pairs = 0 THEN 0 ELSE n_leaks * 1000 // n_pairs END as bigint) AS leak_permille
+        |FROM lk ORDER BY n_pairs""".stripMargin),
 
     // cluster closure + shared scoring CTEs, restricted to canonical
     // docs before the running total — t31's cut over d08's survivors

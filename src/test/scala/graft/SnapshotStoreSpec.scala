@@ -491,8 +491,11 @@ class SnapshotStoreSpec extends SparkTestBase {
       m.toSeq.sortBy(_._1).toDF("doc_id", "tag")
     var model: Map[Long, Long] = (1L to 10L).map(i => i -> 0L).toMap
     SnapshotStore.commit(df(model), root, buckets = 4)
-    for (step <- 1 to 12) {
-      rnd.nextInt(5) match {
+    // version → model at that version, for rollback targets (vacuum
+    // keepVersions=2 always retains head and head−1)
+    var history: Map[Long, Map[Long, Long]] = Map(1L -> model)
+    for (step <- 1 to 16) {
+      rnd.nextInt(6) match {
         case 0 => // upsert: mutate an existing doc / add a new one
           val ids = Seq(rnd.nextLong(20) + 1, rnd.nextLong(20) + 1).distinct
           model = model ++ ids.map(_ -> step.toLong)
@@ -507,9 +510,16 @@ class SnapshotStoreSpec extends SparkTestBase {
             ids.toDF("doc_id"), root, 4)
         case 2 => SnapshotStore.optimize(spark, root): Unit
         case 3 => SnapshotStore.vacuum(spark, root, keepVersions = 2): Unit
+        case 4 => // restore the previous head (always retained)
+          val head = SnapshotStore.currentVersion(spark, root).get
+          if (head >= 2 && history.contains(head - 1)) {
+            SnapshotStore.rollback(spark, root, head - 1): Unit
+            model = history(head - 1)
+          }
         case _ => // full-rewrite commit of the current model
           SnapshotStore.commit(df(model), root, buckets = 4): Unit
       }
+      history += (SnapshotStore.currentVersion(spark, root).get -> model)
       val got = SnapshotStore.read(spark, root)
         .select("doc_id", "tag").as[(Long, Long)].collect().toMap
       assert(got === model, s"diverged from the model at step $step")
