@@ -341,6 +341,171 @@ object Warehouse extends QueryPack {
             .as("promo_share"))
     }),
 
+    // TPC-H Q2's shape — min-cost supplier per part: a per-group argmin
+    // that must survive ties deterministically. Spark-first form:
+    // min(struct(value, suppkey)) — ONE partial-aggregable function (the
+    // lexicographic struct min), so the argmin computes map-side like any
+    // sum; no window over the corpus, no join-back on (part, minval) the
+    // textbook correlated subquery would plan. Supply value is the exact
+    // decimal lineitem sum (this schema has no partsupp); dims broadcast
+    // to attach names after both aggregates.
+    "q69_min_cost_supplier" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec2(col("l_extendedprice"))).as("val"))
+      val best = ps.groupBy("l_partkey")
+        .agg(min(struct(col("val"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey"), col("b.val").as("val"),
+          col("b.l_suppkey").as("sk"))
+      best
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name")),
+          col("sk") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("val").cast("double").as("min_supply_value"))
+        .orderBy(col("min_supply_value"), col("p_partkey"))
+        .limit(25)
+    }),
+
+    // TPC-H Q11's shape — groups kept by their share of a GLOBAL total:
+    // the scalar-aggregate-broadcast pattern. The global total is a 1-row
+    // aggregate OF THE GROUP ROLLUP (nation-sized, not fact-sized) cross-
+    // joined back via broadcast — the fact scans once, and no group row
+    // waits on any other except through that 1-row exchange. Share is
+    // exact integer permille over cent-scaled bigints (fits a long to
+    // ~9e16 cents ≈ $9e14 of supply value; past that, widen to decimal).
+    "q70_nation_value_share" -> ((s, d) => {
+      val sv = Tables.lineitem(s, d)
+        .select("l_suppkey", "l_extendedprice")
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("bigint")
+          .as("cents"))
+      val tot = sv.agg(sum("cents").as("total_cents"))
+      sv.crossJoin(broadcast(tot))
+        .withColumn("share_permille",
+          expr("cents * 1000 div total_cents"))
+        .filter(col("share_permille") >= 30)
+        .select(col("nation"),
+          (col("cents").cast("double") / 100).as("supply_value"),
+          col("share_permille"))
+        .orderBy(col("share_permille").desc, col("nation"))
+    }),
+
+    // TPC-H Q13's shape — the distribution of customers by order count,
+    // INCLUDING zero-order customers (the left join no inner form can
+    // give). Scale shape: orders pre-aggregate to per-customer counts
+    // BEFORE the join — the join's right side is agg-sized, and at real
+    // scale (customer too big to broadcast) both sides shuffle once on
+    // the customer key; the distribution rollup is then |distinct
+    // counts| rows. The inner filter (priority) must live INSIDE the
+    // pre-aggregate, not after the left join, or zero-order customers
+    // vanish.
+    "q71_order_count_distribution" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+      Tables.customer(s, d).select("c_custkey")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15's shape — the supplier(s) with the maximum windowed
+    // revenue, TIES INCLUDED (the semantics a row_number/limit-1 cut
+    // silently breaks). Revenue is exact in 1e-4-scaled bigints (the
+    // decimal sum's native scale), the global max is a 1-row broadcast,
+    // and the winners join the supplier dim after the cut — the fact
+    // scans once, nothing corpus-shaped survives the first rollup.
+    "q72_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .groupBy("l_suppkey")
+        .agg((sum(dec2(col("l_extendedprice")) *
+          (one2 - dec2(col("l_discount")))) * 10000).cast("bigint")
+          .as("r4"))
+      val mx = rev.agg(max("r4").as("m"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("r4") === col("m"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("r4").cast("double") / 10000).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q22's shape — above-average-balance customers with NO recent
+    // urgent order: a filtered scalar subquery (the average computes over
+    // a DIFFERENT filter than the outer scan — positive balances only)
+    // broadcast into the customer scan, then a left-anti join against the
+    // selective order slice. Both "subqueries" are explicit plan pieces:
+    // the 1-row average crossJoins, the NOT EXISTS is an anti join that
+    // shuffles only the filtered order keys. Balance sums are exact
+    // decimal; the average is the policy single double division.
+    "q73_rich_inactive_customers" -> ((s, d) => {
+      val avgbal = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("a"))
+      val recentUrgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .select("o_custkey")
+      Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(broadcast(avgbal))
+        .filter(col("c_acctbal") > col("a"))
+        .join(recentUrgent, col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("nation")
+    }),
+
+    // TPC-H Q16's shape — distinct suppliers per part attribute with an
+    // exclusion list: NOT IN re-expressed as a left-anti join (exactly
+    // equivalent here because supplier keys are non-null on both sides —
+    // the classic NOT-IN null trap, where one NULL in the subquery
+    // silently empties the result, cannot arise and the anti join scales
+    // where the textbook NOT IN plans a nested-loop). The (part,
+    // supplier) pair set dedups in the same shuffle that feeds the
+    // distinct count; the part dim broadcasts after the dedup.
+    "q74_part_supplier_counts" -> ((s, d) => {
+      val excl = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .distinct()
+        .join(broadcast(Tables.part(s, d)
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(30)
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -356,6 +521,95 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // per-(part,supplier) exact value; row_number's (val, sk) order
+    // replays the struct-min tie-break exactly
+    "q69_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         sum(cast(l_extendedprice as decimal(12,2))) AS val
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT pk, sk, val,
+        |         row_number() OVER (PARTITION BY pk ORDER BY val, sk) AS rn
+        |  FROM ps)
+        |SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |       cast(b.val as double) AS min_supply_value
+        |FROM best b JOIN part p ON p.p_partkey = b.pk
+        |            JOIN supplier s ON s.s_suppkey = b.sk
+        |WHERE b.rn = 1
+        |ORDER BY min_supply_value, p.p_partkey LIMIT 25""".stripMargin,
+
+    "q70_nation_value_share" ->
+      """WITH sv AS (
+        |  SELECT n.n_name AS nation,
+        |         cast(sum(cast(l_extendedprice as decimal(12,2))) * 100
+        |              as bigint) AS cents
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |       JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(cents) AS total_cents FROM sv)
+        |SELECT nation, cast(cents as double) / 100 AS supply_value,
+        |       cast(cents * 1000 // total_cents as bigint) AS share_permille
+        |FROM sv, tot
+        |WHERE cents * 1000 // total_cents >= 30
+        |ORDER BY share_permille DESC, nation""".stripMargin,
+
+    "q71_order_count_distribution" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, cast(count(*) as bigint) AS n
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(oc.n, 0) AS c_count,
+        |       cast(count(*) as bigint) AS custdist
+        |FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q72_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS sk,
+        |         cast(sum(cast(l_extendedprice as decimal(12,2)) *
+        |                  (cast(1 as decimal(3,2)) -
+        |                   cast(l_discount as decimal(12,2)))) * 10000
+        |              as bigint) AS r4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= timestamp '1996-01-01'
+        |    AND l_shipdate < timestamp '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(r4) AS m FROM rev)
+        |SELECT s.s_suppkey, s.s_name,
+        |       cast(r4 as double) / 10000 AS total_revenue
+        |FROM rev, mx JOIN supplier s ON s.s_suppkey = rev.sk
+        |WHERE r4 = m ORDER BY s_suppkey""".stripMargin,
+
+    "q73_rich_inactive_customers" ->
+      """WITH avgbal AS (
+        |  SELECT cast(sum(cast(c_acctbal as decimal(12,2))) as double)
+        |           / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |rich AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avgbal
+        |  WHERE c_acctbal > a),
+        |inact AS (
+        |  SELECT r.* FROM rich r WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+        |     AND o.o_orderpriority = '1-URGENT'
+        |     AND o.o_orderdate >= timestamp '1997-06-01'))
+        |SELECT n.n_name AS nation, cast(count(*) as bigint) AS numcust,
+        |       cast(sum(cast(c_acctbal as decimal(12,2))) as double)
+        |         AS totacctbal
+        |FROM inact i JOIN nation n ON n.n_nationkey = i.c_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "q74_part_supplier_counts" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+        |SELECT p.p_brand, p.p_size,
+        |       cast(count(DISTINCT pairs.sk) as bigint) AS supplier_cnt
+        |FROM pairs JOIN part p ON p.p_partkey = pairs.pk
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 30""".stripMargin,
+
     "q64_sole_late_supplier" ->
       """WITH j AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
         |    (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
