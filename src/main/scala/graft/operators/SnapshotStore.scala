@@ -80,6 +80,11 @@ final class SnapshotConflictException(msg: String)
 final class SnapshotSchemaException(msg: String)
   extends IllegalStateException(msg)
 
+/** Rows violate a registered CHECK constraint. The message names the
+  * constraint, its expression, and the violating row count. */
+final class SnapshotCheckException(msg: String)
+  extends IllegalStateException(msg)
+
 object SnapshotStore {
 
   private val VersionRe = "v(\\d{5})\\.manifest".r
@@ -145,6 +150,60 @@ object SnapshotStore {
   }
 
   private def bucketsLine(n: Int) = s"#buckets\t$n"
+
+  private def opLine(name: String) = s"#op\t$name"
+
+  private def checkLine(name: String, sqlExpr: String) =
+    s"#check\t$name\t$sqlExpr"
+
+  /** CHECK constraints a version's manifest declares (`#check` lines),
+    * as (name, sql expression) pairs in declaration order. */
+  def storedChecks(spark: SparkSession, root: String,
+      v: Long): Seq[(String, String)] =
+    manifestMeta(spark, root, v).collect {
+      case l if l.startsWith("#check\t") =>
+        val Array(_, n, e) = l.split("\t", 3)
+        (n, e)
+    }
+
+  /** The current version's `#check` lines, carried into every new
+    * manifest (the [[carriedTxn]] discipline: the newest manifest always
+    * holds the full constraint set, so maintenance commits can never
+    * silently drop enforcement). */
+  private def carriedCheckLines(spark: SparkSession,
+      root: String): Seq[String] =
+    currentVersion(spark, root).toSeq.flatMap(v =>
+      storedChecks(spark, root, v).map { case (n, e) => checkLine(n, e) })
+
+  /** Enforce CHECK constraints on `df` in ONE aggregate pass (all
+    * constraints counted together — never one job per check). SQL CHECK
+    * semantics: NULL passes, only FALSE violates. An expression that no
+    * longer analyzes (e.g. references a column a rewrite dropped) is a
+    * named error, not a stack trace. */
+  private def validateChecks(df: DataFrame,
+      checks: Seq[(String, String)], root: String): Unit = {
+    if (checks.isEmpty) return
+    val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1L)
+        .otherwise(0L)).as(s"c$i")
+    }
+    val row =
+      try df.agg(aggs.head, aggs.tail: _*).collect().head
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"SnapshotStore: a CHECK constraint at $root no longer " +
+              s"analyzes against the written schema — ${e.getMessage}; " +
+              "dropCheck() it or fix the writing frame", e)
+      }
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val viol = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (viol > 0)
+        throw new SnapshotCheckException(
+          s"SnapshotStore: CHECK constraint '$n' ($e) violated by $viol " +
+            s"row(s) at $root — nothing was written")
+    }
+  }
 
   /** The bucket count a version's manifest records (`#buckets` line).
     * None ⇒ legacy manifest predating the recording. */
@@ -359,12 +418,17 @@ object SnapshotStore {
           }
         }
       }
+    // CHECK constraints enforce on the FULL new snapshot before any
+    // data write (a full commit replaces everything, so everything must
+    // satisfy them)
+    if (cur > 0) validateChecks(index, storedChecks(spark, root, cur), root)
     val v = cur + 1
     writeVersionDir(withBucket(index, buckets), spark, root, v)
     publish(spark, root, v, listVersionFiles(spark, root, v),
       carriedTxn(spark, root, meta) ++
-        declared.map { case (n, t) => colLine(n, t) } :+
-        bucketsLine(buckets))
+        carriedCheckLines(spark, root) ++
+        declared.map { case (n, t) => colLine(n, t) } ++
+        Seq(bucketsLine(buckets), opLine("commit")))
     v
   }
 
@@ -554,6 +618,19 @@ object SnapshotStore {
               "for an intentional rewrite")
       }
     }
+    // CHECK constraints enforce on the FRESH rows only (carried rows
+    // passed at their own write), with stored columns the fresh rows
+    // omit null-filled — matching what the union below actually writes
+    // (SQL CHECK: null passes)
+    val checks = storedChecks(spark, root, cur)
+    if (checks.nonEmpty) {
+      val freshNames = newRows.schema.fieldNames.toSet
+      val checkTarget = curCols.filterNot(c => freshNames.contains(c._1))
+        .foldLeft(newRows) { case (df, (n, t)) =>
+          df.withColumn(n, lit(null).cast(t))
+        }
+      validateChecks(checkTarget, checks, root)
+    }
     // union newRows' own ids: a doc present in newRows but omitted from
     // reingestedDocs must replace, not duplicate, its old vectors
     val upserted = reingestedDocs.select(col("doc_id").cast("long")
@@ -594,8 +671,9 @@ object SnapshotStore {
     publish(spark, root, v,
       keptEntries ++ listVersionFiles(spark, root, v),
       carriedTxn(spark, root, meta) ++
-        newCols.map { case (n, t) => colLine(n, t) } :+
-        bucketsLine(buckets))
+        carriedCheckLines(spark, root) ++
+        newCols.map { case (n, t) => colLine(n, t) } ++
+        Seq(bucketsLine(buckets), opLine("upsert")))
     v
   }
 
@@ -713,8 +791,10 @@ object SnapshotStore {
     // materializes a declaration for legacy stores
     publish(spark, root, v, listVersionFiles(spark, root, v),
       carriedTxn(spark, root, Nil) ++
+        carriedCheckLines(spark, root) ++
         schemaCols(snap.schema).map { case (n, t) => colLine(n, t) } ++
-        storedBuckets(spark, root, cur).map(bucketsLine).toSeq)
+        storedBuckets(spark, root, cur).map(bucketsLine).toSeq :+
+        opLine("optimize"))
     v
   }
 
@@ -744,7 +824,88 @@ object SnapshotStore {
           s"$root — no such published version (vacuumed?)")
     val v = cur + 1
     publish(spark, root, v, readManifest(spark, root, toVersion),
-      manifestMeta(spark, root, toVersion))
+      manifestMeta(spark, root, toVersion)
+        .filterNot(_.startsWith("#op\t")) :+ opLine("rollback"))
+    v
+  }
+
+  /** Version history — the DESCRIBE HISTORY analog: one row per
+    * retained version with the operation that published it (`#op`
+    * manifest line; versions published before op recording report
+    * "unknown"), its file count, and its CHECK-constraint count.
+    * Bounded by retained-version count, assembled from manifest reads
+    * only — no data file is touched. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val dir = new Path(root, "_versions")
+    val f = fs(spark, root)
+    val vs =
+      if (!f.exists(dir)) Seq.empty[Long]
+      else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+        case VersionRe(n) => n.toLong
+      }.sorted
+    val rows = vs.map { v =>
+      val op = manifestMeta(spark, root, v).collectFirst {
+        case l if l.startsWith("#op\t") => l.split("\t", 2)(1)
+      }.getOrElse("unknown")
+      (v, op, readManifest(spark, root, v).size.toLong,
+        storedChecks(spark, root, v).size.toLong)
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("version", "op", "n_files", "n_checks")
+      .orderBy(col("version").desc)
+  }
+
+  /** Register a CHECK constraint (Delta `ADD CONSTRAINT` analog): the
+    * CURRENT snapshot must already satisfy it (validated in one
+    * aggregate pass), then every later [[commit]]/[[upsert]] enforces it
+    * at write time — reject-before-write, so a violating batch leaves no
+    * trace. The constraint is a manifest metadata line, carried forward
+    * by every publish (and restored by [[rollback]] to what the restored
+    * version declared). Name and expression are single manifest-line
+    * tokens; duplicates are named errors. Returns the new version. */
+  def addCheck(spark: SparkSession, root: String, name: String,
+      sqlExpr: String, expectedVersion: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.exists(c =>
+      c == '\t' || c == '\n' || c == '\r'),
+      s"check name must be a nonempty tab/newline-free token: '$name'")
+    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "check expression must not contain tab/newline " +
+        s"(it is stored as a manifest line): '$sqlExpr'")
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — commit() first, then add checks"))
+    if (storedChecks(spark, root, cur).exists(_._1 == name))
+      throw new IllegalArgumentException(
+        s"SnapshotStore: a CHECK named '$name' already exists at $root — " +
+          "dropCheck() it first to replace its expression")
+    validateChecks(read(spark, root, cur), Seq(name -> sqlExpr), root)
+    val v = cur + 1
+    publish(spark, root, v, readManifest(spark, root, cur),
+      manifestMeta(spark, root, cur).filterNot(_.startsWith("#op\t")) ++
+        Seq(checkLine(name, sqlExpr), opLine("add_check")))
+    v
+  }
+
+  /** Remove a CHECK constraint by name (named error if absent).
+    * Publishes a new metadata-only version. */
+  def dropCheck(spark: SparkSession, root: String, name: String,
+      expectedVersion: Option[Long] = None): Long = {
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to drop"))
+    if (!storedChecks(spark, root, cur).exists(_._1 == name))
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no CHECK named '$name' at $root — stored checks: " +
+          storedChecks(spark, root, cur).map(_._1).mkString("[", ", ", "]"))
+    val v = cur + 1
+    publish(spark, root, v, readManifest(spark, root, cur),
+      manifestMeta(spark, root, cur).filterNot(l =>
+        l.startsWith("#op\t") || l == checkLine(name,
+          storedChecks(spark, root, cur).find(_._1 == name).get._2)) :+
+        opLine("drop_check"))
     v
   }
 

@@ -464,6 +464,44 @@ object Similarity extends QueryPack {
               expr("cast((cast(sb as decimal(38,0)) * 1000) div sa as bigint)"))
             .as("separation_permille"))
         .orderBy("cent_id")
+    }),
+
+    // Retrieval-quality metrics beyond recall (s04): MRR and
+    // precision@10 of label-relevance retrieval, per eval query — the
+    // ranking-aware diagnostics an embedding pipeline reports (recall
+    // says WHETHER the neighbours were found; MRR says how HIGH the
+    // first relevant one ranks). Relevance = same stored label; ranking
+    // is the broadcast brute-force cosine (the truth tier — the metric
+    // itself must not depend on an index under test), cut at rank 20
+    // via one bounded per-query window. Both metrics are exact
+    // integers: reciprocal rank in micro units (1e6 div rank, 0 = no
+    // relevant hit in the cut), precision@10 in permille — no float
+    // division crosses the oracle boundary.
+    "s16_mrr_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < AnnEvalQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val rel = col("label") === col("q_label")
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6)
+            .as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .groupBy("q_id", "q_label")
+        .agg(
+          min(when(rel, col("rnk"))).as("fr"),
+          sum(when(rel && col("rnk") <= 10, 1L).otherwise(0L)).as("rel10"))
+        .select(col("q_id"), col("q_label").as("label"),
+          coalesce(col("fr"), lit(0)).cast("bigint").as("first_rel_rank"),
+          coalesce(expr("1000000 div fr"), lit(0L)).cast("bigint")
+            .as("rr_micro"),
+          (col("rel10") * 100).cast("bigint").as("p_at10_permille"))
+        .orderBy("q_id")
     })
   )
 
@@ -475,6 +513,21 @@ object Similarity extends QueryPack {
       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "s16_mrr_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+        |           FROM embeddings WHERE vec_id < $AnnEvalQueries),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY round(list_cosine_similarity(cast(e.embedding as double[]), cast(q.qe as double[])), 6) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |cut AS (SELECT * FROM scored WHERE rnk <= 20)
+        |SELECT q_id, q_label AS label,
+        |  cast(coalesce(min(CASE WHEN label = q_label THEN rnk END), 0) as bigint) AS first_rel_rank,
+        |  cast(coalesce(1000000 // min(CASE WHEN label = q_label THEN rnk END), 0) as bigint) AS rr_micro,
+        |  cast(100 * sum(CASE WHEN label = q_label AND rnk <= 10 THEN 1 ELSE 0 END) as bigint) AS p_at10_permille
+        |FROM cut GROUP BY q_id, q_label ORDER BY q_id""".stripMargin,
+
     "s12_cluster_quality" ->
       s"""WITH q AS (SELECT vec_id, embedding,
         |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe

@@ -733,6 +733,81 @@ object TextAnalysis extends QueryPack {
         .filter(col("rk") <= 3)
         .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
         .orderBy("source", "rk")
+    }),
+
+    // Learnability / label-leakage probe: train a cheap linear text
+    // classifier on 80% of the corpus and measure per-class accuracy on
+    // the held-out 20% — the dataset-audit diagnostic that answers "do
+    // these labels carry any text signal?" (accuracy ≈ chance here: the
+    // synthetic corpus draws every language's text from one shared
+    // vocabulary, and the probe PROVES that; on a real corpus, accuracy
+    // far above the majority-class share flags either genuine signal or
+    // leakage worth investigating). Mechanism, all integer-exact: one
+    // doc-distinct token pass over train; a df-floored vocabulary (the
+    // t20 bounded-broadcast discipline); one-vs-rest presence-lift
+    // weights in permille (rate in class minus rate in rest — the
+    // centered naive-Bayes analog without ln); scoring = one broadcast
+    // join of held-out doc-tokens against the vocab×class weight table +
+    // one (doc, class) rollup; argmax via the partial-aggregable
+    // min(struct(-score, class)) with the deterministic smallest-class
+    // tie-break. Docs with no in-vocab token default to the smallest
+    // class label. Output is per-class test accuracy in permille —
+    // |classes| rows from any corpus size.
+    "t33_learnability_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      def docToks(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextFunctions.tokens(col("text"))))
+          .as("tok"))
+      val ttok = docToks(train)
+      // (doc, tok) pairs are distinct by construction → count(1) = df
+      val vocab = ttok.groupBy("tok")
+        .agg(count(lit(1)).cast("long").as("df"))
+        .filter(col("df") >= 5)
+      val nl = train.groupBy("lang").agg(count(lit(1)).as("n"))
+      val ntr = train.agg(count(lit(1)).as("n_all"))
+      val cnt = ttok.join(vocab.select("tok"), Seq("tok"), "left_semi")
+        .groupBy("lang", "tok").agg(count(lit(1)).cast("long").as("dfl"))
+      val w = vocab.crossJoin(broadcast(nl)).crossJoin(broadcast(ntr))
+        .join(cnt, Seq("tok", "lang"), "left")
+        .select(col("tok"), col("lang"),
+          expr("coalesce(dfl, 0L) * 1000 div n" +
+            " - (df - coalesce(dfl, 0L)) * 1000 div (n_all - n)").as("wt"))
+      val sc = docToks(test).drop("lang")
+        .join(broadcast(w), Seq("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(sum("wt").as("score"))
+      val pred = sc.groupBy("doc_id")
+        .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("b"))
+        .select(col("doc_id"), col("b.lang").as("predicted"))
+      test.join(pred, Seq("doc_id"), "left")
+        .select(col("lang"),
+          when(coalesce(col("predicted"), lit("de")) === col("lang"), 1L)
+            .otherwise(0L).as("correct"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test"),
+          sum("correct").cast("bigint").as("n_correct"))
+        .withColumn("acc_permille",
+          expr("cast(n_correct * 1000 div n_test as bigint)"))
+        .orderBy("lang")
+    }),
+
+    // BPE tokenizer training (operators/BpeMerges): 3 merge iterations
+    // learned from the word-frequency table — the corpus is scanned ONCE
+    // into (word, freq); every iteration after that is vocabulary-sized
+    // (pair rollup + 1-row argmax broadcast + literal merge), so 100 TB
+    // of text trains at the cost of one scan plus iters × |vocab|. The
+    // oracle replays all three iterations (pair counting with
+    // overlapping adjacency, greedy left-to-right merge via literal
+    // replace, (count desc, pair asc) argmax) in chained CTEs.
+    "t34_bpe_merges" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"))
+      graft.operators.BpeMerges.learn(wf, iters = 3).orderBy("iter")
     })
   )
 
@@ -801,6 +876,67 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t34_bpe_merges" ->
+      """WITH wf AS (
+        |  SELECT w, cast(count(*) as bigint) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY 1),
+        |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, freq FROM wf),
+        |p1 AS (SELECT pair, cast(sum(freq) as bigint) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(string_split(sym,' '))),
+        |      i -> string_split(sym,' ')[i] || ' ' || string_split(sym,' ')[i+1])) AS pair
+        |    FROM w0) GROUP BY 1),
+        |b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (SELECT trim(replace(' '||sym||' ', ' '||(SELECT pair FROM b1)||' ',
+        |         ' '||replace((SELECT pair FROM b1),' ','')||' ')) AS sym, freq FROM w0),
+        |p2 AS (SELECT pair, cast(sum(freq) as bigint) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(string_split(sym,' '))),
+        |      i -> string_split(sym,' ')[i] || ' ' || string_split(sym,' ')[i+1])) AS pair
+        |    FROM w1) GROUP BY 1),
+        |b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (SELECT trim(replace(' '||sym||' ', ' '||(SELECT pair FROM b2)||' ',
+        |         ' '||replace((SELECT pair FROM b2),' ','')||' ')) AS sym, freq FROM w1),
+        |p3 AS (SELECT pair, cast(sum(freq) as bigint) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(string_split(sym,' '))),
+        |      i -> string_split(sym,' ')[i] || ' ' || string_split(sym,' ')[i+1])) AS pair
+        |    FROM w2) GROUP BY 1),
+        |b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS iter, pair, replace(pair, ' ', '') AS merged, cnt AS pair_freq FROM b1
+        |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM b2
+        |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM b3)
+        |ORDER BY iter""".stripMargin,
+
+    "t33_learnability_probe" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        |test  AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |ttok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM train),
+        |gdf AS (SELECT tok, cast(count(*) as bigint) AS df FROM ttok GROUP BY 1),
+        |vocab AS (SELECT tok, df FROM gdf WHERE df >= 5),
+        |ntr AS (SELECT cast(count(*) as bigint) AS n_all FROM train),
+        |nl AS (SELECT lang, cast(count(*) as bigint) AS n FROM train GROUP BY 1),
+        |cnt AS (SELECT lang, tok, cast(count(*) as bigint) AS dfl FROM ttok
+        |        WHERE tok IN (SELECT tok FROM vocab) GROUP BY 1, 2),
+        |w AS (SELECT v.tok, l.lang,
+        |        coalesce(c.dfl, 0) * 1000 // l.n
+        |          - (v.df - coalesce(c.dfl, 0)) * 1000 // (t.n_all - l.n) AS wt
+        |      FROM vocab v CROSS JOIN nl l CROSS JOIN ntr t
+        |      LEFT JOIN cnt c ON c.tok = v.tok AND c.lang = l.lang),
+        |dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM test),
+        |sc AS (SELECT d.doc_id, w.lang, cast(sum(w.wt) as bigint) AS score
+        |       FROM dtok d JOIN w ON w.tok = d.tok GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, lang AS predicted FROM (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM sc) WHERE rn = 1),
+        |perdoc AS (SELECT t.lang,
+        |    CASE WHEN coalesce(p.predicted, 'de') = t.lang THEN 1 ELSE 0 END AS correct
+        |  FROM test t LEFT JOIN pred p ON p.doc_id = t.doc_id)
+        |SELECT lang, cast(count(*) as bigint) AS n_test,
+        |  cast(sum(correct) as bigint) AS n_correct,
+        |  cast(sum(correct) * 1000 // count(*) as bigint) AS acc_permille
+        |FROM perdoc GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "t24_weighted_sample" ->
       s"""SELECT doc_id, n_chars,
         |  cast(${graft.functions.CrossHash.duckHash60("'ws#' || cast(doc_id as varchar)")} as double)

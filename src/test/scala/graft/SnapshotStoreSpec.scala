@@ -677,4 +677,99 @@ class SnapshotStoreSpec extends SparkTestBase {
       SnapshotStore.rollback(spark, root, toVersion = 2L)
     }
   }
+
+  test("CHECK constraints: reject-before-write, carry, drop, rollback") {
+    import spark.implicits._
+    val root = "target/snap-checks"
+    cleanup(root)
+    def df(xs: (Long, Long)*) = xs.toDF("doc_id", "tag")
+    SnapshotStore.commit(df(1L -> 5L, 2L -> 7L), root, buckets = 4)
+    // current data must satisfy a new check
+    intercept[graft.operators.SnapshotCheckException] {
+      SnapshotStore.addCheck(spark, root, "big", "tag > 100")
+    }
+    val v2 = SnapshotStore.addCheck(spark, root, "nonneg", "tag >= 0")
+    assert(v2 === 2L)
+    // duplicate name is a named error
+    intercept[IllegalArgumentException] {
+      SnapshotStore.addCheck(spark, root, "nonneg", "tag >= 1")
+    }
+    // violating upsert rejects BEFORE writing: version and data unchanged
+    intercept[graft.operators.SnapshotCheckException] {
+      SnapshotStore.upsert(spark, df(3L -> -1L),
+        Seq(3L).toDF("doc_id"), root, 4)
+    }
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+    // violating full commit rejects too
+    intercept[graft.operators.SnapshotCheckException] {
+      SnapshotStore.commit(df(1L -> -9L), root, buckets = 4)
+    }
+    // valid upsert passes and the check SURVIVES optimize
+    SnapshotStore.upsert(spark, df(3L -> 9L), Seq(3L).toDF("doc_id"),
+      root, 4)
+    SnapshotStore.optimize(spark, root)
+    assert(SnapshotStore.storedChecks(spark, root,
+      SnapshotStore.currentVersion(spark, root).get) ===
+      Seq("nonneg" -> "tag >= 0"))
+    intercept[graft.operators.SnapshotCheckException] {
+      SnapshotStore.upsert(spark, df(4L -> -2L),
+        Seq(4L).toDF("doc_id"), root, 4)
+    }
+    // NULL passes (SQL CHECK): fresh rows omitting a checked column are
+    // fine — the written rows null-fill it
+    val v5 = SnapshotStore.upsert(spark,
+      Seq(5L).toDF("doc_id"), Seq(5L).toDF("doc_id"), root, 4)
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("doc_id") === 5L).count() === 1L)
+    // rollback to BEFORE the check existed restores a check-free head
+    SnapshotStore.rollback(spark, root, toVersion = 1L)
+    assert(SnapshotStore.storedChecks(spark, root,
+      SnapshotStore.currentVersion(spark, root).get).isEmpty)
+    SnapshotStore.upsert(spark, df(6L -> -3L), Seq(6L).toDF("doc_id"),
+      root, 4) // negative now fine
+    // rolling FORWARD to v5 restores v5's metadata — including the
+    // original 'nonneg' check
+    SnapshotStore.rollback(spark, root, toVersion = v5)
+    assert(SnapshotStore.storedChecks(spark, root,
+      SnapshotStore.currentVersion(spark, root).get) ===
+      Seq("nonneg" -> "tag >= 0"))
+    SnapshotStore.addCheck(spark, root, "nonneg2", "tag >= 0")
+    intercept[IllegalArgumentException] {
+      SnapshotStore.dropCheck(spark, root, "no_such_check")
+    }
+    SnapshotStore.dropCheck(spark, root, "nonneg2")
+    SnapshotStore.dropCheck(spark, root, "nonneg")
+    SnapshotStore.upsert(spark, df(7L -> -4L), Seq(7L).toDF("doc_id"),
+      root, 4)
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("tag") < 0L).count() === 1L)
+  }
+
+  test("history reports per-version op, file count, and check count") {
+    import spark.implicits._
+    val root = "target/snap-history"
+    cleanup(root)
+    def df(xs: (Long, Long)*) = xs.toDF("doc_id", "tag")
+    SnapshotStore.commit(df(1L -> 1L, 2L -> 2L), root, buckets = 4)
+    SnapshotStore.upsert(spark, df(3L -> 3L), Seq(3L).toDF("doc_id"),
+      root, 4)
+    SnapshotStore.optimize(spark, root)
+    SnapshotStore.addCheck(spark, root, "nonneg", "tag >= 0")
+    SnapshotStore.rollback(spark, root, toVersion = 2L)
+    val h = SnapshotStore.history(spark, root)
+      .select("version", "op", "n_checks")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(h === Seq(
+      (5L, "rollback", 0L),   // restored v2's (check-free) metadata
+      (4L, "add_check", 1L),
+      (3L, "optimize", 0L),
+      (2L, "upsert", 0L),
+      (1L, "commit", 0L)))
+    // history reads manifests only; file counts are positive and the
+    // optimize version compacts to ≤ bucket-count files
+    val nf = SnapshotStore.history(spark, root)
+      .filter(col("version") === 3L)
+      .select("n_files").as[Long].head()
+    assert(nf >= 1L && nf <= 4L)
+  }
 }
