@@ -771,15 +771,45 @@ object SnapshotStore {
     * on every point lookup. Returns the new version. */
   def optimize(spark: SparkSession, root: String,
       expectedVersion: Option[Long] = None,
-      sortByDocId: Boolean = true): Long = {
+      sortByDocId: Boolean = true,
+      zorderBy: Seq[String] = Nil): Long = {
     checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — nothing to optimize"))
     val v = cur + 1
     val snap = read(spark, root, cur)
+    zorderBy.foreach { c =>
+      if (!snap.schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"SnapshotStore: zorderBy column '$c' does not exist at $root — " +
+            s"stored columns: ${snap.schema.fieldNames.mkString(", ")}")
+    }
     val arranged =
-      if (sortByDocId)
+      if (zorderBy.nonEmpty) {
+        // OPTIMIZE ZORDER: each compacted bucket file's rows follow the
+        // Morton curve over the clustering columns, so row-group min/max
+        // envelopes are tight on EVERY clustering column at once and a
+        // range predicate on any of them prunes row groups inside the
+        // bucket-pruned files (ZOrder.zValue — the Delta/Iceberg OPTIMIZE
+        // ZORDER idea applied to this store's bucket layout).
+        // Normalization stats are a 1-row broadcast; doc_id breaks ties
+        // so the layout is deterministic.
+        val stats = snap.agg(
+          zorderBy.flatMap(c => Seq(min(col(c)).as(s"graft_lo_$c"),
+            max(col(c)).as(s"graft_hi_$c"))).head,
+          zorderBy.flatMap(c => Seq(min(col(c)).as(s"graft_lo_$c"),
+            max(col(c)).as(s"graft_hi_$c"))).tail: _*)
+        val bucketed = zorderBy.map(c => ZOrder.bucket(col(c),
+          col(s"graft_lo_$c"), col(s"graft_hi_$c"), bits = 8))
+        snap.crossJoin(broadcast(stats))
+          .withColumn("graft_zv", ZOrder.zValue(bucketed, bits = 8))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("graft_zv"),
+            col("doc_id"))
+          .drop(zorderBy.flatMap(c =>
+            Seq(s"graft_lo_$c", s"graft_hi_$c")) :+ "graft_zv": _*)
+      } else if (sortByDocId)
         // lead with the partition column: FileFormatWriter keeps a sort
         // already prefixed by it, instead of inserting its own re-sort
         snap.repartition(col("bucket"))

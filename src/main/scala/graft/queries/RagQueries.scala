@@ -349,6 +349,40 @@ object RagQueries extends QueryPack {
           format_string("vec %d sim_bp %d", col("vec_id"),
             round(col("sim") * 10000).cast("bigint")).as("content"))
       intro.union(kw).union(sim).orderBy("section", "content")
+    }),
+
+    // Typo-tolerant retrieval: each misspelled query term corrects to
+    // its best vocabulary neighbour BEFORE retrieval — t20's
+    // edit-distance machinery applied at query time (every real search
+    // box does this; a raw match on "stram windoq joim" returns
+    // nothing). Correction = length-pruned levenshtein ≤ 1 against the
+    // corpus vocabulary, winner by (distance, df desc, term) through
+    // ONE partial-aggregable struct-min — exact matches self-correct at
+    // distance 0, and the candidate scan is |query terms| × vocabulary
+    // (length-pruned), never corpus-shaped. Retrieval then scores docs
+    // by distinct corrected-term hits over the same doc-distinct
+    // posting pass that built the vocabulary.
+    "r18_typo_search" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        .filter(length(col("term")) > 0)
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      val qs = Seq("stram", "windoq", "joim").toDF("q")
+      val cand = vocab.crossJoin(broadcast(qs))
+        .filter(abs(length(col("q")) - length(col("term"))) <= 1)
+        .withColumn("dist", levenshtein(col("q"), col("term")))
+        .filter(col("dist") <= 1)
+      val corr = cand.groupBy("q")
+        .agg(min(struct(col("dist"), (-col("df")).as("nf"),
+          col("term"))).as("b"))
+        .select(col("b.term").as("corrected"))
+      toks.join(broadcast(corr), col("term") === col("corrected"))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -361,6 +395,23 @@ object RagQueries extends QueryPack {
       |  ORDER BY sim DESC, vec_id LIMIT %K%)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "r18_typo_search" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, cast(count(*) as bigint) AS df FROM toks
+        |  WHERE len(term) > 0 GROUP BY 1),
+        |qs AS (SELECT * FROM (VALUES ('stram'), ('windoq'), ('joim')) t(q)),
+        |cand AS (SELECT q, term, df, levenshtein(q, term) AS d
+        |  FROM qs CROSS JOIN vocab
+        |  WHERE abs(len(q) - len(term)) <= 1 AND levenshtein(q, term) <= 1),
+        |corr AS (SELECT q, term AS corrected FROM (
+        |  SELECT q, term,
+        |    row_number() OVER (PARTITION BY q ORDER BY d, df DESC, term) AS rn
+        |  FROM cand) WHERE rn = 1)
+        |SELECT doc_id, cast(count(DISTINCT term) as bigint) AS score
+        |FROM toks JOIN corr ON toks.term = corr.corrected
+        |WHERE len(term) > 0
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "r15_phrase" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
         |shl AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [text]

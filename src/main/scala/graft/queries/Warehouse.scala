@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -506,6 +507,75 @@ object Warehouse extends QueryPack {
         .limit(30)
     }),
 
+    // k-hop BFS (single-source shortest hop distance) over the
+    // co-purchase graph — the third iterative graph shape beside q57's
+    // PageRank and d08's label propagation. Three unrolled Pregel
+    // supersteps, each exactly two exchanges (frontier ⋈ edges on src +
+    // dst min-rollup), frontier-filtered so settled work shrinks as the
+    // wave passes; distances are small exact ints with an integer
+    // "infinity" sentinel (1000000 — least() over NULL would silently
+    // poison, a sentinel cannot), per-iteration state checkpointed (the
+    // q57 discipline: iterations must not replay pair generation).
+    // Output is the hop histogram — ≤ k+2 rows from any graph size,
+    // unreached nodes reported as dist −1.
+    "q75_bfs_hops" -> ((s, d) => {
+      val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
+        .localCheckpoint(eager = true)
+      val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(half.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(eager = true)
+      val nodes = edges.select(col("src").as("v")).distinct()
+      val src0 = nodes.agg(min("v").as("s0"))
+      var dist = nodes.crossJoin(broadcast(src0))
+        .select(col("v"),
+          when(col("v") === col("s0"), lit(0)).otherwise(lit(1000000))
+            .as("dist"))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to 3) {
+        val frontier = dist.filter(col("dist") < 1000000)
+          .select(col("v").as("fv"), col("dist").as("fd"))
+        val nd = edges.join(frontier, col("src") === col("fv"))
+          .groupBy("dst").agg((min("fd") + 1).as("nd"))
+        dist = dist.join(nd, dist("v") === nd("dst"), "left")
+          .select(col("v"),
+            least(col("dist"), coalesce(col("nd"), lit(1000000)))
+              .as("dist"))
+          .localCheckpoint(eager = true)
+      }
+      dist
+        .select(when(col("dist") === 1000000, lit(-1)).otherwise(col("dist"))
+          .cast("int").as("dist"))
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
+
+    // Exact weighted median per group at corpus scale: quantity is a
+    // DISCRETE domain, so the right plan is a (group, value) rollup
+    // first — the corpus collapses to ≤ |groups|·|domain| rows in one
+    // partial-aggregating shuffle — and the cumulative-weight window
+    // then runs over that bounded table, never funneling corpus rows
+    // through one task (the trap of windowing the raw fact by group).
+    // Weights are exact cent-scaled bigints; the median is the smallest
+    // value whose doubled cumulative weight reaches the group total —
+    // no division, no float, no interpolation ambiguity.
+    "q76_weighted_median" -> ((s, d) => {
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("bigint").as("qty"))
+        .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("bigint")
+          .as("w"))
+      val cum = Window.partitionBy("flag").orderBy("qty")
+      val tot = Window.partitionBy("flag")
+      g.withColumn("cum", sum("w").over(cum))
+        .withColumn("total", sum("w").over(tot))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("flag")
+        .agg(min("qty").as("weighted_median_qty"),
+          min("total").as("total_weight_cents"))
+        .orderBy("flag")
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -521,6 +591,45 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q75_bfs_hops" -> {
+      def it(n: Int): String = {
+        val p = n - 1
+        s"""nd$n AS (SELECT e.dst AS v, min(d$p.dist) + 1 AS nd
+          |  FROM e JOIN d$p ON d$p.v = e.src WHERE d$p.dist < 1000000 GROUP BY 1),
+          |d$n AS (SELECT d$p.v, least(d$p.dist, coalesce(nd$n.nd, 1000000)) AS dist
+          |  FROM d$p LEFT JOIN nd$n ON nd$n.v = d$p.v)""".stripMargin
+      }
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |hp AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa AS src, pb AS dst FROM hp
+        |  UNION ALL SELECT pb, pa FROM hp),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |d0 AS (SELECT v, CASE WHEN v = (SELECT min(v) FROM nodes)
+        |  THEN 0 ELSE 1000000 END AS dist FROM nodes),
+        |${it(1)},
+        |${it(2)},
+        |${it(3)}
+        |SELECT cast(CASE WHEN dist = 1000000 THEN -1 ELSE dist END as int) AS dist,
+        |       cast(count(*) as bigint) AS n_nodes
+        |FROM d3 GROUP BY 1 ORDER BY dist""".stripMargin
+    },
+
+    "q76_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    cast(l_quantity as bigint) AS qty,
+        |    cast(sum(cast(l_extendedprice as decimal(12,2))) * 100
+        |         as bigint) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, qty, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY qty) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS total
+        |  FROM g)
+        |SELECT flag, cast(min(qty) as bigint) AS weighted_median_qty,
+        |  cast(min(total) as bigint) AS total_weight_cents
+        |FROM c WHERE 2 * cum >= total GROUP BY flag ORDER BY flag""".stripMargin,
+
     // per-(part,supplier) exact value; row_number's (val, sk) order
     // replays the struct-min tie-break exactly
     "q69_min_cost_supplier" ->

@@ -745,6 +745,44 @@ class SnapshotStoreSpec extends SparkTestBase {
       .filter(col("tag") < 0L).count() === 1L)
   }
 
+  test("optimize(zorderBy) keeps data identical and writes the Morton order") {
+    import spark.implicits._
+    val root = "target/snap-zorder"
+    cleanup(root)
+    val n = 256
+    val df = (0 until n).map(i =>
+      (i.toLong, (i * 37 % 251).toLong, (i * 91 % 241).toLong))
+      .toDF("doc_id", "x", "y")
+    SnapshotStore.commit(df, root, buckets = 2)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.optimize(spark, root, zorderBy = Seq("nope"))
+    }
+    SnapshotStore.optimize(spark, root, zorderBy = Seq("x", "y"))
+    val got = SnapshotStore.read(spark, root)
+    assert(got.select("doc_id", "x", "y").as[(Long, Long, Long)]
+      .collect().toSet ===
+      df.as[(Long, Long, Long)].collect().toSet)
+    // physical row order of each compacted file follows the Morton curve
+    val (loX, hiX, loY, hiY) = (0.0, 250.0, 0.0, 240.0)
+    def bkt(v: Long, lo: Double, hi: Double): Long =
+      math.min(255L, math.max(0L,
+        math.floor((v - lo) / (hi - lo + 1e-9) * 256).toLong))
+    def zv(x: Long, y: Long): Long =
+      (0 until 8).map { i =>
+        (((bkt(x, loX, hiX) >> i) & 1L) << (2 * i)) |
+          (((bkt(y, loY, hiY) >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val files = got.select(org.apache.spark.sql.functions
+      .input_file_name().as("f")).distinct().as[String].collect()
+    assert(files.length === 2) // one compacted file per bucket
+    files.foreach { f =>
+      val seq = spark.read.parquet(f).select("x", "y")
+        .as[(Long, Long)].collect().map { case (x, y) => zv(x, y) }
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b },
+        s"file $f is not Morton-ordered")
+    }
+  }
+
   test("history reports per-version op, file count, and check count") {
     import spark.implicits._
     val root = "target/snap-history"
