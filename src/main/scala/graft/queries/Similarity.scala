@@ -502,6 +502,45 @@ object Similarity extends QueryPack {
             .as("rr_micro"),
           (col("rel10") * 100).cast("bigint").as("p_at10_permille"))
         .orderBy("q_id")
+    }),
+
+    // Mislabel audit: vectors whose NEAREST label centroid is not their
+    // own label — the embedding-space data-quality check that flags
+    // annotation noise before a training run (SemDeDup's cousin for
+    // labels; cross-validates t33's text-side finding from the embedding
+    // side). Label centroids use trainCentroids' exact discipline
+    // (quantized long sums, floor(avg+0.5) means — only |labels| rows
+    // reach the driver), ranking is the same map-only fused-distance
+    // expression the IVF tier uses (centroid literals, no shuffle), and
+    // the margin is integer permille. Output capped at the 25 worst.
+    "s17_mislabel_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qe = emb.select(col("label").cast("long").as("cid"),
+        VectorFunctions.quantize1e6(col("embedding")).as("qe"))
+      val meanCols = (0 until Dim).map(i =>
+        avg(element_at(col("qe"), i + 1)).as(s"c$i"))
+      val cents = qe.groupBy("cid").agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getLong(0),
+          Array.tabulate(Dim)(i => math.round(r.getDouble(i + 1)))))
+        .sortBy(_._1)
+      graft.operators.IvfIndex.cellRanksWith(emb, cents)
+        .groupBy("vec_id", "label")
+        .agg(
+          min(when(col("rk") === 1, col("cent_id"))).as("nl"),
+          min(when(col("rk") === 1, col("dist"))).as("d_nearest"),
+          min(when(col("cent_id") === col("label").cast("long"),
+            col("dist"))).as("d_own"))
+        .filter(col("nl") =!= col("label").cast("long"))
+        .select(col("vec_id"), col("label"),
+          col("nl").cast("int").as("nearest_label"),
+          col("d_own").cast("bigint").as("d_own"),
+          col("d_nearest").cast("bigint").as("d_nearest"),
+          when(col("d_own") === 0, lit(0L))
+            .otherwise(expr("(d_own - d_nearest) * 1000 div d_own"))
+            .cast("bigint").as("margin_permille"))
+        .orderBy(col("margin_permille").desc, col("vec_id"))
+        .limit(25)
     })
   )
 
@@ -513,6 +552,30 @@ object Similarity extends QueryPack {
       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "s17_mislabel_audit" ->
+      s"""WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |m AS (SELECT label AS cid, i.range AS ord,
+        |    cast(floor(avg(qq.qe[cast(i.range as int)]) + 0.5) as bigint) AS v
+        |  FROM q qq, range(1, ${Dim + 1}) i GROUP BY qq.label, i.range),
+        |c AS (SELECT cid, list(v ORDER BY ord) AS qc FROM m GROUP BY cid),
+        |d AS (SELECT a.vec_id, a.label, c.cid,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, c),
+        |r AS (SELECT vec_id, label, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d),
+        |f AS (SELECT vec_id, label,
+        |    min(CASE WHEN rk = 1 THEN cid END) AS nearest_label,
+        |    min(CASE WHEN rk = 1 THEN dist END) AS d_nearest,
+        |    min(CASE WHEN cid = label THEN dist END) AS d_own
+        |  FROM r GROUP BY vec_id, label)
+        |SELECT vec_id, label, cast(nearest_label as int) AS nearest_label,
+        |  cast(d_own as bigint) AS d_own, cast(d_nearest as bigint) AS d_nearest,
+        |  cast(CASE WHEN d_own = 0 THEN 0 ELSE (d_own - d_nearest) * 1000 // d_own END as bigint) AS margin_permille
+        |FROM f WHERE nearest_label <> label
+        |ORDER BY margin_permille DESC, vec_id LIMIT 25""".stripMargin,
+
     "s16_mrr_eval" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
         |           FROM embeddings WHERE vec_id < $AnnEvalQueries),

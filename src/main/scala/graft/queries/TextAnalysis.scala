@@ -808,6 +808,34 @@ object TextAnalysis extends QueryPack {
         .groupBy("w")
         .agg(count(lit(1)).as("freq"))
       graft.operators.BpeMerges.learn(wf, iters = 3).orderBy("iter")
+    }),
+
+    // Memorization-risk profile: per document, the permille of its
+    // distinct 3-token shingles that also appear in ANOTHER document —
+    // verbatim-duplicated content is what a model memorizes first, and
+    // this is the corpus-level histogram a curation report quotes before
+    // deciding dedup aggressiveness (d07/d09 then FIX what this
+    // MEASURES). One shingle-posting pass (NgramJaccard.postings — the
+    // same hashed, doc-distinct machinery as d07), one df rollup, one
+    // posting-to-df join, and a ≤10-row decile histogram out — no pair
+    // enumeration anywhere, so unlike the dedup queries the cost stays
+    // linear in postings even on a 100%-duplicated corpus.
+    "t36_memorization_risk" -> ((s, d) => {
+      val p = graft.operators.NgramJaccard
+        .postings(Tables.documents(s, d), 3)
+      val dfh = p.groupBy("h").agg(count(lit(1)).as("df"))
+      p.join(dfh, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(expr("n_shared * 1000 div n_shingles").as("risk_permille"))
+        .select(least(expr("risk_permille div 100"), lit(9L)).cast("int")
+          .as("decile"), col("risk_permille"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("risk_permille").cast("bigint").as("min_permille"),
+          max("risk_permille").cast("bigint").as("max_permille"))
+        .orderBy("decile")
     })
   )
 
@@ -876,6 +904,23 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // reuses d07's shingle/hash CTE builder; only the ds posting CTE is
+    // referenced (DuckDB prunes the unused pair CTEs)
+    "t36_memorization_risk" ->
+      ("WITH " + graft.operators.NgramJaccard.duckJaccardCtes(3, 100, "t36") +
+        """,
+        |t36df AS (SELECT h, cast(count(*) as bigint) AS df FROM t36ds GROUP BY 1),
+        |t36per AS (SELECT s.doc_id, cast(count(*) as bigint) AS n_shingles,
+        |    cast(sum(CASE WHEN t36df.df >= 2 THEN 1 ELSE 0 END) as bigint) AS n_shared
+        |  FROM t36ds s JOIN t36df ON t36df.h = s.h GROUP BY 1),
+        |t36risk AS (SELECT doc_id, n_shared * 1000 // n_shingles AS risk_permille
+        |  FROM t36per)
+        |SELECT cast(least(risk_permille // 100, 9) as int) AS decile,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(min(risk_permille) as bigint) AS min_permille,
+        |  cast(max(risk_permille) as bigint) AS max_permille
+        |FROM t36risk GROUP BY 1 ORDER BY decile""".stripMargin),
+
     "t34_bpe_merges" ->
       """WITH wf AS (
         |  SELECT w, cast(count(*) as bigint) AS freq FROM (
