@@ -780,10 +780,23 @@ object SnapshotStore {
     val v = cur + 1
     val snap = read(spark, root, cur)
     zorderBy.foreach { c =>
-      if (!snap.schema.fieldNames.contains(c))
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"SnapshotStore: zorderBy column '$c' does not exist at $root — " +
-            s"stored columns: ${snap.schema.fieldNames.mkString(", ")}")
+            s"stored columns: ${snap.schema.fieldNames.mkString(", ")}"))
+      // a non-numeric column would cast to null inside ZOrder.bucket and
+      // silently degrade the whole layout to insertion order — the same
+      // silent-corruption class as a wrong bucket modulus, so: named error
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+        case t => throw new IllegalArgumentException(
+          s"SnapshotStore: zorderBy column '$c' has non-clusterable type " +
+            s"${t.catalogString} — z-ordering needs numeric/timestamp " +
+            "columns (anything else min-max-normalizes to null and would " +
+            "silently degrade the layout to insertion order)")
+      }
     }
     val arranged =
       if (zorderBy.nonEmpty) {

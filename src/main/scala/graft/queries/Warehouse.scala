@@ -576,6 +576,57 @@ object Warehouse extends QueryPack {
         .orderBy("flag")
     }),
 
+    // Exact per-group quantile set (type-1 / lower quantile: smallest
+    // value whose cumulative count reaches ⌈p·n⌉): the q76 discipline
+    // generalized — (group, value) rollup collapses the corpus in one
+    // partial-agg shuffle, the cumulative window runs over the bounded
+    // domain table, and the ⌈⌉ is the integer comparison cum·100 ≥ p·n
+    // (exact; q38's approx_percentile is the sketch tier of the same
+    // family, this is its exact oracle-grade counterpart).
+    "q77_quantiles" -> ((s, d) => {
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("bigint").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.partitionBy("flag").orderBy("qty")
+      val tot = Window.partitionBy("flag")
+      val c = g.withColumn("cum", sum("n").over(cum))
+        .withColumn("total", sum("n").over(tot))
+      def p(pp: Int) = min(when(col("cum") * 100 >= col("total") * pp,
+        col("qty"))).cast("bigint").as(s"p$pp")
+      c.groupBy("flag")
+        .agg(p(25), p(50), p(75), p(95),
+          min("total").cast("bigint").as("n_rows"))
+        .orderBy("flag")
+    }),
+
+    // Sketch-based join-cardinality estimation (the AGMS/count-min
+    // inner-product bound, Alon et al. 1999 / Cormode-Muthukrishnan
+    // 2005): the size of a self-equi-join — the blow-up a planner must
+    // predict BEFORE committing to a plan — estimated from one count-min
+    // sketch as min over rows of Σ_bucket c², always ≥ the true Σ n_k²
+    // (colliding keys only add cross terms). The sketch is depth×width
+    // counters (128 KB here) built in one map-side-combining pass —
+    // at 100 TB the planner reads 128 KB instead of rolling up the fact
+    // table; the exact side is computed alongside purely to CHECK the
+    // one-sided contract, and every counter is engine-exact (seeded md5
+    // hashing), so estimate, bound, and overshoot all oracle-match.
+    "q78_join_size_estimate" -> ((s, d) => {
+      val (depth, width) = (4, 4096)
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      val sk = graft.operators.CountMin.sketch(li, col("l_partkey"),
+        depth, width)
+      val est = sk.groupBy("row").agg(sum(col("c") * col("c")).as("sq"))
+        .agg(min("sq").cast("bigint").as("est_pairs"))
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).cast("bigint").as("exact_pairs"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_pairs"), col("est_pairs"),
+          (col("est_pairs") >= col("exact_pairs")).as("upper_bounded"),
+          expr("(est_pairs - exact_pairs) * 1000 div exact_pairs")
+            .cast("bigint").as("overshoot_permille"))
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -591,6 +642,39 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q77_quantiles" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    cast(l_quantity as bigint) AS qty,
+        |    cast(count(*) as bigint) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, qty, n,
+        |    sum(n) OVER (PARTITION BY flag ORDER BY qty) AS cum,
+        |    sum(n) OVER (PARTITION BY flag) AS total
+        |  FROM g)
+        |SELECT flag,
+        |  cast(min(CASE WHEN cum * 100 >= 25 * total THEN qty END) as bigint) AS p25,
+        |  cast(min(CASE WHEN cum * 100 >= 50 * total THEN qty END) as bigint) AS p50,
+        |  cast(min(CASE WHEN cum * 100 >= 75 * total THEN qty END) as bigint) AS p75,
+        |  cast(min(CASE WHEN cum * 100 >= 95 * total THEN qty END) as bigint) AS p95,
+        |  cast(min(total) as bigint) AS n_rows
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q78_join_size_estimate" ->
+      s"""WITH keys AS (SELECT cast(l_partkey as varchar) AS k FROM lineitem),
+        |cells AS (SELECT r.range AS row,
+        |    ${graft.operators.CountMin.duckBucket("r.range", "k", 4096)} AS bucket,
+        |    cast(count(*) as bigint) AS c
+        |  FROM keys, range(0, 4) r GROUP BY 1, 2),
+        |est AS (SELECT cast(min(s) as bigint) AS est_pairs FROM (
+        |  SELECT row, sum(c * c) AS s FROM cells GROUP BY row)),
+        |exact AS (SELECT cast(sum(n * n) as bigint) AS exact_pairs FROM (
+        |  SELECT l_partkey, cast(count(*) as bigint) AS n
+        |  FROM lineitem GROUP BY 1))
+        |SELECT exact_pairs, est_pairs,
+        |  est_pairs >= exact_pairs AS upper_bounded,
+        |  cast((est_pairs - exact_pairs) * 1000 // exact_pairs as bigint) AS overshoot_permille
+        |FROM exact, est""".stripMargin,
+
     "q75_bfs_hops" -> {
       def it(n: Int): String = {
         val p = n - 1

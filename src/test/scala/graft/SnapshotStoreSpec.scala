@@ -751,17 +751,24 @@ class SnapshotStoreSpec extends SparkTestBase {
     cleanup(root)
     val n = 256
     val df = (0 until n).map(i =>
-      (i.toLong, (i * 37 % 251).toLong, (i * 91 % 241).toLong))
-      .toDF("doc_id", "x", "y")
+      (i.toLong, (i * 37 % 251).toLong, (i * 91 % 241).toLong, s"s$i"))
+      .toDF("doc_id", "x", "y", "s")
     SnapshotStore.commit(df, root, buckets = 2)
     intercept[IllegalArgumentException] {
       SnapshotStore.optimize(spark, root, zorderBy = Seq("nope"))
     }
+    // non-numeric clustering column is a named error, not a silent
+    // insertion-order layout
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.optimize(spark, root, zorderBy = Seq("x", "s"))
+    }
+    assert(e.getMessage.contains("'s'") &&
+      e.getMessage.contains("non-clusterable"))
     SnapshotStore.optimize(spark, root, zorderBy = Seq("x", "y"))
     val got = SnapshotStore.read(spark, root)
-    assert(got.select("doc_id", "x", "y").as[(Long, Long, Long)]
-      .collect().toSet ===
-      df.as[(Long, Long, Long)].collect().toSet)
+    assert(got.select("doc_id", "x", "y", "s")
+      .as[(Long, Long, Long, String)].collect().toSet ===
+      df.as[(Long, Long, Long, String)].collect().toSet)
     // physical row order of each compacted file follows the Morton curve
     val (loX, hiX, loY, hiY) = (0.0, 250.0, 0.0, 240.0)
     def bkt(v: Long, lo: Double, hi: Double): Long =
