@@ -60,4 +60,41 @@ object TableDiff {
     "md5(concat_ws(chr(1), " +
       nonKeyCols.sorted.map(c =>
         s"coalesce(cast($c as varchar), chr(2))").mkString(", ") + "))"
+
+  /** Apply a CDC change batch to a base table — the MERGE INTO analog
+    * (diff's inverse: `applyChanges(before, changes) = after`). `changes`
+    * carries an `op` column (`upsert` | `delete`) plus the full payload
+    * row (payload ignored for deletes); every changed key's base row is
+    * dropped via ONE left-anti join on the key, then upsert payloads
+    * union in. Exactly the delete-then-insert decomposition a log-
+    * structured store executes, expressed over frames: base-sized side
+    * shuffles once on the key (co-located/bucketed at rest → no
+    * exchange), changes are delta-sized. Duplicate keys WITHIN one
+    * change batch are a named error (MERGE's "multiple source rows
+    * matched" condition — applying them would be order-dependent). */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+      key: String): DataFrame = {
+    val ops = changes.select(col("op")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bad = ops.diff(Set("upsert", "delete"))
+    require(bad.isEmpty,
+      s"applyChanges: unknown op(s) ${bad.mkString(", ")} — " +
+        "only 'upsert' and 'delete' are defined")
+    val dupKeys = changes.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(5)
+      .collect().map(_.get(0))
+    require(dupKeys.isEmpty,
+      s"applyChanges: change batch has multiple rows for key(s) " +
+        s"${dupKeys.mkString(", ")} — resolution would be order-dependent " +
+        "(MERGE's multiple-source-rows-matched error); pre-aggregate the " +
+        "batch to one change per key")
+    require(base.columns.sorted.sameElements(
+      changes.drop("op").columns.sorted),
+      s"applyChanges: payload schema must match base: " +
+        s"${base.columns.mkString(",")} vs " +
+        s"${changes.drop("op").columns.mkString(",")}")
+    base.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(changes.filter(col("op") === "upsert").drop("op")
+        .select(base.columns.map(col): _*))
+  }
 }

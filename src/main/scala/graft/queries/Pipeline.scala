@@ -127,6 +127,60 @@ object Pipeline extends QueryPack {
     // float partial-agg drift), with ONE division per component at
     // output; both engines then cosine identical doubles. One partial-agg
     // shuffle of (doc_id, dim longs); the query vector is a literal.
+    // Incremental JOIN maintenance (operators/IncrementalJoin): the
+    // delta-join rule Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, checked by the
+    // equality that DEFINES it — stored-state ∪ delta rows aggregates
+    // identically to the full recompute the oracle runs. The splits are
+    // deliberately unaligned (orders by order date, lineitems by ship
+    // date) so every one of the three delta terms is non-empty; in
+    // production A₀⋈B₀ is the materialized state and only the three
+    // delta-sided joins run per refresh.
+    "i13_incremental_join" -> ((s, d) => {
+      val ordCut = lit("1997-01-01").cast("timestamp")
+      val liCut = lit("1997-06-01").cast("timestamp")
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+          col("l_shipdate"))
+      val (a0, dA) = (ord.filter(col("o_orderdate") < ordCut),
+        ord.filter(col("o_orderdate") >= ordCut))
+      val (b0, dB) = (li.filter(col("l_shipdate") < liCut),
+        li.filter(col("l_shipdate") >= liCut))
+      val stored = a0.join(b0, Seq("o_orderkey"))
+      graft.operators.IncrementalJoin
+        .refreshed(stored, a0, dA, b0, dB, Seq("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("month")
+    }),
+
+    // CDC apply — the MERGE INTO analog (TableDiff.applyChanges, diff's
+    // inverse): one change batch carrying upserts (high-balance
+    // customers re-segmented, balance bumped by an exactly-representable
+    // +1000.0) and deletes (negative balances), applied as ONE left-anti
+    // on the key + a union of upsert payloads; the oracle reconstructs
+    // the target set-theoretically. Aggregated per segment so the result
+    // is bounded.
+    "i14_merge_apply" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val changes = cust.filter(abs(col("c_acctbal")) > 9000.0)
+        .select(
+          when(col("c_acctbal") < 0.0, "delete").otherwise("upsert")
+            .as("op"),
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"),
+          lit("UPGRADED").as("c_mktsegment"))
+      graft.operators.TableDiff.applyChanges(cust, changes, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            .as("bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     "i12_doc_pooling" -> ((s, d) => {
       val dim = 8
       val idx = IngestionPipeline.buildIndex(s, d, chunkSize = 120,
@@ -474,6 +528,30 @@ object Pipeline extends QueryPack {
       |  FROM documents)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "i13_incremental_join" ->
+      """SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+        |  cast(count(*) as bigint) AS n_rows,
+        |  cast(sum(cast(l.l_extendedprice as decimal(12,2))) as double) AS revenue
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "i14_merge_apply" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS key,
+        |    CASE WHEN c_acctbal < 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |    c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 1000.0 AS c_acctbal, 'UPGRADED' AS c_mktsegment
+        |  FROM customer WHERE abs(c_acctbal) > 9000),
+        |tgt AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+        |    c.c_mktsegment
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT key FROM changes)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM changes WHERE op = 'upsert')
+        |SELECT c_mktsegment, cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS bal
+        |FROM tgt GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "i01_ingest_index" ->
       s"""WITH t AS (SELECT doc_id, source, text,
          |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc

@@ -355,4 +355,37 @@ class IngestStreamSpec extends SparkTestBase {
     assert(deltas.forall(d => d > 0 && d <= perFile.max),
       s"a paced batch exceeded the single-file bound: $deltas")
   }
+
+  test("CHECK constraint rejects a violating streaming batch before write") {
+    import graft.operators.SnapshotStore
+    import spark.implicits._
+    val store = tmp("check_stream_store")
+    def batch(xs: (Long, Long)*) = xs.toDF("doc_id", "n_tokens")
+    // batch 0 seeds the store through the streaming sink path, then the
+    // constraint registers
+    val v1 = SnapshotStore.commitBatch(batch(1L -> 10L, 2L -> 20L),
+      store, 4, "checked", batchId = 0L)
+    SnapshotStore.addCheck(spark, store, "positive_tokens", "n_tokens > 0")
+    val vChecked = SnapshotStore.currentVersion(spark, store).get
+
+    // a violating micro-batch fails BEFORE write: version unmoved, txn
+    // watermark unmoved (the batch is NOT marked committed — a fixed
+    // re-delivery must be able to land under the same batch id)
+    intercept[graft.operators.SnapshotCheckException] {
+      SnapshotStore.commitBatch(batch(3L -> -5L), store, 4, "checked",
+        batchId = 1L)
+    }
+    assert(SnapshotStore.currentVersion(spark, store).get === vChecked)
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "checked")
+      === Some(0L))
+
+    // the corrected re-delivery of batch 1 lands normally
+    val v3 = SnapshotStore.commitBatch(batch(3L -> 5L), store, 4,
+      "checked", batchId = 1L)
+    assert(v3 > vChecked)
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "checked")
+      === Some(1L))
+    assert(SnapshotStore.read(spark, store).count() === 3L)
+    assert(v1 === 1L)
+  }
 }
