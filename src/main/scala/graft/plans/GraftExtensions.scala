@@ -51,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => RowNumberLimitRule)
+    e.injectOptimizerRule(_ => MaterializedViews.RewriteRule)
   }
 }
