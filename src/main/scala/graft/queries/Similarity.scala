@@ -541,6 +541,37 @@ object Similarity extends QueryPack {
             .cast("bigint").as("margin_permille"))
         .orderBy(col("margin_permille").desc, col("vec_id"))
         .limit(25)
+    }),
+
+    // IVF probe-count tuning curve — d13's S-curve, for the IVF tier:
+    // recall@3 as a function of nProbe ∈ {1, 2, 4}, the measurement that
+    // decides the latency/recall trade-off before a probe count ships.
+    // The exact side computes once (bounded eval slice); each probe
+    // level reruns only the production probe path (cells are ranked
+    // once per level, map-only vs centroid literals). Recall is summed
+    // hits in integer permille over the whole eval set — one row per
+    // probe level.
+    "s18_ivf_probe_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = exactTopK(s, d, 3)
+      val denom = 3 * AnnEvalQueries
+      Seq(1, 2, 4).map { np =>
+        // k = 64 (finer than the production 16) so the eval corpus's
+        // home cells genuinely miss neighbours and the curve bends —
+        // at 16 cells recall@3 is already 1.0 at nProbe = 1 and the
+        // measurement says nothing
+        val ann = graft.operators.IvfIndex
+          .search(emb, col("vec_id") < AnnEvalQueries, k = 64,
+            nProbe = np, topK = 3)
+        exact
+          .join(ann.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+            Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(lit(np).as("n_probe"),
+            col("hits").cast("bigint").as("hits"),
+            expr(s"hits * 1000 div $denom").cast("bigint")
+              .as("recall_permille"))
+      }.reduce(_.unionByName(_)).orderBy("n_probe")
     })
   )
 
@@ -552,6 +583,50 @@ object Similarity extends QueryPack {
       |esig AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "s18_ivf_probe_curve" -> {
+      def level(np: Int): String =
+        s"""c$np AS (SELECT p.q_id, a.vec_id,
+          |    round(list_cosine_similarity(cast(ev.embedding as double[]), cast(eq.embedding as double[])), 6) AS sim
+          |  FROM (SELECT vec_id AS q_id, cent_id FROM iranks
+          |        WHERE vec_id < $AnnEvalQueries AND rk <= $np) p
+          |  JOIN iassign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+          |  JOIN embeddings eq ON eq.vec_id = p.q_id
+          |  JOIN embeddings ev ON ev.vec_id = a.vec_id),
+          |t$np AS (SELECT q_id, vec_id FROM (
+          |  SELECT q_id, vec_id,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+          |  FROM c$np) WHERE rnk <= 3),
+          |h$np AS (SELECT $np AS n_probe,
+          |    cast(count(t$np.vec_id) as bigint) AS hits
+          |  FROM ex LEFT JOIN t$np ON t$np.q_id = ex.q_id AND t$np.vec_id = ex.vec_id)"""
+          .stripMargin
+      s"""WITH iq AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |icents AS (SELECT vec_id AS cent_id, qe AS qc FROM iq ORDER BY vec_id LIMIT 64),
+        |idists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM iq a, icents c),
+        |iranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM idists),
+        |iassign AS (SELECT vec_id, cent_id FROM iranks WHERE rk = 1),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.embedding as double[])), 6) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $AnnEvalQueries) WHERE rnk <= 3),
+        |${level(1)},
+        |${level(2)},
+        |${level(4)}
+        |SELECT n_probe, hits,
+        |  cast(hits * 1000 // ${3 * AnnEvalQueries} as bigint) AS recall_permille
+        |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        |      UNION ALL SELECT * FROM h4)
+        |ORDER BY n_probe""".stripMargin
+    },
+
     "s17_mislabel_audit" ->
       s"""WITH q AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
