@@ -931,6 +931,50 @@ object SnapshotStore {
     v
   }
 
+  /** Deep-clone the CURRENT snapshot of `srcRoot` into `dstRoot` as a
+    * fresh store's version 1 — the disaster-recovery / promote-to-prod
+    * replication primitive. Every referenced data file is byte-copied
+    * (a deep clone survives the source's vacuum — or its loss — by
+    * construction) into the clone's OWN `data/v00001` tree: relpaths are
+    * REWRITTEN, prefixed with their source version dir for uniqueness,
+    * because carrying the source's `data/vNNNNN` relpaths verbatim would
+    * collide with the clone's future version `N` — whose crashed-attempt
+    * recovery overwrites the directory, destroying still-referenced
+    * files. Metadata carried: schema declaration, bucket modulus, CHECK
+    * constraints, and txn watermarks (a failed-over stream resumes
+    * exactly-once against the clone). NOT carried: version history
+    * (the clone starts at v1, op `clone`) and tags (they name the
+    * source's history). Returns the clone's version (1). */
+  def cloneTo(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Long = {
+    val cur = currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $srcRoot — nothing to clone"))
+    if (currentVersion(spark, dstRoot).isDefined)
+      throw new IllegalArgumentException(
+        s"SnapshotStore: clone destination $dstRoot already has published " +
+          "versions — clone only initializes a FRESH store")
+    val sf = fs(spark, srcRoot)
+    val df = fs(spark, dstRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newEntries = readManifest(spark, srcRoot, cur).map { case (b, rel) =>
+      // data/vNNNNN/bucket=B/part-x.parquet → v1/bucket=B/vNNNNN-part-x
+      val parts = rel.split("/")
+      val srcV = parts.find(_.matches("v\\d{5}")).getOrElse("vsrc")
+      val newRel = s"${vdir(1L)}/bucket=$b/$srcV-${parts.last}"
+      if (!org.apache.hadoop.fs.FileUtil.copy(
+          sf, new Path(srcRoot, rel), df, new Path(dstRoot, newRel),
+          false, conf))
+        throw new IllegalStateException(
+          s"SnapshotStore: failed to copy $rel while cloning $srcRoot")
+      (b, newRel)
+    }
+    val meta = manifestMeta(spark, srcRoot, cur)
+      .filterNot(_.startsWith("#op\t")) :+ opLine("clone")
+    publish(spark, dstRoot, 1L, newEntries, meta)
+    1L
+  }
+
   /** Remove a CHECK constraint by name (named error if absent).
     * Publishes a new metadata-only version. */
   def dropCheck(spark: SparkSession, root: String, name: String,

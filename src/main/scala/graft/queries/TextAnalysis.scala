@@ -836,6 +836,31 @@ object TextAnalysis extends QueryPack {
           min("risk_permille").cast("bigint").as("min_permille"),
           max("risk_permille").cast("bigint").as("max_permille"))
         .orderBy("decile")
+    }),
+
+    // Scrub-impact report: the per-SOURCE rollup a corpus release quotes
+    // before and after redaction — how many documents each provenance
+    // contributes, what share of them carry scrub-pattern hits, per-
+    // pattern totals, and hit density per million characters (integer
+    // div — no float ratio). Composes t14's Redact.scrub (map-only hit
+    // accounting on the original text, the SAME ScrubPatterns so report
+    // and redaction cannot drift apart) into one source-bounded rollup:
+    // at 100 TB this is a single scan emitting |sources| rows.
+    "t37_scrub_report" -> ((s, d) => {
+      val hits = ScrubPatterns.map(p => col(s"n_${p.name}"))
+      val total = hits.reduce(_ + _)
+      Redact.scrub(Tables.documents(s, d), "text", ScrubPatterns)
+        .select(col("source") +: length(col("text")).as("n_chars") +:
+          total.as("n_hits") +: hits: _*)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("n_hits") > 0, 1L).otherwise(0L))
+            .as("docs_with_hits") +:
+            ScrubPatterns.map(p =>
+              sum(col(s"n_${p.name}")).cast("bigint").as(s"n_${p.name}")) :+
+            expr("sum(n_hits) * 1000000 div sum(n_chars)").cast("bigint")
+              .as("hits_per_mchar")): _*)
+        .orderBy("source")
     })
   )
 
@@ -904,6 +929,24 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    "t37_scrub_report" -> {
+      val counts = ScrubPatterns.map { p =>
+        s"len(regexp_extract_all(text, '${p.regex}')) AS n_${p.name}"
+      }.mkString(",\n  ")
+      val sumHits = ScrubPatterns.map(p => s"n_${p.name}").mkString(" + ")
+      val sums = ScrubPatterns.map { p =>
+        s"cast(sum(n_${p.name}) as bigint) AS n_${p.name}"
+      }.mkString(",\n  ")
+      s"""WITH h AS (SELECT source, length(text) AS n_chars,
+         |  $counts
+         |  FROM documents)
+         |SELECT source, cast(count(*) as bigint) AS n_docs,
+         |  cast(sum(CASE WHEN $sumHits > 0 THEN 1 ELSE 0 END) as bigint) AS docs_with_hits,
+         |  $sums,
+         |  cast(sum($sumHits) * 1000000 // sum(n_chars) as bigint) AS hits_per_mchar
+         |FROM h GROUP BY source ORDER BY source""".stripMargin
+    },
+
     // reuses d07's shingle/hash CTE builder; only the ds posting CTE is
     // referenced (DuckDB prunes the unused pair CTEs)
     "t36_memorization_risk" ->

@@ -790,6 +790,55 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("cloneTo replicates the head with metadata; clone is independent") {
+    import spark.implicits._
+    val src = "target/snap-clone-src"
+    val dst = "target/snap-clone-dst"
+    cleanup(src); cleanup(dst)
+    def df(xs: (Long, Long)*) = xs.toDF("doc_id", "tag")
+    SnapshotStore.commitBatch(df(1L -> 1L, 2L -> 2L), src, 4,
+      "dr_stream", batchId = 0L)
+    SnapshotStore.upsert(spark, df(3L -> 3L), Seq(3L).toDF("doc_id"),
+      src, 4)
+    SnapshotStore.addCheck(spark, src, "nonneg", "tag >= 0")
+    val want = SnapshotStore.read(spark, src)
+      .select("doc_id", "tag").as[(Long, Long)].collect().toSet
+
+    assert(SnapshotStore.cloneTo(spark, src, dst) === 1L)
+    assert(SnapshotStore.read(spark, dst)
+      .select("doc_id", "tag").as[(Long, Long)].collect().toSet === want)
+    // metadata carried: schema checks, bucket modulus, txn watermark
+    assert(SnapshotStore.storedChecks(spark, dst, 1L) ===
+      Seq("nonneg" -> "tag >= 0"))
+    assert(SnapshotStore.lastCommittedBatch(spark, dst, "dr_stream")
+      === Some(0L))
+    // check ENFORCED on the clone; modulus carried (wrong one raises)
+    intercept[graft.operators.SnapshotCheckException] {
+      SnapshotStore.upsert(spark, df(9L -> -1L), Seq(9L).toDF("doc_id"),
+        dst, 4)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.upsert(spark, df(9L -> 1L), Seq(9L).toDF("doc_id"),
+        dst, 8)
+    }
+    assert(SnapshotStore.history(spark, dst)
+      .select("op").as[String].collect().toSeq === Seq("clone"))
+    // deep clone: DESTROY the source entirely — the clone still reads,
+    // and keeps working through upserts up PAST the source's version
+    // count (relpath rewrite: no collision with the copied dirs)
+    cleanup(src)
+    assert(SnapshotStore.read(spark, dst)
+      .select("doc_id", "tag").as[(Long, Long)].collect().toSet === want)
+    for (i <- 10L to 14L)
+      SnapshotStore.upsert(spark, df(i -> i), Seq(i).toDF("doc_id"),
+        dst, 4)
+    assert(SnapshotStore.read(spark, dst).count() === want.size + 5L)
+    // a clone may only initialize a fresh store
+    intercept[IllegalArgumentException] {
+      SnapshotStore.cloneTo(spark, dst, dst)
+    }
+  }
+
   test("history reports per-version op, file count, and check count") {
     import spark.implicits._
     val root = "target/snap-history"
