@@ -954,21 +954,38 @@ object SnapshotStore {
       throw new IllegalArgumentException(
         s"SnapshotStore: clone destination $dstRoot already has published " +
           "versions — clone only initializes a FRESH store")
-    val sf = fs(spark, srcRoot)
-    val df = fs(spark, dstRoot)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val newEntries = readManifest(spark, srcRoot, cur).map { case (b, rel) =>
-      // data/vNNNNN/bucket=B/part-x.parquet → v1/bucket=B/vNNNNN-part-x
+    // relpath rewrite: data/vNNNNN/bucket=B/part-x → v1/bucket=B/vNNNNN-part-x
+    val mapping = readManifest(spark, srcRoot, cur).map { case (b, rel) =>
       val parts = rel.split("/")
       val srcV = parts.find(_.matches("v\\d{5}")).getOrElse("vsrc")
-      val newRel = s"${vdir(1L)}/bucket=$b/$srcV-${parts.last}"
+      (b, rel, s"${vdir(1L)}/bucket=$b/$srcV-${parts.last}")
+    }
+    // the byte copies run ON THE EXECUTORS (one driver-side loop over a
+    // 100 TB snapshot's files would serialize the whole clone through one
+    // coordinator); the hadoop conf is not serializable, so its entries
+    // ship as a plain map and rebuild per task
+    val confEntries = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator(); val m = mutable.Map.empty[String, String]
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
+      m.toMap
+    }
+    val bc = spark.sparkContext.broadcast(confEntries)
+    val par = math.max(1, math.min(mapping.size, 64))
+    spark.sparkContext.parallelize(mapping.map {
+      case (_, rel, newRel) => (rel, newRel)
+    }, par).foreach { case (rel, newRel) =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      bc.value.foreach { case (k, v) => conf.set(k, v) }
+      val from = new Path(srcRoot, rel)
+      val to = new Path(dstRoot, newRel)
       if (!org.apache.hadoop.fs.FileUtil.copy(
-          sf, new Path(srcRoot, rel), df, new Path(dstRoot, newRel),
+          from.getFileSystem(conf), from, to.getFileSystem(conf), to,
           false, conf))
         throw new IllegalStateException(
-          s"SnapshotStore: failed to copy $rel while cloning $srcRoot")
-      (b, newRel)
+          s"SnapshotStore: failed to copy $rel while cloning")
     }
+    val newEntries = mapping.map { case (b, _, newRel) => (b, newRel) }
     val meta = manifestMeta(spark, srcRoot, cur)
       .filterNot(_.startsWith("#op\t")) :+ opLine("clone")
     publish(spark, dstRoot, 1L, newEntries, meta)
