@@ -944,12 +944,22 @@ object SnapshotStore {
     * constraints, and txn watermarks (a failed-over stream resumes
     * exactly-once against the clone). NOT carried: version history
     * (the clone starts at v1, op `clone`) and tags (they name the
-    * source's history). Returns the clone's version (1). */
+    * source's history). `version` < 0 clones the head; a specific
+    * retained version clones that point-in-time state (DR to
+    * before-the-bad-ingest, as a fresh store). Returns the clone's
+    * version (1). */
   def cloneTo(spark: SparkSession, srcRoot: String,
-      dstRoot: String): Long = {
-    val cur = currentVersion(spark, srcRoot).getOrElse(
-      throw new IllegalArgumentException(
-        s"no published version at $srcRoot — nothing to clone"))
+      dstRoot: String, version: Long = -1L): Long = {
+    val cur =
+      if (version >= 0) {
+        if (!fs(spark, srcRoot).exists(manifestPath(srcRoot, version)))
+          throw new IllegalArgumentException(
+            s"SnapshotStore: cannot clone version $version of $srcRoot — " +
+              "no such published version (vacuumed?)")
+        version
+      } else currentVersion(spark, srcRoot).getOrElse(
+        throw new IllegalArgumentException(
+          s"no published version at $srcRoot — nothing to clone"))
     if (currentVersion(spark, dstRoot).isDefined)
       throw new IllegalArgumentException(
         s"SnapshotStore: clone destination $dstRoot already has published " +

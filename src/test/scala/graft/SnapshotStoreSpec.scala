@@ -837,6 +837,17 @@ class SnapshotStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SnapshotStore.cloneTo(spark, dst, dst)
     }
+    // point-in-time clone: version 1 of the clone (pre-upserts) into a
+    // third store reads exactly that historical state
+    val dst2 = "target/snap-clone-dst2"
+    cleanup(dst2)
+    SnapshotStore.cloneTo(spark, dst, dst2, version = 1L)
+    assert(SnapshotStore.read(spark, dst2)
+      .select("doc_id", "tag").as[(Long, Long)].collect().toSet === want)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.cloneTo(spark, dst, "target/snap-clone-dst3",
+        version = 99L)
+    }
   }
 
   test("history reports per-version op, file count, and check count") {
