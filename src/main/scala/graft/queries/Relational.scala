@@ -978,6 +978,10 @@ object Relational extends QueryPack {
         .agg(min(to_date(col("ts"))).as("day"))
       val daily = firstSeen.groupBy("day")
         .agg(count(lit(1)).as("new_users"))
+      // the global window runs over the per-DAY rollup — bounded by
+      // calendar days, not corpus size (PlanAudit's global-window flag
+      // is benign on rollup-bounded inputs; PrefixSum is the tool when
+      // the windowed input IS corpus-sized, as in t31)
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily
