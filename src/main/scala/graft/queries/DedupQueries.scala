@@ -198,6 +198,33 @@ object DedupQueries extends QueryPack {
         .orderBy("n_pairs")
     }),
 
+    // Threshold-selection curve: documents dropped at candidate Jaccard
+    // cut-offs, all from ONE run of the d07 pair pipeline (the pairs are
+    // computed once at a low floor; each threshold is a conditional
+    // count over the same pair list — never a re-shingle per setting).
+    // The operational read on this corpus: below 50‰ real non-duplicates
+    // start dropping (206 at 20‰), while the true duplicate set (24) is
+    // flat from 100‰ up — so any cut in [100, 900] is safe, which is
+    // the number a dedup config review wants. "Dropped" = the
+    // smaller-loses rule (b_id of an a<b pair), d01/d02's convention.
+    "d18_threshold_curve" -> ((s, d) => {
+      import s.implicits._
+      val pairs = graft.operators.NgramJaccard
+        .nearDuplicates(Tables.documents(s, d), threshold = 0.02)
+        .select(col("b_id"), (col("jacc") * 1000).as("jp"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val th = Seq(20, 50, 100, 500, 900).toDF("t_permille")
+      pairs.crossJoin(broadcast(th))
+        .groupBy("t_permille")
+        .agg(countDistinct(when(col("jp") >= col("t_permille"),
+          col("b_id"))).as("n_dropped"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("t_permille"),
+          col("n_dropped").cast("bigint").as("n_dropped"),
+          (col("n_docs") - col("n_dropped")).cast("bigint").as("n_kept"))
+        .orderBy("t_permille")
+    }),
+
     // The capstone pretraining-data cut: DEDUP then SELECT — cluster
     // representatives only (d08's canonical per duplicate cluster, so a
     // 100k-copy boilerplate page spends its tokens once), quality-ranked,
@@ -427,6 +454,24 @@ object DedupQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    // d07's pair CTEs at the 0.02 floor, then one conditional count per
+    // candidate threshold over the same pair list
+    "d18_threshold_curve" ->
+      ("WITH " + graft.operators.NgramJaccard.duckJaccardCtes(3, 100, "c") +
+        """,
+        |cpr AS (SELECT b_id, jacc * 1000 AS jp FROM (
+        |  SELECT a_id, b_id,
+        |    round(cast(c as double) / cast(sa.n + sb.n - c as double), 6) AS jacc
+        |  FROM cco JOIN csz sa ON sa.doc_id = a_id JOIN csz sb ON sb.doc_id = b_id)
+        |  WHERE jacc >= 0.02),
+        |nn AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+        |th AS (SELECT unnest([20, 50, 100, 500, 900]) AS t_permille)
+        |SELECT t_permille,
+        |  cast(count(DISTINCT CASE WHEN jp >= t_permille THEN b_id END) as bigint) AS n_dropped,
+        |  cast((SELECT n_docs FROM nn)
+        |    - count(DISTINCT CASE WHEN jp >= t_permille THEN b_id END) as bigint) AS n_kept
+        |FROM th LEFT JOIN cpr ON true
+        |GROUP BY t_permille ORDER BY t_permille""".stripMargin),
     "d06_dedup_summary" -> dedupSummaryOracle,
 
     "d09_substring_dedup" ->

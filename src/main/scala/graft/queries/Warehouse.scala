@@ -627,6 +627,32 @@ object Warehouse extends QueryPack {
             .cast("bigint").as("overshoot_permille"))
     }),
 
+    // "Customers also bought" — per-part top-3 co-purchase partners, the
+    // recommendation readout of the q51 graph. Pair counts come from the
+    // shared coPurchasePairs stream (ONE partial-agg shuffle, fan-out
+    // bounded by order size — never the naive lineitem self-join), then
+    // mirror to directed rows and cut per part through the row_number
+    // form RowNumberLimitRule plans as TopKPerKey (bounded heaps, no
+    // full partition sort). The part < 10 focus bounds the presented
+    // result; at scale the same plan serves every part.
+    "q79_also_bought" -> ((s, d) => {
+      val cnt = coPurchasePairs(Tables.lineitem(s, d))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n"))
+      val directed = cnt
+        .select(col("pa").as("part"), col("pb").as("also_bought"), col("n"))
+        .unionByName(cnt.select(col("pb").as("part"),
+          col("pa").as("also_bought"), col("n")))
+      val w = Window.partitionBy("part")
+        .orderBy(col("n").desc, col("also_bought"))
+      directed.filter(col("part") < 10)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("part"), col("rk"), col("also_bought"),
+          col("n").as("n_orders"))
+        .orderBy("part", "rk")
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -642,6 +668,19 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q79_also_bought" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |hp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    cast(count(*) as bigint) AS n
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pa AS part, rk, pb AS also_bought, n AS n_orders FROM (
+        |  SELECT pa, pb, n,
+        |    cast(row_number() OVER (PARTITION BY pa
+        |      ORDER BY n DESC, pb) as int) AS rk
+        |  FROM hp WHERE pa < 10) WHERE rk <= 3 ORDER BY part, rk""".stripMargin,
+
     "q77_quantiles" ->
       """WITH g AS (SELECT l_returnflag AS flag,
         |    cast(l_quantity as bigint) AS qty,
