@@ -861,6 +861,38 @@ object TextAnalysis extends QueryPack {
             expr("sum(n_hits) * 1000000 div sum(n_chars)").cast("bigint")
               .as("hits_per_mchar")): _*)
         .orderBy("source")
+    }),
+
+    // Vocabulary-growth (Heaps-law) curve over 3-gram shingles — how
+    // fast the n-gram inventory grows as the corpus prefix extends: the
+    // planning measurement behind tokenizer vocab sizing and "is more
+    // data still adding novelty?" (the saturation read; unigrams here
+    // saturate by doc 100, trigrams keep growing — exactly what the
+    // curve exists to expose). The scale trick: growth at EVERY cutoff
+    // from ONE pass — each gram reduces to its FIRST-occurrence doc
+    // (one rollup), and a cutoff's vocabulary is a conditional count
+    // over that table, so k cutoffs cost k conditional sums, not k
+    // corpus rescans.
+    "t38_vocab_growth" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+      val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val dtok = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cuts = Seq(100L, 200L, 300L, 400L, 500L).toDF("cut")
+      val vocab = firsts.crossJoin(broadcast(cuts))
+        .groupBy("cut")
+        .agg(sum(when(col("first_doc") < col("cut"), 1L).otherwise(0L))
+          .as("vocab"))
+      val toks = dtok.crossJoin(broadcast(cuts))
+        .groupBy("cut")
+        .agg(sum(when(col("doc_id") < col("cut"), col("n"))
+          .otherwise(0L)).as("n_grams"))
+      toks.join(vocab, Seq("cut"))
+        .select(col("cut"), col("n_grams").cast("bigint").as("n_grams"),
+          col("vocab").cast("bigint").as("vocab"))
+        .orderBy("cut")
     })
   )
 
@@ -929,6 +961,22 @@ object TextAnalysis extends QueryPack {
        |  cast(max($c) as varchar) AS max_s FROM documents""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same shingle CASE as TextFunctions.shingles (<3-token docs yield
+    // the whole text as one gram)
+    "t38_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [text]
+        |  ELSE list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END AS sh
+        |  FROM tok),
+        |g AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+        |firsts AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |dtok AS (SELECT doc_id, cast(count(*) as bigint) AS n FROM g GROUP BY 1),
+        |cuts AS (SELECT unnest([100, 200, 300, 400, 500]) AS cut)
+        |SELECT cast(cut as bigint) AS cut,
+        |  (SELECT cast(coalesce(sum(n), 0) as bigint) FROM dtok WHERE doc_id < cut) AS n_grams,
+        |  (SELECT cast(count(*) as bigint) FROM firsts WHERE first_doc < cut) AS vocab
+        |FROM cuts ORDER BY cut""".stripMargin,
+
     "t37_scrub_report" -> {
       val counts = ScrubPatterns.map { p =>
         s"len(regexp_extract_all(text, '${p.regex}')) AS n_${p.name}"

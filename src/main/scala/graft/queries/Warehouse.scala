@@ -653,6 +653,41 @@ object Warehouse extends QueryPack {
         .orderBy("part", "rk")
     }),
 
+    // Percent-of-parent rollup — each nation's supply value as a share
+    // of its REGION's total and of the grand total, the two-level BI
+    // hierarchy readout. The scale shape: the fact aggregates ONCE to
+    // nation grain; both parent totals are rollups OF THAT rollup
+    // (region-sized and 1-row) joined/broadcast back — no second fact
+    // scan, no window over the corpus, shares in exact integer permille.
+    "q80_share_of_parent" -> ((s, d) => {
+      val sv = Tables.lineitem(s, d)
+        .select("l_suppkey", "l_extendedprice")
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_regionkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("bigint")
+          .as("cents"))
+      val rt = sv.groupBy("region").agg(sum("cents").as("rc"))
+      val gt = sv.agg(sum("cents").as("gc"))
+      sv.join(broadcast(rt), Seq("region"))
+        .crossJoin(broadcast(gt))
+        .select(col("region"), col("nation"),
+          (col("cents").cast("double") / 100).as("value"),
+          expr("cents * 1000 div rc").cast("bigint")
+            .as("share_of_region_permille"),
+          expr("cents * 1000 div gc").cast("bigint")
+            .as("share_of_total_permille"))
+        .orderBy(col("region"), col("share_of_region_permille").desc,
+          col("nation"))
+    }),
+
     "q45_bloom_join" -> ((s, d) => {
       val dim = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000.0)
@@ -668,6 +703,22 @@ object Warehouse extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q80_share_of_parent" ->
+      """WITH sv AS (SELECT r.r_name AS region, n.n_name AS nation,
+        |    cast(sum(cast(l_extendedprice as decimal(12,2))) * 100
+        |         as bigint) AS cents
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT region, sum(cents) AS rc FROM sv GROUP BY 1),
+        |gt AS (SELECT sum(cents) AS gc FROM sv)
+        |SELECT sv.region, sv.nation, cast(cents as double) / 100 AS value,
+        |  cast(cents * 1000 // rc as bigint) AS share_of_region_permille,
+        |  cast(cents * 1000 // gc as bigint) AS share_of_total_permille
+        |FROM sv JOIN rt ON rt.region = sv.region, gt
+        |ORDER BY sv.region, share_of_region_permille DESC, sv.nation""".stripMargin,
+
     "q79_also_bought" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |hp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
