@@ -212,6 +212,51 @@ object Relational extends QueryPack {
     }),
 
     // Calendar aggregation: revenue by month.
+    // Year-over-year growth — the lag-window comparison every revenue
+    // dashboard leads with, in the scale-safe grain: the fact rolls up
+    // to YEAR rows first, so the unpartitioned lag window runs over a
+    // handful of rows, never the corpus (the q48 rollup-bounded-window
+    // rule). Growth is exact integer permille of cent-scaled bigints;
+    // Spark `div` and DuckDB `//` both truncate toward zero, so the
+    // NEGATIVE growth years divide identically (verified: -13 div 4 =
+    // -3 in both engines — floor division would give -4).
+    "q81_yoy_growth" -> ((s, d) => {
+      val y = Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"))
+        .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("bigint")
+          .as("cents"))
+      val w = Window.orderBy("yr")
+      y.withColumn("prev", lag("cents", 1).over(w))
+        .select(col("yr"),
+          (col("cents").cast("double") / 100).as("revenue"),
+          coalesce(expr("(cents - prev) * 1000 div prev"), lit(0L))
+            .cast("bigint").as("yoy_permille"))
+        .orderBy("yr")
+    }),
+
+    // DAU/MAU stickiness — the engagement ratio a product dashboard
+    // tracks: mean daily actives over monthly actives, in integer
+    // permille. Two distinct-count rollups (day grain and month grain —
+    // both partial-agg shuffles on bounded keys) joined at month grain;
+    // no corpus window, no per-user state.
+    "q82_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      val dau = ev.groupBy("month", "day")
+        .agg(countDistinct("user_id").as("dau"))
+      val mau = ev.groupBy("month")
+        .agg(countDistinct("user_id").as("mau"))
+      dau.groupBy("month")
+        .agg(sum("dau").as("sum_dau"), count(lit(1)).as("n_days"))
+        .join(mau, Seq("month"))
+        .select(col("month"), col("n_days").cast("bigint").as("n_days"),
+          col("mau").cast("bigint").as("mau"),
+          expr("sum_dau * 1000 div (n_days * mau)").cast("bigint")
+            .as("stickiness_permille"))
+        .orderBy("month")
+    }),
+
     "q14_monthly_revenue" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(
@@ -1167,6 +1212,30 @@ object Relational extends QueryPack {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
+
+    "q81_yoy_growth" ->
+      """WITH y AS (SELECT cast(year(l_shipdate) as bigint) AS yr,
+        |    cast(sum(cast(l_extendedprice as decimal(12,2))) * 100
+        |         as bigint) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT yr, cast(cents as double) / 100 AS revenue,
+        |  cast(coalesce((cents - lag(cents) OVER (ORDER BY yr)) * 1000
+        |    // lag(cents) OVER (ORDER BY yr), 0) as bigint) AS yoy_permille
+        |FROM y ORDER BY yr""".stripMargin,
+
+    "q82_stickiness" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m') AS month,
+        |    cast(ts as date) AS day, user_id FROM events),
+        |dau AS (SELECT month, day,
+        |  cast(count(DISTINCT user_id) as bigint) AS dau FROM d GROUP BY 1, 2),
+        |mau AS (SELECT month,
+        |  cast(count(DISTINCT user_id) as bigint) AS mau FROM d GROUP BY 1),
+        |a AS (SELECT month, cast(sum(dau) as bigint) AS sum_dau,
+        |    cast(count(*) as bigint) AS n_days FROM dau GROUP BY 1)
+        |SELECT a.month, a.n_days, mau.mau,
+        |  cast(a.sum_dau * 1000 // (a.n_days * mau.mau) as bigint)
+        |    AS stickiness_permille
+        |FROM a JOIN mau ON mau.month = a.month ORDER BY a.month""".stripMargin,
 
     "q14_monthly_revenue" ->
       """SELECT cast(year(o_orderdate) as int) AS yr,
