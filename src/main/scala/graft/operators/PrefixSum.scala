@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed global prefix sum — a running total over a TOTAL ordering
   * of the whole dataset.
@@ -40,6 +41,19 @@ object PrefixSum {
   def withRunningTotal(df: DataFrame, value: Column, order: Seq[Column],
       out: String, numPartitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "PrefixSum: ordering must be non-empty")
+    // slice offsets must be EXACT — a wrong offset corrupts the running
+    // total of every row in every later slice. Integral and decimal
+    // values sum exactly (the driver accumulation below is BigDecimal);
+    // float/double running totals are inherently order-dependent AND a
+    // silent long-cast would truncate fractions, so they are a named
+    // error: cast to a decimal of the precision you actually want first.
+    df.select(value.as("__v")).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType
+           | _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"PrefixSum: value must be an integral or decimal column for " +
+          s"exact slice offsets; got $other — cast to decimal first")
+    }
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -59,13 +73,27 @@ object PrefixSum {
     val local = ranged.withColumn("__local", sum(value).over(w))
       .localCheckpoint(eager = true)
     // one row per slice; exclusive offsets computed on the driver over a
-    // bounded (≤ n) collect, then broadcast back
-    val totals = local.groupBy("__slice")
-      .agg(sum(value).cast("long").as("__t"))
+    // bounded (≤ n) collect, then broadcast back. Accumulation is
+    // BigDecimal (exact for both long and decimal slice totals); the
+    // offset column is cast back to the sum's own type before the add so
+    // `out` keeps exactly the type sum(value) would have.
+    val grouped = local.groupBy("__slice").agg(sum(value).as("__t"))
+    val sumType = grouped.schema("__t").dataType
+    val totals = grouped
       .collect()
-      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .map { r =>
+        val t =
+          if (r.isNullAt(1)) BigDecimal(0)
+          else r.get(1) match {
+            case l: java.lang.Long => BigDecimal(l)
+            case d: java.math.BigDecimal => BigDecimal(d)
+            case o => throw new IllegalStateException(
+              s"PrefixSum: unexpected slice-total type ${o.getClass}")
+          }
+        (r.getInt(0), t)
+      }
       .sortBy(_._1)
-    var acc = 0L
+    var acc = BigDecimal(0)
     val offsets = totals.map { case (slice, t) =>
       val o = (slice, acc); acc += t; o
     }
@@ -73,7 +101,9 @@ object PrefixSum {
       .toDF("__slice", "__off")
     local
       .join(broadcast(offDf), Seq("__slice"), "left")
-      .withColumn(out, col("__local") + coalesce(col("__off"), lit(0L)))
+      .withColumn(out, (col("__local") +
+        coalesce(col("__off").cast(sumType), lit(0).cast(sumType)))
+        .cast(sumType))
       .drop("__slice", "__local", "__off")
   }
 }

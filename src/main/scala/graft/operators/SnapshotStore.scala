@@ -1062,21 +1062,62 @@ object SnapshotStore {
         s"SnapshotStore: tag '$name' already exists at $root " +
           s"(→ v${tagVersion(spark, root, name).getOrElse(-1L)}); pass " +
           "force = true to move it")
-    val tmp = new Path(root,
-      s"_tags/.tmp-$name-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8"))
-    finally out.close()
-    // only an explicit force may displace an existing tag — without it,
-    // a tag that appeared since the check above must fail the publish,
-    // not be silently deleted or overwritten (a local-FS rename
-    // overwrites silently, so the rename result alone is not exclusive:
-    // read back, the same discipline as the manifest publish CAS)
-    if (force && f.exists(dst)) f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"SnapshotStore: failed to publish tag '$name' at $root " +
-          "(concurrent tag writer?)")
+    val bytes = v.toString.getBytes("UTF-8")
+    if (force) {
+      // an explicit force may displace an existing tag: tmp + rename
+      // (rename overwrites on local FS — here that is the intent)
+      val tmp = new Path(root,
+        s"_tags/.tmp-$name-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      if (f.exists(dst)) f.delete(dst, false)
+      if (!f.rename(tmp, dst))
+        throw new IllegalStateException(
+          s"SnapshotStore: failed to publish tag '$name' at $root " +
+            "(concurrent tag writer?)")
+    } else {
+      // non-force publish is CREATE-EXCLUSIVE, not check-then-rename: a
+      // rename would silently overwrite a tag another writer landed
+      // between our exists() check and the rename, and a read-back can
+      // only see a tag that lands AFTER ours. Local FS: an atomic
+      // hard-link of the written tmp file (POSIX link(2) fails with
+      // EEXIST — no window at all). Other FSs: create(dst, overwrite =
+      // false), which HDFS implements atomically at the NameNode. Either
+      // failure is the named already-exists conflict.
+      val tmp = new Path(root,
+        s"_tags/.tmp-$name-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      def conflict(): Nothing = {
+        f.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"SnapshotStore: tag '$name' already exists at $root " +
+            s"(→ v${tagVersion(spark, root, name).getOrElse(-1L)}); pass " +
+            "force = true to move it")
+      }
+      if ("file" == Option(f.getUri.getScheme).getOrElse("file")) {
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(f.makeQualified(dst).toUri),
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => conflict()
+        }
+        f.delete(tmp, false)
+      } else {
+        val o =
+          try f.create(dst, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              conflict()
+            case _: java.io.IOException if f.exists(dst) => conflict()
+          }
+        try o.write(bytes)
+        finally o.close()
+        f.delete(tmp, false)
+      }
+    }
     if (!tagVersion(spark, root, name).contains(v))
       throw new IllegalStateException(
         s"SnapshotStore: lost the tag-publish race for '$name' at $root " +

@@ -74,7 +74,11 @@ object TableDiff {
     * matched" condition — applying them would be order-dependent). */
   def applyChanges(base: DataFrame, changes: DataFrame,
       key: String): DataFrame = {
-    val ops = changes.select(col("op")).distinct()
+    // limit(3): only 2 ops are legal, so 3 distinct values already prove
+    // an illegal one — and the cap keeps a malformed changes frame whose
+    // `op` column is high-cardinality (e.g. a mis-wired payload column)
+    // from pulling every distinct value to the driver just to fail
+    val ops = changes.select(col("op")).distinct().limit(3)
       .collect().map(_.getString(0)).toSet
     val bad = ops.diff(Set("upsert", "delete"))
     require(bad.isEmpty,

@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -40,6 +41,20 @@ object MaterializedViews {
   private final case class Mv(base: LogicalPlan, summary: LogicalPlan)
   private val registry = new ConcurrentHashMap[String, Mv]()
 
+  // register() must observe the TRUE plans. With RewriteRule active, both
+  // the validation counts and the optimizedPlan captures below would have
+  // any LIVE registration rewrite the base subtree to its (old) summary:
+  // validation then spuriously reports "refresh the summary", and with
+  // validate = false the stored Mv.base would BE the rewritten plan — the
+  // refreshed view silently stops matching any query. The rule passes
+  // plans through untouched while this thread is inside a capture
+  // (optimization of a forced plan runs on the forcing thread, so a
+  // thread-local is exactly the right scope — concurrent queries on
+  // OTHER threads keep their rewrites).
+  private val capturing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   /** Register `summary` as the materialized form of `base`. Schemas must
     * agree on column names and types in order (the summary MAY be
     * nullable where the base is not — parquet round-trips lose
@@ -54,19 +69,32 @@ object MaterializedViews {
     require(bs.sameElements(ss),
       s"materialized view '$name': summary schema ${ss.mkString(", ")} " +
         s"must match the base aggregate's ${bs.mkString(", ")}")
-    if (validate) {
-      val missing = base.exceptAll(summary).count()
-      val extra = summary.exceptAll(base).count()
-      if (missing != 0 || extra != 0)
-        throw new IllegalArgumentException(
-          s"materialized view '$name' does not match its base query: " +
-            s"$missing base row(s) missing from the summary, $extra " +
-            "summary row(s) unaccounted for — refresh the summary before " +
-            "registering")
-    }
-    registry.put(name,
-      Mv(base.queryExecution.optimizedPlan,
-        summary.queryExecution.optimizedPlan))
+    // re-registration after a refresh: retire the stale entry FIRST so
+    // its summary cannot shadow the capture below under the same name
+    registry.remove(name)
+    val prev = capturing.get()
+    capturing.set(true)
+    try {
+      // fresh Datasets (identity select) so the captures cannot reuse a
+      // QueryExecution whose optimizedPlan was already forced — and
+      // rewritten — while an earlier registration was live; the identity
+      // Project collapses away in optimization, so matching is unchanged
+      val b = base.select(col("*"))
+      val s = summary.select(col("*"))
+      if (validate) {
+        val missing = b.exceptAll(s).count()
+        val extra = s.exceptAll(b).count()
+        if (missing != 0 || extra != 0)
+          throw new IllegalArgumentException(
+            s"materialized view '$name' does not match its base query: " +
+              s"$missing base row(s) missing from the summary, $extra " +
+              "summary row(s) unaccounted for — refresh the summary " +
+              "before registering")
+      }
+      registry.put(name,
+        Mv(b.queryExecution.optimizedPlan,
+          s.queryExecution.optimizedPlan))
+    } finally capturing.set(prev)
   }
 
   def deregister(name: String): Unit = registry.remove(name)
@@ -79,7 +107,7 @@ object MaterializedViews {
     * when nothing is registered. */
   object RewriteRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (registry.isEmpty) return plan
+      if (registry.isEmpty || capturing.get()) return plan
       val mvs = registry.values().asScala.toSeq
       plan.transformDown {
         case p if mvs.exists(_.base.sameResult(p)) =>

@@ -40,6 +40,12 @@ object Similarity extends QueryPack {
     * such bound. */
   val MmrCandidates: Int = 15
 
+  /** Hard ceiling on the MMR pool: the pool² pair-sim map collects to
+    * the driver, so raising [[MmrCandidates]] into the thousands would
+    * quietly serialize ~pool² rows there. 1024 keeps that ≤ ~1M pairs
+    * (tens of MB); anything larger is a named error, not a slow death. */
+  val MmrMaxPool: Int = 1024
+
   /** s15 MMR picks (output rows). */
   val MmrK: Int = 5
 
@@ -331,6 +337,10 @@ object Similarity extends QueryPack {
     // picks and tie-breaks, are exact in both engines; the ×2-scaled
     // λ=0.5 score divides back to a double only at output.
     "s15_mmr_rerank" -> ((s, d) => {
+      require(MmrCandidates <= MmrMaxPool,
+        s"s15: MMR candidate pool $MmrCandidates exceeds the driver-side " +
+          s"ceiling $MmrMaxPool — the greedy stage collects pool² pair " +
+          "similarities; shrink the pool or distribute the selection")
       def micro(a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =
         round(round(VectorFunctions.cosine(a, b), 6) * 1e6).cast("long")

@@ -31,6 +31,10 @@ class MaterializedViewSpec extends SparkTestBase {
     val path = "target/mv-summary"
     baseAgg().write.mode("overwrite").parquet(path)
     val summary = spark.read.parquet(path)
+    // capture the expected answer BEFORE registering — afterwards both
+    // sides of the comparison would be rewritten to the summary and a
+    // wrong rewrite could never be detected
+    val want = baseAgg().orderBy("l_returnflag").collect().map(_.toSeq)
     try {
       MaterializedViews.register("qty_by_flag", baseAgg(), summary)
       // a FRESHLY constructed identical query — new expression ids
@@ -38,9 +42,8 @@ class MaterializedViewSpec extends SparkTestBase {
       val files = scannedFiles(q)
       assert(files.nonEmpty && files.forall(_.contains("mv-summary")),
         s"expected only summary files, scanned: $files")
-      // and the result is still right
+      // and the result is still right (vs the pre-registration answer)
       val got = q.collect().map(_.toSeq)
-      val want = baseAgg().orderBy("l_returnflag").collect().map(_.toSeq)
       assert(got.toSeq === want.toSeq)
 
       // a DIFFERENT aggregate (other grouping) is untouched
@@ -66,6 +69,30 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(scannedFiles(baseAgg()).forall(_.contains("mv-summary2")))
       MaterializedViews.deregister("tmp_mv")
       assert(scannedFiles(baseAgg()).exists(_.contains("lineitem")))
+    } finally MaterializedViews.clear()
+  }
+
+  test("re-registering a refreshed summary while the old one is live keeps matching") {
+    // the refresh workflow: a pipeline re-registers the SAME view name
+    // after each summary refresh, with the previous registration still
+    // active. The capture must not observe its own (old) rewrite — or
+    // the stored base becomes the old summary's scan and the view
+    // silently stops matching every future query.
+    val pathA = "target/mv-refresh-a"
+    val pathB = "target/mv-refresh-b"
+    baseAgg().write.mode("overwrite").parquet(pathA)
+    baseAgg().write.mode("overwrite").parquet(pathB)
+    try {
+      MaterializedViews.register("refresh_mv", baseAgg(),
+        spark.read.parquet(pathA))
+      // live old registration; now re-register the refreshed summary —
+      // validation must pass (no spurious "refresh the summary") …
+      MaterializedViews.register("refresh_mv", baseAgg(),
+        spark.read.parquet(pathB))
+      // … and a fresh query must rewrite to the NEW summary
+      val files = scannedFiles(baseAgg())
+      assert(files.nonEmpty && files.forall(_.contains("mv-refresh-b")),
+        s"expected the refreshed summary's files, scanned: $files")
     } finally MaterializedViews.clear()
   }
 

@@ -29,6 +29,30 @@ class PrefixSumSpec extends SparkTestBase {
     assert(slices >= 2)
   }
 
+  test("decimal running totals are exact; float values are a named error") {
+    val dec = docs.withColumn("dv",
+      (col("v") + lit(0.25)).cast("decimal(12,2)"))
+    val order = Seq(col("dv").desc, col("doc_id"))
+    val got = PrefixSum
+      .withRunningTotal(dec, col("dv"), order, "cum", numPartitions = 4)
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = dec.withColumn("cum", sum("dv").over(w))
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(got === want)
+    // fractional slice offsets would silently truncate under a long
+    // accumulator — floats are refused with a pointer at the fix
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(
+        docs.withColumn("d", col("v").cast("double")),
+        col("d"), Seq(col("doc_id")), "cum")
+    }
+    assert(e.getMessage.contains("cast to decimal"))
+  }
+
   test("running total on an empty input is empty, not an error") {
     val empty = docs.filter(lit(false))
     assert(PrefixSum.withRunningTotal(empty, col("v"),
