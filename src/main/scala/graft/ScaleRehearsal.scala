@@ -1,0 +1,369 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Embedder
+import graft.operators._
+
+/** 10× scale rehearsal (round-6 verdict item 1): run the flagship
+  * dedup / clustering / graph / ANN pipelines on a synthesized corpus
+  * and graph LARGE enough to cross the adaptive tier gates at their REAL
+  * defaults — `Triangles.BroadcastEdgeLimit` and
+  * `DupClusters.DriverEdgeLimit` (both 2²² ≈ 4.19M edges) — converting
+  * the "the plan reads scale-safe" claims into measurements. No DuckDB
+  * oracle at this size; every check is an INVARIANCE the synthesis makes
+  * exact:
+  *
+  *  - planted duplicates (1% of docs duplicate their predecessor) must
+  *    all be recovered by MinHash-LSH and n-gram-Jaccard at jacc = 1;
+  *  - chain components of known span must label to their known minimum
+  *    through the DISTRIBUTED DupClusters tier (edge count above the
+  *    driver gate), and the driver tier (gate raised) must agree on the
+  *    identical graph — tier-pair agreement at real volume;
+  *  - a disjoint-clique graph has closed-form triangle/wedge counts
+  *    (K·C(c,3), K·c·C(c−1,2)) checked above the broadcast gate (shuffle
+  *    tier) and across both tiers just below it;
+  *  - a symmetric ring is an exact integer-PageRank fixpoint (every rank
+  *    1e6) and the convergence probe must exit in ≤ 2 rounds; ring BFS
+  *    hop histograms are closed-form;
+  *  - a full-probe stored-IVF search is exhaustive, so it must equal
+  *    brute-force cosine top-k exactly; the stored-index upsert loop
+  *    must replace, not duplicate;
+  *  - t23's curation pipeline must emit one verdict row per corpus doc.
+  *
+  * Modes: `full` (the rehearsal above; ~10× the sf0.1 fixture corpus,
+  * graph sizes crossing the 4.19M-edge gates) and `pressure` (round-6
+  * verdict item 7: a deliberately starved execution-memory budget —
+  * `spark.memory.fraction = 0.2` under a small forked heap — over the
+  * shuffle-heavy subset, with a listener recording spill volume, to
+  * prove the operators degrade into spills, not OOM).
+  *
+  * Usage: `runMain graft.ScaleRehearsal full [outJson]`
+  *        `java -Xmx3g … graft.ScaleRehearsal pressure`
+  */
+object ScaleRehearsal {
+
+  /** Deterministic pseudo-corpus in the documents.parquet schema:
+    * `words` hash-drawn tokens per doc from a 5000-word vocabulary; docs
+    * with id ≡ 1 (mod 100) are EXACT duplicates of their predecessor —
+    * the planted ground truth for the dedup recovery checks. */
+  def synthDocs(spark: SparkSession, n: Long, words: Int = 60): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("seed",
+        when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(words)),
+          i => concat(lit("w"), pmod(
+            xxhash64(concat_ws("#", col("seed"), i)), lit(5000))))))
+      .withColumn("lang", lit("en"))
+      // the fixture's source domain (src0..src19) so mixture-weighted
+      // queries (t09/t23) resolve their weights against the synth corpus
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("seed")
+
+  /** Deterministic embeddings (vec_id, embedding float[dim], label). */
+  def synthEmbeddings(spark: SparkSession, n: Long,
+      dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      Embedder.embed(concat(lit("v"), col("id")), dim)
+        .cast("array<float>").as("embedding"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+
+  /** K disjoint cliques of `c` nodes as unordered pair rows — closed
+    * form: K·C(c,2) edges, K·C(c,3) triangles, K·c·C(c−1,2) wedges. */
+  def cliqueGraph(spark: SparkSession, k: Long, c: Int): DataFrame = {
+    import spark.implicits._
+    val pairs = (for { i <- 0 until c; j <- i + 1 until c } yield (i, j))
+      .toDF("i", "j")
+    spark.range(k).crossJoin(broadcast(pairs))
+      .select((col("id") * c + col("i")).as("pa"),
+        (col("id") * c + col("j")).as("pb"))
+  }
+
+  private def timed[T](name: String)(body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"REHEARSAL|$name|seconds=$s%.1f")
+    (r, s)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("full")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+        if (mode == "pressure") "local[8]" else "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        if (mode == "pressure") "8" else "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.memory.fraction",
+        if (mode == "pressure") "0.2" else "0.6")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      if (mode == "pressure") pressure(spark) else full(spark, args)
+    } finally spark.stop()
+  }
+
+  /** Starved-memory run: the spill-heavy subset under an execution
+    * budget ~1/3 of default, in a heap the caller shrank. Success =
+    * completion with correct invariants; the listener reports how much
+    * actually spilled (the degradation path engaging). */
+  private def pressure(spark: SparkSession): Unit = {
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong()
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(e.taskMetrics).foreach { m =>
+            spilledMem.addAndGet(m.memoryBytesSpilled): Unit
+            spilledDisk.addAndGet(m.diskBytesSpilled): Unit
+          }
+      })
+    val docs = synthDocs(spark, 50000L).localCheckpoint(eager = true)
+
+    // d07-shaped n-gram Jaccard near-dups: posting-list shuffles
+    val (nd, _) = timed("pressure_d07") {
+      NgramJaccard.nearDuplicates(docs, n = 3, maxDf = 100)
+        .filter(col("jacc") >= 0.999).count()
+    }
+    require(nd >= 500, s"pressure d07: planted dups missing ($nd < 500)")
+
+    // d08 distributed label propagation above the driver gate
+    val (ok, _) = timed("pressure_d08") {
+      val nComp = 55000L; val span = 41L
+      val ids = spark.range(nComp * span).select(col("id"))
+      val pairs = ids.filter((col("id") + 1) % span =!= 0)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      DupClusters.assign(ids.select(col("id")), pairs)
+        .filter(col("cluster_id") =!= (col("id").cast("long") / span)
+          .cast("long") * span)
+        .count() == 0L
+    }
+    require(ok, "pressure d08: wrong labels under memory pressure")
+
+    // t11-shaped heavy hitters over the token stream (wide agg shuffle).
+    // The uniform synthetic vocabulary has no heavy hitters by design, so
+    // skew it deterministically: half the vocabulary folds hash-wise onto
+    // 8 "c<j>" tokens (~6% of token mass each — above the 1/k = 5%
+    // admission threshold), the rest stays long-tail.
+    val (hh, _) = timed("pressure_t11") {
+      val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+        .withColumn("term",
+          when(pmod(xxhash64(col("term")), lit(2)) === 0,
+            concat(lit("c"), pmod(
+              xxhash64(concat(lit("fold#"), col("term"))), lit(8))))
+            .otherwise(col("term")))
+      HeavyHitters.exact(terms, "term", k = 20).count()
+    }
+    require(hh >= 5L && hh <= 20L,
+      s"pressure t11: expected the planted heavy hitters, got $hh")
+
+    println(s"REHEARSAL|pressure|spilled_mem_bytes=${spilledMem.get}" +
+      s"|spilled_disk_bytes=${spilledDisk.get}")
+    println("PRESSURE_OK")
+  }
+
+  private def full(spark: SparkSession, args: Array[String]): Unit = {
+    import spark.implicits._
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- corpus: 50k docs (10× the sf0.1 fixture's 5000) ----
+    val synthDir = "target/rehearsal-sf1"
+    val docs = synthDocs(spark, 50000L).localCheckpoint(eager = true)
+    docs.coalesce(8).write.mode("overwrite")
+      .parquet(s"$synthDir/documents.parquet")
+    synthEmbeddings(spark, 20000L).coalesce(4).write.mode("overwrite")
+      .parquet(s"$synthDir/embeddings.parquet")
+    val plantedPairs = docs.filter(col("doc_id") % 100 === 1).count()
+
+    // ---- dedup recovery at 1× then 10× (the ~linear-scaling probe) ----
+    def d02dups(d: DataFrame) = MinHashLSH
+      .nearDuplicates(d, bands = 4, rowsPerBand = 3, threshold = 0.999)
+    def d07dups(d: DataFrame) = NgramJaccard
+      .nearDuplicates(d, n = 3, maxDf = 100).filter(col("jacc") >= 0.999)
+    val docs1x = synthDocs(spark, 5000L).localCheckpoint(eager = true)
+    val (_, tD02a) = timed("d02_minhash_1x")(d02dups(docs1x).count())
+    val (nD02, tD02b) = timed("d02_minhash_10x")(d02dups(docs).count())
+    val (_, tD07a) = timed("d07_ngram_1x")(d07dups(docs1x).count())
+    val (nD07, tD07b) = timed("d07_ngram_10x")(d07dups(docs).count())
+    // planted exact dups share every signature/shingle — they MUST all
+    // surface as jacc-1 pairs (other jacc-1 pairs cannot exist: distinct
+    // seeds collide on 60 independent 5000-ary draws with p ≈ 0)
+    require(nD02 == plantedPairs,
+      s"d02 recovered $nD02 of $plantedPairs planted duplicate pairs")
+    require(nD07 == plantedPairs,
+      s"d07 recovered $nD07 of $plantedPairs planted duplicate pairs")
+    report ++= Seq("d02_1x_s" -> tD02a, "d02_10x_s" -> tD02b,
+      "d07_1x_s" -> tD07a, "d07_10x_s" -> tD07b)
+    require(tD02b / tD02a < 50 && tD07b / tD07a < 50,
+      f"superlinear blowup: d02 ${tD02b / tD02a}%.1f×, " +
+        f"d07 ${tD07b / tD07a}%.1f× for 10× data")
+
+    // ---- d08 clustering ABOVE the real driver gate (distributed tier) ----
+    val nComp = 55000L; val span = 41L
+    val chainIds = spark.range(nComp * span).select(col("id"))
+      .localCheckpoint(eager = true)
+    val chainPairs = chainIds.filter((col("id") + 1) % span =!= 0)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      .localCheckpoint(eager = true)
+    val directedEdges = 2L * chainPairs.count()
+    require(directedEdges > DupClusters.DriverEdgeLimit,
+      s"synthesis bug: $directedEdges edges does not cross the " +
+        s"${DupClusters.DriverEdgeLimit} driver gate")
+    val (wrongDistributed, tD08) = timed("d08_distributed_10x") {
+      DupClusters.assign(chainIds, chainPairs)
+        .filter(col("cluster_id") =!=
+          (col("id").cast("long") / span).cast("long") * span)
+        .count()
+    }
+    require(wrongDistributed == 0L,
+      s"d08 distributed tier mislabeled $wrongDistributed vertices")
+    report += "d08_distributed_s" -> tD08
+    println(s"REHEARSAL|d08|edges=$directedEdges|" +
+      s"gate=${DupClusters.DriverEdgeLimit}|tier=distributed")
+    // tier-pair agreement on the SAME real-volume graph: gate raised →
+    // driver union-find; labels must be identical
+    val (wrongDriver, tD08d) = timed("d08_driver_tier_10x") {
+      DupClusters.assign(chainIds, chainPairs,
+        driverEdgeLimit = Long.MaxValue)
+        .withColumnRenamed("cluster_id", "driver_cluster")
+        .join(DupClusters.assign(chainIds, chainPairs), Seq("id"))
+        .filter(col("driver_cluster") =!= col("cluster_id")).count()
+    }
+    require(wrongDriver == 0L,
+      s"d08 tier disagreement on $wrongDriver vertices")
+    report += "d08_driver_s" -> tD08d
+
+    // ---- triangles ABOVE the broadcast gate (shuffle tier) ----
+    val kBig = 5500L; val c = 40
+    val bigCliques = cliqueGraph(spark, kBig, c)
+      .localCheckpoint(eager = true)
+    val orientedBig = bigCliques.count()
+    require(orientedBig > Triangles.BroadcastEdgeLimit,
+      s"synthesis bug: $orientedBig edges below the broadcast gate")
+    val (triBig, tTriBig) = timed("q60_triangles_shuffle_10x") {
+      Triangles.count(bigCliques).collect()(0)
+    }
+    def c3(n: Int): Long = n.toLong * (n - 1) * (n - 2) / 6
+    def c2(n: Int): Long = n.toLong * (n - 1) / 2
+    require(triBig.getLong(0) == kBig * c3(c),
+      s"triangles: got ${triBig.getLong(0)}, want ${kBig * c3(c)}")
+    require(triBig.getLong(1) == kBig * c * c2(c - 1),
+      s"wedges: got ${triBig.getLong(1)}, want ${kBig * c * c2(c - 1)}")
+    report += "q60_shuffle_s" -> tTriBig
+    println(s"REHEARSAL|q60|edges=$orientedBig|" +
+      s"gate=${Triangles.BroadcastEdgeLimit}|tier=shuffle")
+    // tier agreement just BELOW the gate: natural broadcast tier vs
+    // forced shuffle tier on the identical graph
+    val kNear = 5300L
+    val nearCliques = cliqueGraph(spark, kNear, c)
+      .localCheckpoint(eager = true)
+    require(nearCliques.count() <= Triangles.BroadcastEdgeLimit)
+    val (triB, tB) = timed("q60_broadcast_tier") {
+      Triangles.count(nearCliques).collect()(0)
+    }
+    val (triS, tS) = timed("q60_forced_shuffle_tier") {
+      Triangles.count(nearCliques, broadcastEdgeLimit = 0L).collect()(0)
+    }
+    require(triB.getLong(0) == triS.getLong(0) &&
+      triB.getLong(0) == kNear * c3(c),
+      s"triangle tier disagreement: ${triB.getLong(0)} vs ${triS.getLong(0)}")
+    report ++= Seq("q60_bcast_s" -> tB, "q60_forced_shuffle_s" -> tS)
+
+    // ---- PageRank + BFS on a 5M-edge ring ----
+    val ringN = 2500000L
+    val fw = spark.range(ringN)
+      .select(col("id").as("src"), ((col("id") + 1) % ringN).as("dst"))
+    val ring = fw.unionByName(
+      fw.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val ((ranks, rounds), tPr) = timed("q57_pagerank_ring_5m") {
+      PageRank.ranksConverged(ring, maxIters = 5)
+    }
+    require(rounds <= 2, s"ring PageRank should converge in ≤2, ran $rounds")
+    val offFix = ranks.filter(col("r") =!= 1000000L).count()
+    require(offFix == 0L && ranks.count() == ringN,
+      s"ring fixpoint violated on $offFix nodes")
+    report += "q57_ring_s" -> tPr
+    val dist0 = spark.range(ringN).select(col("id").as("v"),
+      when(col("id") === 0, 0).otherwise(BfsHops.Inf).as("dist"))
+    val ((dist, _), tBfs) = timed("q75_bfs_ring_5m") {
+      BfsHops.run(ring, dist0, maxRounds = 4)
+    }
+    val hist = dist.filter(col("dist") < BfsHops.Inf)
+      .groupBy("dist").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    require(hist == Map(0 -> 1L, 1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L),
+      s"ring BFS histogram wrong: $hist")
+    report += "q75_ring_s" -> tBfs
+
+    // ---- stored IVF: full-probe ≡ brute force; upsert replaces ----
+    val emb = synthEmbeddings(spark, 20000L).localCheckpoint(eager = true)
+    val ivfPath = "target/rehearsal-ivf"
+    val (_, tBuild) = timed("ivf_build_20k")(
+      IvfIndex.writeIndex(emb, k = 16, ivfPath))
+    val queries = emb.filter(col("vec_id") < 5)
+    val (got, tSearch) = timed("ivf_fullprobe_search") {
+      IvfIndex.searchIndexed(spark, ivfPath, queries, nProbe = 16,
+        topK = 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions
+          .cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    require(got == brute,
+      s"full-probe stored IVF ≠ brute force (${got.size} vs ${brute.size})")
+    report ++= Seq("ivf_build_s" -> tBuild, "ivf_search_s" -> tSearch)
+    val (_, tUp) = timed("ivf_upsert_loop") {
+      // 100 new + 50 re-embedded ids in one keyed upsert
+      val delta = spark.range(50).select(col("id").as("vec_id"),
+        Embedder.embed(concat(lit("re"), col("id")), 64)
+          .cast("array<float>").as("embedding"))
+        .unionByName(spark.range(50000, 50100)
+          .select(col("id").as("vec_id"),
+            Embedder.embed(concat(lit("v"), col("id")), 64)
+              .cast("array<float>").as("embedding")))
+      IvfIndex.upsertIndexed(spark, ivfPath, delta)
+    }
+    val idx = spark.read.parquet(s"$ivfPath/index")
+    require(idx.count() == 20100L &&
+      idx.select("vec_id").distinct().count() == 20100L,
+      "stored-IVF upsert duplicated or dropped rows")
+    report += "ivf_upsert_s" -> tUp
+
+    // ---- t23 curation pipeline over the 10× corpus dir ----
+    val (t23n, tT23) = timed("t23_curation_10x") {
+      SparkEntry.queries("t23_curation_pipeline")(spark, synthDir).count()
+    }
+    require(t23n == 50000L, s"t23 must verdict every doc, got $t23n")
+    report += "t23_s" -> tT23
+
+    // ---- heap telemetry + report ----
+    val peakHeap = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.stream()
+      .filter(p => p.getType ==
+        java.lang.management.MemoryType.HEAP)
+      .mapToLong(p => p.getPeakUsage.getUsed).sum()
+    println(f"REHEARSAL|heap|peak_heap_gb=${peakHeap / 1e9}%.2f")
+    val json = report.map { case (k, v) => f""""$k": $v%.2f""" }
+      .mkString("{", ", ", f""", "peak_heap_gb": ${peakHeap / 1e9}%.2f}""")
+    val out = args.lift(1).getOrElse("target/scale_rehearsal.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"REHEARSAL_OK $json")
+  }
+}

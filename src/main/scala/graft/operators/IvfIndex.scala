@@ -335,6 +335,60 @@ object IvfIndex {
       .partitionBy("cent_id").parquet(s"$path/index")
   }
 
+  /** Stored IVF-SQ8 index (the Faiss IVF-SQ idea): same cell-partitioned
+    * layout as [[writeIndex]], but rows store the SYMMETRIC-int8
+    * quantized vector ([[VectorFunctions.quantizeInt8]] — small integers,
+    * the 4×-at-rest compression tier between IVF-flat and PQ) instead of
+    * the raw floats. Cell assignment runs on the full-precision input
+    * (standard SQ: compression is for the stored payload, not the
+    * geometry), and because the quantization is integer-exact, search
+    * results over the compressed tier are oracle-checkable like the PQ
+    * path, not just spot-checked. */
+  def writeIndexSq(emb: DataFrame, k: Int, path: String): Unit = {
+    val cents = centroids(emb, k)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cent_id", "qc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cellRanksWith(emb, cents)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("q8"),
+        col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/index")
+  }
+
+  /** Search a [[writeIndexSq]] layout: probe cells resolve against the
+    * centroid sidecar from the FULL-precision queries (dim-guarded),
+    * only the probed cells' partitions are scanned, and scoring is
+    * symmetric int8 — queries quantize through the same expression, so
+    * similarities match the in-memory s05 semantics exactly. */
+  def searchIndexedSq(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int, topK: Int): DataFrame = {
+    val cents = readCentroids(spark, path)
+    requireDim(queries, cents, "searchIndexedSq")
+    val probes = cellRanksWith(queries, cents)
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("q_id"),
+        VectorFunctions.quantizeInt8(col("embedding"))
+          .cast("array<double>").as("q_q8"),
+        col("cent_id"))
+    val probeCells = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    spark.read.parquet(s"$path/index")
+      .filter(col("cent_id").isin(probeCells: _*))
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosine(
+          col("q8").cast("array<double>"), col("q_q8")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
   /** Search a [[writeIndex]]-materialized index. Probe cell ids resolve
     * driver-side (≤ queries × nProbe ids — `queries` is assumed to be a
     * query set, not the corpus), then the stored index is read with

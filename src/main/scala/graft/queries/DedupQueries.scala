@@ -225,6 +225,31 @@ object DedupQueries extends QueryPack {
         .orderBy("t_permille")
     }),
 
+    // Dedup impact accounting per source — the governance rollup a data
+    // release quotes next to d18's threshold curve: for every source,
+    // how many documents AND how much token mass would the d08
+    // cluster-canonical cut delete. Cost = the existing clustering + one
+    // token-count scan joined on doc_id + a |sources|-row rollup; the
+    // permille share is exact integer division.
+    "d19_dedup_loss_by_source" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tokens"))
+      toks.join(clusterAssignments(s, d), "doc_id")
+        .withColumn("dropped", col("doc_id") =!= col("cluster_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("tokens")).as("tokens_total"),
+          sum(when(col("dropped"), col("tokens")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("source"), col("n_docs"), col("n_dropped"),
+          col("tokens_total"), col("tokens_dropped"),
+          expr("(tokens_dropped * 1000) div tokens_total")
+            .cast("bigint").as("drop_permille"))
+        .orderBy("source")
+    }),
+
     // The capstone pretraining-data cut: DEDUP then SELECT — cluster
     // representatives only (d08's canonical per duplicate cluster, so a
     // 100k-copy boilerplate page spends its tokens once), quality-ranked,
@@ -472,6 +497,23 @@ object DedupQueries extends QueryPack {
         |    - count(DISTINCT CASE WHEN jp >= t_permille THEN b_id END) as bigint) AS n_kept
         |FROM th LEFT JOIN cpr ON true
         |GROUP BY t_permille ORDER BY t_permille""".stripMargin),
+    // cluster closure + a token-count scan → per-source loss accounting
+    "d19_dedup_loss_by_source" ->
+      (DuckClusterCtes + """,
+        |tk AS (SELECT doc_id, source,
+        |    cast(len(string_split(text, ' ')) as bigint) AS tokens
+        |  FROM documents),
+        |j AS (SELECT tk.source, tk.tokens,
+        |    (tk.doc_id <> asg.cluster_id) AS dropped
+        |  FROM tk JOIN asg ON asg.doc_id = tk.doc_id)
+        |SELECT source, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+        |  cast(sum(tokens) as bigint) AS tokens_total,
+        |  cast(sum(CASE WHEN dropped THEN tokens ELSE 0 END) as bigint) AS tokens_dropped,
+        |  cast((sum(CASE WHEN dropped THEN tokens ELSE 0 END) * 1000)
+        |    // sum(tokens) as bigint) AS drop_permille
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
+
     "d06_dedup_summary" -> dedupSummaryOracle,
 
     "d09_substring_dedup" ->

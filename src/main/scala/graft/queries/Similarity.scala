@@ -582,6 +582,28 @@ object Similarity extends QueryPack {
             expr(s"hits * 1000 div $denom").cast("bigint")
               .as("recall_permille"))
       }.reduce(_.unionByName(_)).orderBy("n_probe")
+    }),
+
+    // IVF-SQ8 at rest — the scalar-quantized sibling of s14's stored
+    // IVFADC (the Faiss IVF-SQ index type): candidate cells from the
+    // stored partition layout (probe = partition-pruned scan of the
+    // probed cent_id dirs), scores from the STORED int8 codes (s05's
+    // symmetric quantization — integer-exact, so the 4×-compressed tier
+    // is oracle-checked end to end, not spot-checked). Cell assignment
+    // on full precision, scoring on the compressed codes; corpus
+    // embeddings are read only to build the store and select queries.
+    "s19_sq_ivf_stored" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s19-sqivf").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.writeIndexSq(emb, k = 16, root)
+      graft.operators.IvfIndex.searchIndexedSq(s, root,
+        emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+        nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -636,6 +658,36 @@ object Similarity extends QueryPack {
         |      UNION ALL SELECT * FROM h4)
         |ORDER BY n_probe""".stripMargin
     },
+
+    // s03's assignment/probing CTEs + s05's symmetric-int8 scoring: the
+    // stored layout computes the identical quantity by construction
+    "s19_sq_ivf_stored" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |dists AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, cents c),
+        |ranks AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM dists),
+        |assign AS (SELECT vec_id, cent_id FROM ranks WHERE rk = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id FROM ranks WHERE vec_id < 5 AND rk <= 2),
+        |e8 AS (SELECT vec_id,
+        |  cast(${VectorFunctions.duckQuantizeInt8("embedding")} as double[]) AS q8
+        |  FROM embeddings),
+        |cand AS (SELECT p.q_id, a.vec_id,
+        |    round(list_cosine_similarity(cv.q8, cq.q8), 6) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+        |  JOIN e8 cq ON cq.vec_id = p.q_id
+        |  JOIN e8 cv ON cv.vec_id = a.vec_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     "s17_mislabel_audit" ->
       s"""WITH q AS (SELECT vec_id, label,

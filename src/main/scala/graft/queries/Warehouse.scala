@@ -509,16 +509,19 @@ object Warehouse extends QueryPack {
 
     // k-hop BFS (single-source shortest hop distance) over the
     // co-purchase graph — the third iterative graph shape beside q57's
-    // PageRank and d08's label propagation. Three unrolled Pregel
-    // supersteps, each exactly two exchanges (frontier ⋈ edges on src +
-    // dst min-rollup), frontier-filtered so settled work shrinks as the
-    // wave passes; distances are small exact ints with an integer
-    // "infinity" sentinel (1000000 — least() over NULL would silently
-    // poison, a sentinel cannot), per-iteration state checkpointed (the
-    // q57 discipline: iterations must not replay pair generation).
-    // Output is the hop histogram — ≤ k+2 rows from any graph size,
-    // unreached nodes reported as dist −1.
+    // PageRank and d08's label propagation. Three Pregel supersteps via
+    // the BfsHops operator, each exactly two exchanges (frontier ⋈ edges
+    // on src + dst min-rollup), frontier-filtered so settled work
+    // shrinks as the wave passes; distances are small exact ints with an
+    // integer "infinity" sentinel (BfsHops.Inf — least() over NULL would
+    // silently poison, a sentinel cannot), per-iteration state
+    // checkpointed (the q57 discipline: iterations must not replay pair
+    // generation). The fixed 3-round form here matches the unrolled SQL
+    // oracle; production callers use BfsHops.run(…, earlyExit = true)
+    // and stop at the fixpoint. Output is the hop histogram — ≤ k+2 rows
+    // from any graph size, unreached nodes reported as dist −1.
     "q75_bfs_hops" -> ((s, d) => {
+      val Inf = graft.operators.BfsHops.Inf
       val half = coPurchasePairs(Tables.lineitem(s, d)).distinct()
         .localCheckpoint(eager = true)
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
@@ -526,24 +529,14 @@ object Warehouse extends QueryPack {
         .localCheckpoint(eager = true)
       val nodes = edges.select(col("src").as("v")).distinct()
       val src0 = nodes.agg(min("v").as("s0"))
-      var dist = nodes.crossJoin(broadcast(src0))
+      val dist0 = nodes.crossJoin(broadcast(src0))
         .select(col("v"),
-          when(col("v") === col("s0"), lit(0)).otherwise(lit(1000000))
+          when(col("v") === col("s0"), lit(0)).otherwise(lit(Inf))
             .as("dist"))
-        .localCheckpoint(eager = true)
-      for (_ <- 1 to 3) {
-        val frontier = dist.filter(col("dist") < 1000000)
-          .select(col("v").as("fv"), col("dist").as("fd"))
-        val nd = edges.join(frontier, col("src") === col("fv"))
-          .groupBy("dst").agg((min("fd") + 1).as("nd"))
-        dist = dist.join(nd, dist("v") === nd("dst"), "left")
-          .select(col("v"),
-            least(col("dist"), coalesce(col("nd"), lit(1000000)))
-              .as("dist"))
-          .localCheckpoint(eager = true)
-      }
+      val (dist, _) = graft.operators.BfsHops.run(edges, dist0,
+        maxRounds = 3)
       dist
-        .select(when(col("dist") === 1000000, lit(-1)).otherwise(col("dist"))
+        .select(when(col("dist") === Inf, lit(-1)).otherwise(col("dist"))
           .cast("int").as("dist"))
         .groupBy("dist")
         .agg(count(lit(1)).as("n_nodes"))

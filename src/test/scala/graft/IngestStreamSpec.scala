@@ -356,6 +356,118 @@ class IngestStreamSpec extends SparkTestBase {
       s"a paced batch exceeded the single-file bound: $deltas")
   }
 
+  test("kill-window matrix: a writer dying at each commit crash point recovers exactly-once") {
+    import graft.operators.SnapshotStore
+    val docs = Seq(
+      (1L, "kill window document one with some text to chunk", "en", "k1.pdf", 48L),
+      (2L, "kill window document two carrying different words", "en", "k2.pdf", 49L),
+      (3L, "kill window document three rounding out the batch", "en", "k3.pdf", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: DataFrame, src: String, name: String): Unit = {
+      val stage = tmp("kill_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    def chain(e: Throwable): Iterator[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+    val want = rows(IngestionPipeline.buildIndexFrom(docs, 20, 5, 8))
+
+    // batch-0 (full-snapshot commit) dying at each of the three windows:
+    // after the attempt-dir data write, after the manifest tmp write
+    // (before its create-exclusive), and after the manifest lands
+    // (published, checkpoint not yet advanced) — recovery must land the
+    // store in the identical exactly-once state in all three
+    for (point <- Seq("data-dir-written", "manifest-tmp-written",
+        "manifest-renamed")) {
+      val src = tmp(s"kill_src"); val store = tmp(s"kill_store")
+      val cp = tmp(s"kill_cp")
+      Files.delete(Paths.get(store))
+      land(docs, src, "docs.parquet")
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      SnapshotStore.FaultInjection.arm { p =>
+        if (p == point && fired.compareAndSet(false, true))
+          throw new RuntimeException(s"injected crash at $p")
+      }
+      val sid = s"kill_$point"
+      try {
+        val e = intercept[Exception] {
+          IngestStream.transactionalAvailable(spark, src, store, cp,
+            streamId = sid, buckets = 4, chunkSize = 20, overlap = 5,
+            dim = 8)
+        }
+        assert(chain(e).exists(t =>
+          Option(t.getMessage).exists(_.contains("injected crash"))),
+          s"$point: stream failed for an unexpected reason: $e")
+      } finally SnapshotStore.FaultInjection.disarm()
+
+      // the torn store is never half-visible: either nothing published
+      // (pre-rename windows) or the full atomic version (post-rename)
+      val visible = SnapshotStore.currentVersion(spark, store)
+      if (point == "manifest-renamed") assert(visible === Some(1L))
+      else assert(visible === None, s"$point published a torn version")
+      visible.foreach { _ =>
+        assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
+          === want)
+      }
+
+      // recovery: the checkpoint never advanced, so the re-run replays
+      // batch 0 — orphan data dirs are replaced, tmp manifests ignored,
+      // and an already-published version is detected by its txn marker
+      IngestStream.transactionalAvailable(spark, src, store, cp,
+        streamId = sid, buckets = 4, chunkSize = 20, overlap = 5, dim = 8)
+      assert(SnapshotStore.currentVersion(spark, store) === Some(1L),
+        s"$point: recovery must yield exactly one linear version")
+      assert(SnapshotStore.lastCommittedBatch(spark, store, sid)
+        === Some(0L))
+      assert(rows(SnapshotStore.read(spark, store).drop("bucket")) === want,
+        s"$point: recovered store must equal the no-crash build")
+      // maintenance over the recovered store keeps it intact
+      SnapshotStore.vacuum(spark, store, keepVersions = 1)
+      assert(rows(SnapshotStore.read(spark, store).drop("bucket")) === want)
+    }
+
+    // the UPSERT path's sharpest window: batch 1 publishes its manifest
+    // and dies before the checkpoint commit — the replay must detect the
+    // txn marker and no-op instead of double-applying the upsert
+    locally {
+      val src = tmp("kill2_src"); val store = tmp("kill2_store")
+      val cp = tmp("kill2_cp")
+      Files.delete(Paths.get(store))
+      land(docs, src, "b0.parquet")
+      IngestStream.transactionalAvailable(spark, src, store, cp,
+        streamId = "kill_upsert", buckets = 4, chunkSize = 20, overlap = 5,
+        dim = 8)
+      val reparsed = docs.filter($"doc_id" === 1L)
+        .withColumn("text", concat(col("text"), lit(" revised")))
+      land(reparsed, src, "b1.parquet")
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      SnapshotStore.FaultInjection.arm { p =>
+        if (p == "manifest-renamed" && fired.compareAndSet(false, true))
+          throw new RuntimeException("injected crash at manifest-renamed")
+      }
+      try intercept[Exception] {
+        IngestStream.transactionalAvailable(spark, src, store, cp,
+          streamId = "kill_upsert", buckets = 4, chunkSize = 20,
+          overlap = 5, dim = 8)
+      } finally SnapshotStore.FaultInjection.disarm()
+      assert(SnapshotStore.currentVersion(spark, store) === Some(2L))
+
+      IngestStream.transactionalAvailable(spark, src, store, cp,
+        streamId = "kill_upsert", buckets = 4, chunkSize = 20, overlap = 5,
+        dim = 8)
+      assert(SnapshotStore.currentVersion(spark, store) === Some(2L),
+        "replayed published upsert must no-op, not re-publish")
+      val expected = rows(IngestionPipeline.buildIndexFrom(
+        docs.filter($"doc_id" =!= 1L).unionByName(reparsed), 20, 5, 8))
+      assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
+        === expected)
+      assert(SnapshotStore.lastCommittedBatch(spark, store, "kill_upsert")
+        === Some(1L))
+    }
+  }
+
   test("CHECK constraint rejects a violating streaming batch before write") {
     import graft.operators.SnapshotStore
     import spark.implicits._

