@@ -335,6 +335,49 @@ object IvfIndex {
       .partitionBy("cent_id").parquet(s"$path/index")
   }
 
+  /** Delete vectors from a stored index by id — the right-to-be-
+    * forgotten / poisoned-sample-removal primitive a production vector
+    * store cannot ship without. Only the cells holding deleted ids are
+    * read (partition pruning on `cent_id`) and rewritten without them —
+    * cost ∝ touched cells, the rest of the index is untouched. A cell
+    * whose rows are ALL deleted needs explicit removal: dynamic
+    * partition overwrite only rewrites partitions PRESENT in the output,
+    * so an emptied cell would otherwise silently keep its stale rows —
+    * the exact failure mode [[IngestionPipeline]]'s all-deleted-bucket
+    * cleanup guards against. Ids absent from the index are a no-op.
+    * Merged survivors localCheckpoint-materialize before the overwrite
+    * commits (Spark must never lazily re-read partitions the same job
+    * deletes). */
+  def deleteFromIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val index = spark.read.parquet(s"$path/index")
+    val touched = index
+      .join(del, index("vec_id").cast("long") === del("vec_id"),
+        "left_semi")
+      // read-back partition column may infer as int — normalize
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val merged = index.filter(col("cent_id").isin(touched: _*))
+      .join(del, index("vec_id").cast("long") === del("vec_id"),
+        "left_anti")
+      .select("vec_id", "embedding", "cent_id")
+      .localCheckpoint(eager = true)
+    val survivors = merged.select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id").parquet(s"$path/index")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(survivors.contains).foreach { c =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/index/cent_id=$c"), true)
+    }
+  }
+
   /** Stored IVF-SQ8 index (the Faiss IVF-SQ idea): same cell-partitioned
     * layout as [[writeIndex]], but rows store the SYMMETRIC-int8
     * quantized vector ([[VectorFunctions.quantizeInt8]] — small integers,

@@ -219,6 +219,200 @@ object SnapshotStore {
         l.stripPrefix("#buckets\t").trim.toInt
     }
 
+  // ---- file-level column statistics (data skipping) -----------------
+
+  private def statColsLine(cols: Seq[String]) =
+    s"#statcols\t${cols.mkString(",")}"
+
+  private def statColsLineOf(meta: Seq[String]): Option[String] =
+    meta.collectFirst { case l if l.startsWith("#statcols\t") => l }
+
+  private def parseStatCols(line: String): Seq[String] =
+    line.stripPrefix("#statcols\t").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** `#stat\t<relpath>\t<col>\t<rows>\t<nulls>\t<min>\t<max>` — min/max
+    * are canonical DECIMAL strings (ints verbatim, floats via exact
+    * double widening, dates as epoch-day, timestamps as epoch-micros);
+    * empty = unknown/all-null. One line per (file, declared column). */
+  private def statLine(rel: String, c: String, rows: Long, nulls: Long,
+      mn: Option[String], mx: Option[String]) =
+    s"#stat\t$rel\t$c\t$rows\t$nulls\t${mn.getOrElse("")}\t${mx.getOrElse("")}"
+
+  private def parseStatLines(meta: Seq[String])
+      : Map[(String, String), String] =
+    meta.filter(_.startsWith("#stat\t")).map { l =>
+      val a = l.split("\t", 7)
+      ((a(1), a(2)), l)
+    }.toMap
+
+  /** Canonical decimal-comparable form of a stats/bound value. None =
+    * not representable (NaN/Inf/unsupported type) ⇒ the file is simply
+    * never pruned — conservatively correct, results come from the
+    * residual filter either way. Floats widen through toDouble (exact),
+    * so a serialized bound can never under-represent a stored value. */
+  private def canon(v: Any): Option[String] = v match {
+    case null => None
+    case b: Byte => Some(b.toString)
+    case s: Short => Some(s.toString)
+    case i: Int => Some(i.toString)
+    case l: Long => Some(l.toString)
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(f.toDouble.toString)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case _ => None
+  }
+
+  private def parseBd(s: String): Option[java.math.BigDecimal] =
+    if (s.isEmpty) None
+    else scala.util.Try(new java.math.BigDecimal(s)).toOption
+
+  /** Compute `#stat` lines for NEW files: one columnar aggregate per
+    * contributing dir, reading ONLY the declared columns and grouping
+    * by file — a bounded job (one output row per new file) whose cost
+    * scales with the delta, exactly like the commit that wrote it. */
+  private def computeFileStats(spark: SparkSession, root: String,
+      relPaths: Seq[String], cols: Seq[String])
+      : Seq[((String, String), String)] = {
+    if (relPaths.isEmpty || cols.isEmpty) return Nil
+    relPaths.groupBy(_.split("/").take(2).mkString("/")).toSeq
+      .sortBy(_._1).flatMap { case (_, ps) =>
+        val df = spark.read.parquet(ps.map(p => s"$root/$p"): _*)
+        val fields = df.schema.fieldNames.toSet
+        val present = cols.filter(fields.contains)
+        // key by bucket=<b>/<file>: one write job reuses part filenames
+        // across its bucket dirs, so the bare filename is NOT unique
+        // within an attempt dir
+        val byName = ps.map(p =>
+          p.split("/").takeRight(2).mkString("/") -> p).toMap
+        val aggs = Seq(count(lit(1)).as("graft_rows")) ++
+          present.flatMap { c =>
+            Seq(min(col(c)).as(s"graft_min_$c"),
+              max(col(c)).as(s"graft_max_$c"),
+              sum(when(col(c).isNull, 1L).otherwise(0L))
+                .as(s"graft_nulls_$c"))
+          }
+        val rows = df.groupBy(input_file_name().as("graft_file"))
+          .agg(aggs.head, aggs.tail: _*).collect().toSeq
+        rows.flatMap { r =>
+          val fname = r.getString(0).split("/").takeRight(2).mkString("/")
+          val rel = byName.getOrElse(fname,
+            throw new IllegalStateException(
+              s"SnapshotStore: stats scan surfaced unexpected file $fname"))
+          val n = r.getAs[Long]("graft_rows")
+          cols.map { c =>
+            if (!present.contains(c))
+              // column absent from this dir's files: additive evolution
+              // — every row null-fills it on read
+              ((rel, c), statLine(rel, c, n, n, None, None))
+            else {
+              val nulls = r.getAs[Long](s"graft_nulls_$c")
+              val mn = canon(r.get(r.fieldIndex(s"graft_min_$c")))
+              val mx = canon(r.get(r.fieldIndex(s"graft_max_$c")))
+              ((rel, c), statLine(rel, c, n, nulls, mn, mx))
+            }
+          }
+        }
+      }
+  }
+
+  /** Maintain file statistics across EVERY publish, centrally: if the
+    * store (or the incoming meta) declares `#statcols`, carry known
+    * `#stat` lines — keyed by (relpath, col); files are immutable and
+    * attempt-unique, so a known line is valid forever — from the
+    * incoming meta (rollback/restore carry their version's) or the
+    * parent manifest, and compute stats only for genuinely new files.
+    * No declaration ⇒ pass-through (zero extra jobs). */
+  private def withFileStats(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(Long, String)], meta: Seq[String]): Seq[String] = {
+    val f = fs(spark, root)
+    val prevMeta =
+      if (v > 1 && f.exists(manifestPath(root, v - 1)))
+        manifestMeta(spark, root, v - 1)
+      else Seq.empty[String]
+    statColsLineOf(meta).orElse(statColsLineOf(prevMeta)) match {
+      case None => meta.filterNot(_.startsWith("#stat\t"))
+      case Some(declLine) =>
+        val cols = parseStatCols(declLine)
+        val paths = entries.map(_._2)
+        val pathSet = paths.toSet
+        val known =
+          (parseStatLines(prevMeta) ++ parseStatLines(meta)).filter {
+            case ((p, c), _) => pathSet.contains(p) && cols.contains(c)
+          }
+        val missing =
+          paths.filter(p => cols.exists(c => !known.contains((p, c))))
+        val computed = computeFileStats(spark, root, missing, cols)
+        meta.filterNot(l => l.startsWith("#stat\t") ||
+            l.startsWith("#statcols\t")) ++
+          Seq(declLine) ++ (known ++ computed.toMap).values.toSeq.sorted
+    }
+  }
+
+  /** Columns a version keeps per-file statistics for (`#statcols`). */
+  def storedStatCols(spark: SparkSession, root: String,
+      v: Long): Seq[String] =
+    manifestMeta(spark, root, v).collectFirst {
+      case l if l.startsWith("#statcols\t") => parseStatCols(l)
+    }.getOrElse(Nil)
+
+  /** Keep/prune manifest entries from a version's `#stat` lines.
+    * Conservative by construction: a file with no stats for the column
+    * (or unparseable bounds, e.g. a NaN envelope) is always kept;
+    * pruning only removes files that PROVABLY contain no row in
+    * [lo, hi] — an all-null file (a range bound excludes NULL) or a
+    * disjoint [min, max] envelope. */
+  private def pruneByStats(meta: Seq[String], entries: Seq[(Long, String)],
+      colName: String, lo: Option[java.math.BigDecimal],
+      hi: Option[java.math.BigDecimal]): Seq[(Long, String)] = {
+    val stats = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
+      val a = l.split("\t", 7)
+      if (a.length == 7 && a(2) == colName)
+        Some(a(1) -> ((a(3).toLong, a(4).toLong, parseBd(a(5)),
+          parseBd(a(6)))))
+      else None
+    }.toMap
+    entries.filter { case (_, p) =>
+      stats.get(p) match {
+        case None => true
+        case Some((rows, nulls, mn, mx)) =>
+          if (rows > 0 && nulls == rows) false
+          else {
+            val aboveLo = (lo, mx) match {
+              case (Some(l), Some(m)) => m.compareTo(l) >= 0
+              case _ => true
+            }
+            val belowHi = (hi, mn) match {
+              case (Some(h), Some(m)) => m.compareTo(h) <= 0
+              case _ => true
+            }
+            aboveLo && belowHi
+          }
+      }
+    }
+  }
+
+  private def boundBd(b: Any, colName: String): java.math.BigDecimal =
+    canon(b) match {
+      case Some(s) => new java.math.BigDecimal(s)
+      case None => throw new IllegalArgumentException(
+        s"SnapshotStore: unsupported bound value for '$colName': $b — " +
+          "pass a finite numeric / date / timestamp value")
+    }
+
   /** The logical schema a version's manifest declares (`#col` lines,
     * written by every publish since the schema contract landed), as
     * (name, catalogString) in declaration order. None ⇒ legacy manifest
@@ -311,9 +505,12 @@ object SnapshotStore {
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
       "SnapshotStore: metadata lines must start with '#'")
+    // file statistics ride the SAME atomic manifest creation as the file
+    // list (computed BEFORE the tmp write; no declaration ⇒ no-op)
+    val fullMeta = withFileStats(spark, root, v, entries, meta)
     // an embedded newline would split a logical line in two and corrupt
     // every later read of the manifest (lines are '\n'-joined below)
-    (meta ++ entries.map(_._2)).foreach { s =>
+    (fullMeta ++ entries.map(_._2)).foreach { s =>
       require(!s.exists(c => c == '\n' || c == '\r'),
         s"SnapshotStore: manifest line contains a newline: '$s'")
     }
@@ -324,7 +521,7 @@ object SnapshotStore {
         s"SnapshotStore: version $v is already published at $root — " +
           s"a concurrent writer committed from the same parent ${v - 1}; " +
           "re-read the store and retry")
-    val text = (meta ++ entries.sortBy(e => (e._1, e._2))
+    val text = (fullMeta ++ entries.sortBy(e => (e._1, e._2))
       .map { case (b, p) => s"$b\t$p" }).mkString("", "\n", "\n")
     val tmp = new Path(root, f"_versions/.tmp-v$v%05d-${java.util.UUID.randomUUID()}")
     val outStream = f.create(tmp, true)
@@ -373,10 +570,13 @@ object SnapshotStore {
     * lost race) is unreferenced garbage for [[vacuum]]; nothing ever
     * reads a data dir except through a published manifest's entries. */
   private def writeVersionDir(df: DataFrame, spark: SparkSession,
-      root: String, v: Long): String = {
+      root: String, v: Long, maxRecordsPerFile: Long = 0L): String = {
     val dirName =
       f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").partitionBy("bucket")
+    val w = df.write.mode("overwrite").partitionBy("bucket")
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w)
       .parquet(new Path(root, s"data/$dirName").toString)
     FaultInjection.fire("data-dir-written")
     dirName
@@ -807,11 +1007,18 @@ object SnapshotStore {
     * compacted files carry monotone doc_id row-group statistics and
     * [[readDocs]]' pushed `In(doc_id)` filter prunes row groups inside
     * the (already bucket-pruned) files — free at write time, paid back
-    * on every point lookup. Returns the new version. */
+    * on every point lookup. `maxRecordsPerFile` > 0 splits each
+    * bucket's sorted run into successive files, giving [[readWhere]]'s
+    * file-level stats pruning tight per-file envelopes to skip on
+    * (size it to ~128–1024 MB files at production scale). Returns the
+    * new version. */
   def optimize(spark: SparkSession, root: String,
       expectedVersion: Option[Long] = None,
       sortByDocId: Boolean = true,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Long = {
+    require(maxRecordsPerFile >= 0,
+      s"maxRecordsPerFile must be >= 0: $maxRecordsPerFile")
     checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
@@ -867,7 +1074,13 @@ object SnapshotStore {
         snap.repartition(col("bucket"))
           .sortWithinPartitions(col("bucket"), col("doc_id"))
       else snap.repartition(col("bucket"))
-    val dirName = writeVersionDir(arranged, spark, root, v)
+    // maxRecordsPerFile splits each bucket's SORTED run into successive
+    // files — with a cluster order (sortByDocId / zorderBy) each file's
+    // min/max envelope on the cluster columns is tight, which is what
+    // makes [[readWhere]]'s stats pruning bite (one file per bucket
+    // spans the whole value range and nothing could ever prune)
+    val dirName = writeVersionDir(arranged, spark, root, v,
+      maxRecordsPerFile)
     // declare what was physically WRITTEN (the snapshot's union schema,
     // payload types now guaranteed uniform by the read validation) — also
     // materializes a declaration for legacy stores
@@ -878,6 +1091,119 @@ object SnapshotStore {
         storedBuckets(spark, root, cur).map(bucketsLine).toSeq :+
         opLine("optimize"))
     v
+  }
+
+  /** Declare the payload columns the store keeps per-file min/max
+    * statistics for — the explicit-by-name form of Delta's
+    * data-skipping column set. Publishes a metadata-only version whose
+    * manifest carries a `#statcols` line plus one `#stat` line per
+    * (file, column); the backfill for existing files runs here as ONE
+    * bounded columnar job per contributing dir, reading only the
+    * declared columns. Every later publish — commit, upsert, streaming
+    * batch, optimize, restore — then maintains stats automatically,
+    * computing them only for its NEW files (files are immutable, so a
+    * recorded envelope is valid forever; carried files carry their
+    * lines). Only numeric / date / timestamp payload columns qualify:
+    * string bounds need truncation + collation semantics to be safe
+    * (the classic text-stats correctness trap), and `doc_id` point
+    * reads already have [[readDocs]]' bucket pruning. Returns the new
+    * version. */
+  def declareStats(spark: SparkSession, root: String, cols: Seq[String],
+      expectedVersion: Option[Long] = None): Long = {
+    require(cols.nonEmpty, "declareStats needs at least one column")
+    cols.foreach { c =>
+      require(!c.exists(ch =>
+        ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
+        s"stats column name '$c' contains a separator character")
+    }
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — commit() first, then " +
+          "declare stats"))
+    val declared = declaredCols(spark, root, cur).getOrElse(
+      schemaCols(read(spark, root, cur).schema)).toMap
+    cols.foreach { c =>
+      if (ManagedCols.contains(c))
+        throw new IllegalArgumentException(
+          s"SnapshotStore: cannot declare stats on managed column '$c' " +
+            "— doc_id point reads go through readDocs (bucket pruning)")
+      val t = declared.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"SnapshotStore: stats column '$c' does not exist at $root — " +
+            s"stored columns: ${declared.keys.toSeq.sorted.mkString(", ")}"))
+      import org.apache.spark.sql.types._
+      DataType.fromDDL(t) match {
+        case _: NumericType =>
+        case DateType | TimestampType | TimestampNTZType =>
+        case dt => throw new IllegalArgumentException(
+          s"SnapshotStore: stats column '$c' has non-clusterable type " +
+            s"${dt.catalogString} — file skipping needs numeric/date/" +
+            "timestamp bounds (string truncation/collation make text " +
+            "bounds a correctness trap)")
+      }
+    }
+    val v = cur + 1
+    publish(spark, root, v, readManifest(spark, root, cur),
+      manifestMeta(spark, root, cur).filterNot(l =>
+        l.startsWith("#op\t") || l.startsWith("#statcols\t") ||
+        l.startsWith("#stat\t")) ++
+        Seq(statColsLine(cols), opLine("declare_stats")))
+    v
+  }
+
+  /** Range read with FILE-LEVEL DATA SKIPPING — the stats-pruned scan
+    * of the log-structured table formats: resolve the manifest, drop
+    * every file whose recorded [min, max] envelope for `colName`
+    * provably misses [lo, hi] (a null bound leaves that side open; at
+    * least one bound is required), read only the survivors, and apply
+    * the exact residual predicate on top — pruning is purely an
+    * optimization, results are identical to `read().filter(...)`.
+    * Pairs with [[optimize]](zorderBy / maxRecordsPerFile): clustered
+    * multi-file buckets carry tight envelopes, so a selective range
+    * touches a handful of files instead of every bucket — at 100 TB
+    * this is the difference between a full-table scan and reading a
+    * few clustered files. Files without stats are always scanned. */
+  def readWhere(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    require(lo != null || hi != null,
+      "readWhere needs at least one bound (use read() for a full scan)")
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val declared = declaredCols(spark, root, v).getOrElse(Nil).toMap
+    val t = declared.getOrElse(colName,
+      throw new IllegalArgumentException(
+        s"SnapshotStore: readWhere column '$colName' is not a stored " +
+          s"payload column at $root — stored: " +
+          declared.keys.toSeq.sorted.mkString(", ")))
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val entries = readManifest(spark, root, v)
+    val kept = pruneByStats(manifestMeta(spark, root, v), entries,
+      colName, Option(lo).map(boundBd(_, colName)),
+      Option(hi).map(boundBd(_, colName)))
+    val base =
+      if (kept.nonEmpty) assemble(spark, root, v, kept)
+      else read(spark, root, v).limit(0)
+    val c = col(colName)
+    val residual = (Option(lo).map(x => c >= lit(x).cast(dt)) ++
+      Option(hi).map(x => c <= lit(x).cast(dt))).reduce(_ && _)
+    base.filter(residual)
+  }
+
+  /** (files kept, files total) a [[readWhere]] with these bounds would
+    * scan — the observability hook for skipping effectiveness (results
+    * are residual-filtered, so pruning is invisible in them). */
+  def skippingReport(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any, version: Long = -1L): (Int, Int) = {
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val entries = readManifest(spark, root, v)
+    val kept = pruneByStats(manifestMeta(spark, root, v), entries,
+      colName, Option(lo).map(boundBd(_, colName)),
+      Option(hi).map(boundBd(_, colName)))
+    (kept.size, entries.size)
   }
 
   /** Restore: publish a NEW head version whose content is exactly

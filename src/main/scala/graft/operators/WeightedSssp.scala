@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source shortest paths over a WEIGHTED directed edge list as
+  * bounded Bellman–Ford supersteps — [[BfsHops]]' relaxation generalized
+  * from hop counts to additive edge weights (the `min(fd) + 1` rollup
+  * becomes `min(fd + w)`).
+  *
+  * Same scale shape per superstep as BfsHops: one equi-join of the edge
+  * list against the current frontier on src + one min-rollup on dst +
+  * one left join back onto the one-row-per-node distance table — two
+  * exchanges over edge-scale data, no driver collect; the distance table
+  * localCheckpoints per round so iterative lineage never replays prior
+  * rounds. Negative weights are rejected up front: with them
+  * "distances only decrease ⇒ stable round = fixpoint" still holds, but
+  * a negative CYCLE would diverge forever under early exit, and
+  * detecting one is a different operator's contract.
+  *
+  * Distances are longs with an additive-overflow-safe [[Inf]] sentinel;
+  * `maxRounds` bounds the run (n−1 rounds reach the true fixpoint on
+  * any non-negative graph; a fixed small count gives the k-round
+  * relaxation an unrolled SQL oracle can replay exactly).
+  */
+object WeightedSssp {
+
+  /** Unreachable sentinel — far above any real path cost, far below
+    * Long overflow for `dist + w` on sane weights. */
+  val Inf = 1000000000000L
+
+  /** Run at most `maxRounds` relaxation rounds from `dist0` (one row
+    * per node: `(v, dist)`, 0 at sources, [[Inf]] elsewhere) over
+    * directed edges `(src, dst, w)` with non-negative long weights.
+    * With `earlyExit`, stops after the first round that improves no
+    * node. Returns (final distance table, rounds actually run). */
+  def run(edges: DataFrame, dist0: DataFrame, maxRounds: Int,
+      earlyExit: Boolean = false): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val negs = edges.filter(col("w") < 0).limit(1).count()
+    require(negs == 0L,
+      "WeightedSssp: negative edge weights are not supported (a " +
+        "negative cycle would make the early-exit fixpoint diverge)")
+    var dist = dist0.select(col("v"), col("dist").cast("long").as("dist"))
+      .localCheckpoint(eager = true)
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val frontier = dist.filter(col("dist") < Inf)
+        .select(col("v").as("fv"), col("dist").as("fd"))
+      val nd = edges.join(frontier, col("src") === col("fv"))
+        .groupBy("dst")
+        .agg(min(col("fd") + col("w").cast("long")).as("nd"))
+      val next = dist.join(nd, dist("v") === nd("dst"), "left")
+        .select(col("v"),
+          least(col("dist"), coalesce(col("nd"), lit(Inf)))
+            .as("dist"))
+        .localCheckpoint(eager = true)
+      if (earlyExit) {
+        // distances only ever decrease, so "no row improved" is exactly
+        // the fixpoint; one bounded count over the node table
+        val improved = next
+          .join(dist.select(col("v"), col("dist").as("d_prev")), "v")
+          .filter(col("dist") < col("d_prev")).count()
+        done = improved == 0L
+      }
+      dist = next
+      rounds += 1
+    }
+    (dist, rounds)
+  }
+}

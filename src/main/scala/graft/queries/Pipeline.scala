@@ -461,6 +461,39 @@ object Pipeline extends QueryPack {
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "media_id", "score")
         .orderBy("q_id", "rank")
+    }),
+
+    // File-level data skipping end-to-end (SnapshotStore.declareStats →
+    // OPTIMIZE with a cluster order + small files → readWhere): the
+    // stats-pruned range scan must be RESULT-IDENTICAL to a plain
+    // filter — that is exactly what the oracle checks — while the
+    // require below pins that the pruning actually engaged (files
+    // skipped at BOTH driver scale factors: clustering by n_chars makes
+    // per-file envelopes ~a few dozen values wide, so the [100, 180]
+    // band provably misses most files). At 100 TB this read shape is
+    // the difference between scanning a handful of clustered files and
+    // scanning every bucket of the table.
+    "i15_stats_skipping" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i15-stats").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+      graft.operators.SnapshotStore.commit(docs, root, buckets = 8)
+      graft.operators.SnapshotStore.declareStats(s, root, Seq("n_chars"))
+      graft.operators.SnapshotStore.optimize(s, root,
+        sortByDocId = false, zorderBy = Seq("n_chars"),
+        maxRecordsPerFile = 32L)
+      val (kept, total) = graft.operators.SnapshotStore
+        .skippingReport(s, root, "n_chars", 100L, 180L)
+      require(kept < total,
+        s"i15: stats pruning did not engage ($kept of $total files)")
+      graft.operators.SnapshotStore
+        .readWhere(s, root, "n_chars", 100L, 180L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -858,6 +891,11 @@ object Pipeline extends QueryPack {
       """SELECT doc_id, 'text/plain' AS media_type,
         |  cast(octet_length(encode(text)) as int) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS header_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "i15_stats_skipping" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars BETWEEN 100 AND 180
+        |ORDER BY doc_id""".stripMargin
   )
 }

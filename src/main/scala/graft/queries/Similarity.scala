@@ -604,6 +604,32 @@ object Similarity extends QueryPack {
         emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
         nProbe = 2, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // Stored-index DELETION (IvfIndex.deleteFromIndex): the
+    // right-to-be-forgotten / poisoned-sample-removal loop — build the
+    // persisted IVF index, delete every vec_id ≡ 3 (mod 10), then
+    // search at FULL probe width so the stored result is exactly
+    // brute-force cosine top-3 over the SURVIVORS: the oracle replays
+    // the brute force minus the deleted set, so one stale row surviving
+    // in a touched (or emptied) cell partition is a hash mismatch, not
+    // a silent leak. Deletion cost ∝ touched cells (partition-pruned
+    // rewrite), never an index rebuild.
+    "s20_index_delete" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s20-ivfdel").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.writeIndex(emb, k = 16, root)
+      graft.operators.IvfIndex.deleteFromIndex(s, root,
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      graft.operators.IvfIndex.searchIndexed(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = 16, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1036,6 +1062,22 @@ object Similarity extends QueryPack {
     // the stored cascade computes the identical quantity (same corpus,
     // same parameters, quantizers persisted instead of in-memory)
     "s14_pq_ivf_stored" -> PqIvfOracleSql,
+
+    // survivors-only brute force: full-probe stored search after the
+    // delete must equal exact cosine top-3 with the deleted set gone
+    "s20_index_delete" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < $AnnEvalQueries),
+        |cand AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 <> 3),
+        |sims AS (SELECT q.q_id, c.vec_id,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
+        |  FROM cand c JOIN q ON c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM sims)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -543,6 +543,45 @@ object Warehouse extends QueryPack {
         .orderBy("dist")
     }),
 
+    // Weighted single-source shortest paths (operators/WeightedSssp):
+    // q75's hop BFS generalized to Bellman–Ford relaxation over
+    // co-purchase edges weighted by affinity (frequent pairs are
+    // CHEAP: w = max(1, 4 − #orders-with-pair), so the distance is a
+    // "recommendation hops" metric). Same per-round scale shape as
+    // BFS — frontier ⋈ edges + dst min-rollup + node-table left join,
+    // two exchanges per round, never a driver pull; 3 fixed rounds so
+    // the unrolled SQL oracle replays the relaxation exactly
+    // (convergence-driven exit is the operator's earlyExit parameter,
+    // spec-pinned in ConvergenceSpec). Distance histogram output —
+    // bounded by the 3-round weighted-diameter, not node count.
+    "q83_weighted_sssp" -> ((s, d) => {
+      val Inf = graft.operators.WeightedSssp.Inf
+      val pairs = coPurchasePairs(Tables.lineitem(s, d))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+        .select(col("pa"), col("pb"),
+          greatest(lit(1L), lit(4L) - col("cnt")).as("w"))
+        .localCheckpoint(eager = true)
+      val edges = pairs
+        .select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+        .localCheckpoint(eager = true)
+      val nodes = edges.select(col("src").as("v")).distinct()
+      val src0 = nodes.agg(min("v").as("s0"))
+      val dist0 = nodes.crossJoin(broadcast(src0))
+        .select(col("v"),
+          when(col("v") === col("s0"), lit(0L)).otherwise(lit(Inf))
+            .as("dist"))
+      val (dist, _) = graft.operators.WeightedSssp.run(edges, dist0,
+        maxRounds = 3)
+      dist
+        .select(when(col("dist") === Inf, lit(-1L)).otherwise(col("dist"))
+          .as("dist"))
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
+
     // Exact weighted median per group at corpus scale: quantity is a
     // DISCRETE domain, so the right plan is a (group, value) rollup
     // first — the corpus collapses to ≤ |groups|·|domain| rows in one
@@ -779,6 +818,36 @@ object Warehouse extends QueryPack {
         |${it(2)},
         |${it(3)}
         |SELECT cast(CASE WHEN dist = 1000000 THEN -1 ELSE dist END as int) AS dist,
+        |       cast(count(*) as bigint) AS n_nodes
+        |FROM d3 GROUP BY 1 ORDER BY dist""".stripMargin
+    },
+
+    "q83_weighted_sssp" -> {
+      val inf = "1000000000000"
+      def it(n: Int): String = {
+        val p = n - 1
+        s"""nd$n AS (SELECT e.dst AS v, min(d$p.dist + e.w) AS nd
+          |  FROM e JOIN d$p ON d$p.v = e.src WHERE d$p.dist < $inf GROUP BY 1),
+          |d$n AS (SELECT d$p.v, least(d$p.dist, coalesce(nd$n.nd, $inf)) AS dist
+          |  FROM d$p LEFT JOIN nd$n ON nd$n.v = d$p.v)""".stripMargin
+      }
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |hp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS cnt
+        |  FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |wp AS (SELECT pa, pb,
+        |    cast(greatest(1, 4 - cnt) as bigint) AS w FROM hp),
+        |e AS (SELECT pa AS src, pb AS dst, w FROM wp
+        |  UNION ALL SELECT pb, pa, w FROM wp),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |d0 AS (SELECT v, cast(CASE WHEN v = (SELECT min(v) FROM nodes)
+        |  THEN 0 ELSE $inf END as bigint) AS dist FROM nodes),
+        |${it(1)},
+        |${it(2)},
+        |${it(3)}
+        |SELECT cast(CASE WHEN dist = $inf THEN -1 ELSE dist END as bigint) AS dist,
         |       cast(count(*) as bigint) AS n_nodes
         |FROM d3 GROUP BY 1 ORDER BY dist""".stripMargin
     },

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BfsHops, PageRank}
+import graft.operators.{BfsHops, PageRank, WeightedSssp}
 
 /** Convergence-driven iteration (round-6 verdict item 3): the iterative
   * graph operators expose fixpoint-probed variants with bounded max
@@ -64,6 +64,35 @@ class ConvergenceSpec extends SparkTestBase {
     val wantFixed = fixed.collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(got === wantFixed)
+  }
+
+  test("weighted SSSP relaxes to exact shortest costs and exits at the " +
+      "fixpoint; negative weights are a named error") {
+    import spark.implicits._
+    // weighted path 0-1-2-3-4 (w=2 per hop) + a w=9 shortcut 0-4: the
+    // path (cost 8) must beat the direct edge (cost 9)
+    val half = Seq((0L, 1L, 2L), (1L, 2L, 2L), (2L, 3L, 2L),
+      (3L, 4L, 2L), (0L, 4L, 9L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val dist0 = (0 until 5)
+      .map(i => (i.toLong, if (i == 0) 0L else WeightedSssp.Inf))
+      .toDF("v", "dist")
+    val (dist, rounds) = WeightedSssp.run(edges, dist0,
+      maxRounds = 20, earlyExit = true)
+    assert(rounds < 20, s"expected early exit, ran $rounds/20")
+    val got = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 1L -> 2L, 2L -> 4L, 3L -> 6L, 4L -> 8L))
+    // bounded relaxation: after 1 round only direct neighbors settled,
+    // and the shortcut's provisional 9 has not yet been undercut
+    val (d1, _) = WeightedSssp.run(edges, dist0, maxRounds = 1)
+    val g1 = d1.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g1(1L) === 2L && g1(4L) === 9L && g1(2L) === WeightedSssp.Inf)
+    val neg = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      WeightedSssp.run(neg, dist0, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("negative"))
   }
 
   test("BFS respects maxRounds as a hard bound without early exit") {

@@ -149,6 +149,47 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("deleteFromIndex removes exactly the given ids; an emptied cell " +
+      "leaves no stale partition; absent ids are a no-op") {
+    cleanup()
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = IvfIndex.centroids(emb, 16)
+    IvfIndex.writeIndexWith(emb, cents, indexPath)
+    val before = spark.read.parquet(s"$indexPath/index").count()
+
+    // pick one whole cell to empty out, plus a scattered handful
+    val assign = IvfIndex.cellRanksWith(emb, cents)
+      .filter(col("rk") === 1).select("vec_id", "cent_id")
+    val victimCell = assign.groupBy("cent_id")
+      .agg(count(lit(1)).as("n")).orderBy("n", "cent_id")
+      .limit(1).collect().head.getLong(0)
+    val doomed = assign.filter(col("cent_id") === victimCell)
+      .select("vec_id")
+      .union(emb.filter(col("vec_id").between(100, 104))
+        .select("vec_id"))
+      .distinct()
+    val nDoomed = doomed.count()
+    IvfIndex.deleteFromIndex(spark, indexPath, doomed)
+
+    val after = spark.read.parquet(s"$indexPath/index")
+    assert(after.count() === before - nDoomed)
+    assert(after.join(doomed, Seq("vec_id"), "left_semi").count() === 0L)
+    // the emptied cell's partition dir is gone, not a stale leftover
+    assert(!new java.io.File(
+      s"$indexPath/index/cent_id=$victimCell").exists())
+    // surviving cells still answer searches (full probe = brute force
+    // over survivors)
+    val q = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    assert(IvfIndex.searchIndexed(spark, indexPath, q,
+      nProbe = 16, topK = 3).count() === 9L)
+    // deleting ids that are not in the index changes nothing
+    import spark.implicits._
+    IvfIndex.deleteFromIndex(spark, indexPath,
+      Seq(999999L, 999998L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$indexPath/index").count() ===
+      before - nDoomed)
+  }
+
   test("search rejects a queryFilter over rank-side columns with a named error") {
     val emb = Tables.embeddings(spark, sf0001)
     val err = intercept[IllegalArgumentException] {

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SnapshotStore
+
+/** File-level column statistics + data skipping (`declareStats` /
+  * `readWhere` / `skippingReport`): envelope maintenance across every
+  * publish, conservative pruning, exactness of the residual filter, and
+  * the optimize(maxRecordsPerFile) clustering that makes pruning bite. */
+class SnapshotStatsSpec extends SparkTestBase {
+
+  private def cleanup(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively()
+    }
+  }
+
+  /** 1000 docs; `n` walks 0..999 (uncorrelated with doc_id's hash
+    * buckets), `score` is n/10.0, every 7th `score` NULL. */
+  private def frame(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    (0L until 1000L).map { i =>
+      (i, i, if (i % 7 == 0) None else Some(i / 10.0))
+    }.toDF("doc_id", "n", "score")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.select("doc_id", "n", "score").collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
+
+  test("declare + optimize(maxRecordsPerFile) → pruned range read is " +
+      "exact and actually skips files") {
+    val root = "target/snapstats-basic"
+    cleanup(root)
+    SnapshotStore.commit(frame(), root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("n", "score"))
+    assert(SnapshotStore.storedStatCols(spark, root,
+      SnapshotStore.currentVersion(spark, root).get) === Seq("n", "score"))
+    // cluster by n and split each bucket's sorted run into small files
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    val (kept, total) = SnapshotStore.skippingReport(spark, root,
+      "n", 100L, 150L)
+    assert(total >= 12, s"expected many small files, got $total")
+    // 51 of 1000 values in range; clustered files cover ~64 values each
+    assert(kept < total / 2,
+      s"pruning did not bite: kept $kept of $total files")
+    val got = sortedRows(SnapshotStore.readWhere(spark, root,
+      "n", 100L, 150L))
+    val want = sortedRows(SnapshotStore.read(spark, root)
+      .filter(col("n") >= 100 && col("n") <= 150))
+    assert(got === want)
+    assert(got.size === 51)
+  }
+
+  test("bounds are inclusive at file-boundary values; one-sided bounds " +
+      "leave the other side open") {
+    val root = "target/snapstats-bounds"
+    cleanup(root)
+    SnapshotStore.commit(frame(), root, buckets = 2)
+    SnapshotStore.declareStats(spark, root, Seq("n"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    // point read at an arbitrary value (inclusive on both ends)
+    assert(SnapshotStore.readWhere(spark, root, "n", 512L, 512L)
+      .count() === 1L)
+    // one-sided: everything at or above 900
+    val hiOnly = SnapshotStore.readWhere(spark, root, "n", 900L, null)
+    assert(hiOnly.count() === 100L)
+    val (k, t) = SnapshotStore.skippingReport(spark, root, "n", 900L, null)
+    assert(k < t, s"one-sided bound pruned nothing: $k of $t")
+  }
+
+  test("stats are maintained across upsert (carried + computed) and " +
+      "survive rollback") {
+    val root = "target/snapstats-upsert"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    SnapshotStore.commit(frame(), root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("n"))
+    // replace docs 10..19 with shifted n values
+    val fresh = (10L until 20L).map(i => (i, i + 5000L,
+      Option(i / 10.0))).toDF("doc_id", "n", "score")
+    SnapshotStore.upsert(spark, fresh,
+      fresh.select("doc_id"), root, buckets = 4)
+    // the fresh rows' envelope is queryable immediately
+    val shifted = SnapshotStore.readWhere(spark, root, "n", 5000L, 6000L)
+    assert(shifted.count() === 10L)
+    val full = SnapshotStore.read(spark, root)
+    assert(SnapshotStore.readWhere(spark, root, "n", 0L, 999L).count() ===
+      full.filter(col("n").between(0, 999)).count())
+    // every file of the new head carries a stat line (kept + new)
+    val head = SnapshotStore.currentVersion(spark, root).get
+    val (_, totalFiles) = SnapshotStore.skippingReport(spark, root,
+      "n", 0L, 0L)
+    val (keptAll, t2) = SnapshotStore.skippingReport(spark, root,
+      "n", Long.MinValue, Long.MaxValue)
+    assert(t2 === totalFiles && keptAll === t2) // full range keeps all
+    // rollback restores the pre-upsert state WITH its stats
+    SnapshotStore.rollback(spark, root, head - 1)
+    assert(SnapshotStore.storedStatCols(spark, root,
+      SnapshotStore.currentVersion(spark, root).get).nonEmpty)
+    assert(SnapshotStore.readWhere(spark, root, "n", 5000L, 6000L)
+      .count() === 0L)
+  }
+
+  test("all-null files prune; null rows never match a range; NaN-free " +
+      "double bounds work") {
+    val root = "target/snapstats-nulls"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    SnapshotStore.commit(frame(), root, buckets = 2)
+    // add a column only NEW rows carry, then declare stats on it: the
+    // old files' envelope is all-null → provably prunable
+    val fresh = (2000L until 2100L).map(i =>
+      (i, i, Option(i / 10.0), i * 2L)).toDF("doc_id", "n", "score", "w")
+    SnapshotStore.upsert(spark, fresh, fresh.select("doc_id"),
+      root, buckets = 2)
+    SnapshotStore.declareStats(spark, root, Seq("w", "score"))
+    val (kept, total) = SnapshotStore.skippingReport(spark, root,
+      "w", 4000L, 4050L)
+    assert(kept < total,
+      s"all-null carried files were not pruned: $kept of $total")
+    val got = SnapshotStore.readWhere(spark, root, "w", 4000L, 4050L)
+    assert(got.count() ===
+      SnapshotStore.read(spark, root)
+        .filter(col("w").between(4000L, 4050L)).count())
+    // double bounds on a column with scattered nulls: exact vs filter
+    val sGot = sortedRows(SnapshotStore.readWhere(spark, root,
+      "score", 10.0, 20.0))
+    val sWant = sortedRows(SnapshotStore.read(spark, root)
+      .filter(col("score") >= 10.0 && col("score") <= 20.0))
+    assert(sGot === sWant)
+  }
+
+  test("undeclared store: readWhere still exact, nothing pruned") {
+    val root = "target/snapstats-undeclared"
+    cleanup(root)
+    SnapshotStore.commit(frame(), root, buckets = 2)
+    val (kept, total) = SnapshotStore.skippingReport(spark, root,
+      "n", 100L, 150L)
+    assert(kept === total)
+    assert(SnapshotStore.readWhere(spark, root, "n", 100L, 150L)
+      .count() === 51L)
+  }
+
+  test("guards: unknown / managed / text columns and missing bounds are " +
+      "named errors") {
+    val root = "target/snapstats-guards"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "abc", 5L)).toDF("doc_id", "label", "n")
+    SnapshotStore.commit(df, root, buckets = 2)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.declareStats(spark, root, Seq("nope"))
+    }
+    assert(e1.getMessage.contains("does not exist"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.declareStats(spark, root, Seq("doc_id"))
+    }
+    assert(e2.getMessage.contains("managed column"))
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotStore.declareStats(spark, root, Seq("label"))
+    }
+    assert(e3.getMessage.contains("non-clusterable"))
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotStore.readWhere(spark, root, "n", null, null)
+    }
+    assert(e4.getMessage.contains("at least one bound"))
+  }
+}
