@@ -360,10 +360,12 @@ object IvfIndex {
       .select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
+    // keep the index's OWN payload columns (flat stores embedding, the
+    // SQ8 tier stores int8 codes — deletion must not know or care)
     val merged = index.filter(col("cent_id").isin(touched: _*))
       .join(del, index("vec_id").cast("long") === del("vec_id"),
         "left_anti")
-      .select("vec_id", "embedding", "cent_id")
+      .select(index.columns.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)
     val survivors = merged.select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet

@@ -1165,29 +1165,49 @@ object SnapshotStore {
     * this is the difference between a full-table scan and reading a
     * few clustered files. Files without stats are always scanned. */
   def readWhere(spark: SparkSession, root: String, colName: String,
-      lo: Any, hi: Any, version: Long = -1L): DataFrame = {
-    require(lo != null || hi != null,
+      lo: Any, hi: Any, version: Long = -1L): DataFrame =
+    readWhereAll(spark, root, Map(colName -> ((lo, hi))), version)
+
+  /** Conjunctive multi-column form of [[readWhere]] — bounds AND
+    * together, so a file is pruned when ANY column's envelope provably
+    * misses its range (one false conjunct kills the whole predicate).
+    * The natural partner of a multi-column
+    * [[optimize]](zorderBy): the Morton order keeps EVERY clustering
+    * column's per-file envelope tight at once, so each bound
+    * contributes pruning independently. */
+  def readWhereAll(spark: SparkSession, root: String,
+      bounds: Map[String, (Any, Any)], version: Long = -1L): DataFrame = {
+    require(bounds.nonEmpty, "readWhereAll needs at least one column")
+    require(bounds.values.exists { case (lo, hi) =>
+      lo != null || hi != null },
       "readWhere needs at least one bound (use read() for a full scan)")
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
     val declared = declaredCols(spark, root, v).getOrElse(Nil).toMap
-    val t = declared.getOrElse(colName,
-      throw new IllegalArgumentException(
-        s"SnapshotStore: readWhere column '$colName' is not a stored " +
-          s"payload column at $root — stored: " +
-          declared.keys.toSeq.sorted.mkString(", ")))
-    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
-    val entries = readManifest(spark, root, v)
-    val kept = pruneByStats(manifestMeta(spark, root, v), entries,
-      colName, Option(lo).map(boundBd(_, colName)),
-      Option(hi).map(boundBd(_, colName)))
+    val types = bounds.keys.map { c =>
+      val t = declared.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"SnapshotStore: readWhere column '$c' is not a stored " +
+            s"payload column at $root — stored: " +
+            declared.keys.toSeq.sorted.mkString(", ")))
+      c -> org.apache.spark.sql.types.DataType.fromDDL(t)
+    }.toMap
+    val meta = manifestMeta(spark, root, v)
+    val kept = bounds.toSeq.sortBy(_._1)
+      .foldLeft(readManifest(spark, root, v)) {
+        case (es, (c, (lo, hi))) =>
+          if (lo == null && hi == null) es
+          else pruneByStats(meta, es, c,
+            Option(lo).map(boundBd(_, c)), Option(hi).map(boundBd(_, c)))
+      }
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
       else read(spark, root, v).limit(0)
-    val c = col(colName)
-    val residual = (Option(lo).map(x => c >= lit(x).cast(dt)) ++
-      Option(hi).map(x => c <= lit(x).cast(dt))).reduce(_ && _)
+    val residual = bounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
+      Option(lo).map(x => col(c) >= lit(x).cast(types(c))) ++
+        Option(hi).map(x => col(c) <= lit(x).cast(types(c)))
+    }.reduceOption(_ && _).getOrElse(lit(true))
     base.filter(residual)
   }
 
@@ -1195,14 +1215,23 @@ object SnapshotStore {
     * scan — the observability hook for skipping effectiveness (results
     * are residual-filtered, so pruning is invisible in them). */
   def skippingReport(spark: SparkSession, root: String, colName: String,
-      lo: Any, hi: Any, version: Long = -1L): (Int, Int) = {
+      lo: Any, hi: Any, version: Long = -1L): (Int, Int) =
+    skippingReportAll(spark, root, Map(colName -> ((lo, hi))), version)
+
+  /** Conjunctive form of [[skippingReport]], matching [[readWhereAll]]. */
+  def skippingReportAll(spark: SparkSession, root: String,
+      bounds: Map[String, (Any, Any)], version: Long = -1L): (Int, Int) = {
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
     val entries = readManifest(spark, root, v)
-    val kept = pruneByStats(manifestMeta(spark, root, v), entries,
-      colName, Option(lo).map(boundBd(_, colName)),
-      Option(hi).map(boundBd(_, colName)))
+    val meta = manifestMeta(spark, root, v)
+    val kept = bounds.toSeq.sortBy(_._1).foldLeft(entries) {
+      case (es, (c, (lo, hi))) =>
+        if (lo == null && hi == null) es
+        else pruneByStats(meta, es, c,
+          Option(lo).map(boundBd(_, c)), Option(hi).map(boundBd(_, c)))
+    }
     (kept.size, entries.size)
   }
 

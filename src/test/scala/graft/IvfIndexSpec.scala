@@ -81,6 +81,30 @@ class IvfIndexSpec extends SparkTestBase {
     assert(mx.getLong(0) <= 127L)
   }
 
+  test("deleteFromIndex preserves the SQ8 tier's own payload columns") {
+    val dir = "target/ivf-sq-del-spec"
+    val f = new java.io.File(dir)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively(): Unit }
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfIndex.writeIndexSq(emb, k = 16, dir)
+    val before = spark.read.parquet(s"$dir/index")
+    val cols = before.columns.sorted.toSeq
+    val n = before.count()
+    IvfIndex.deleteFromIndex(spark, dir,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val after = spark.read.parquet(s"$dir/index")
+    // schema survives (q8 codes, not the flat tier's embedding column)
+    assert(after.columns.sorted.toSeq === cols)
+    assert(cols.contains("q8"))
+    val nDel = emb.filter(col("vec_id") % 10 === 3).count()
+    assert(after.count() === n - nDel)
+    // the compressed tier still searches after the delete
+    assert(IvfIndex.searchIndexedSq(spark, dir,
+      emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+      nProbe = 16, topK = 5).count() === 15L)
+  }
+
   test("appendToIndex equals a fresh rebuild with the same centroids") {
     cleanup()
     val emb = Tables.embeddings(spark, sf0001)

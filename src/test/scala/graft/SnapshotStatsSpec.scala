@@ -140,6 +140,40 @@ class SnapshotStatsSpec extends SparkTestBase {
     assert(sGot === sWant)
   }
 
+  test("conjunctive multi-column pruning: 2-column z-order lets both " +
+      "bounds contribute; result exact") {
+    val root = "target/snapstats-multi"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    // n and m are independent permutations of 0..999, so neither
+    // single-column order clusters the other
+    val df = (0L until 1000L).map { i =>
+      (i, i, (i * 37L) % 1000L)
+    }.toDF("doc_id", "n", "m")
+    SnapshotStore.commit(df, root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("n", "m"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n", "m"), maxRecordsPerFile = 64L)
+    val bounds = Map("n" -> ((100L: Any, 400L: Any)),
+      "m" -> ((100L: Any, 400L: Any)))
+    val (kBoth, total) = SnapshotStore.skippingReportAll(spark, root, bounds)
+    val (kN, _) = SnapshotStore.skippingReport(spark, root, "n", 100L, 400L)
+    val (kM, _) = SnapshotStore.skippingReport(spark, root, "m", 100L, 400L)
+    // the z-order keeps BOTH envelopes tight, so the conjunction prunes
+    // strictly beyond the better single column
+    assert(kBoth < math.min(kN, kM),
+      s"conjunction did not add pruning: both=$kBoth n=$kN m=$kM/$total")
+    val got = SnapshotStore.readWhereAll(spark, root, bounds)
+      .select("doc_id", "n", "m").collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
+    val want = SnapshotStore.read(spark, root)
+      .filter(col("n").between(100L, 400L) && col("m").between(100L, 400L))
+      .select("doc_id", "n", "m").collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(got === want && got.nonEmpty)
+  }
+
   test("undeclared store: readWhere still exact, nothing pruned") {
     val root = "target/snapstats-undeclared"
     cleanup(root)
