@@ -353,6 +353,45 @@ object ScaleRehearsal {
     require(t23n == 50000L, s"t23 must verdict every doc, got $t23n")
     report += "t23_s" -> tT23
 
+    // ---- file-stats data skipping at 1M rows: the scan-reduction
+    // path measured, not asserted — a hash-valued payload column is
+    // z-order-clustered into ~32 small files, and a 2%-selectivity
+    // range must provably skip at least half the files while returning
+    // exactly the full-scan filter's rows ----
+    val statRoot = "target/rehearsal-statstore"
+    val statRootFile = new java.io.File(statRoot)
+    if (statRootFile.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(statRootFile).deleteRecursively(): Unit
+    }
+    val statDf = spark.range(1000000L).select(col("id").as("doc_id"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("v"))
+    val (_, tStatBuild) = timed("stats_build_1m") {
+      SnapshotStore.commit(statDf, statRoot, buckets = 8)
+      SnapshotStore.declareStats(spark, statRoot, Seq("v"))
+      SnapshotStore.optimize(spark, statRoot, sortByDocId = false,
+        zorderBy = Seq("v"), maxRecordsPerFile = 32768L)
+    }
+    val (keptF, totalF) = SnapshotStore.skippingReport(spark, statRoot,
+      "v", 100000L, 120000L)
+    require(keptF * 2 <= totalF,
+      s"stats pruning too weak at scale: kept $keptF of $totalF files")
+    val (nPruned, tPruned) = timed("stats_pruned_read") {
+      SnapshotStore.readWhere(spark, statRoot, "v", 100000L, 120000L)
+        .count()
+    }
+    val (nFull, tFull) = timed("stats_full_filter") {
+      SnapshotStore.read(spark, statRoot)
+        .filter(col("v").between(100000L, 120000L)).count()
+    }
+    require(nPruned == nFull && nPruned > 0L,
+      s"pruned read returned $nPruned rows, full filter $nFull")
+    report ++= Seq("stats_build_s" -> tStatBuild,
+      "stats_files_kept" -> keptF.toDouble,
+      "stats_files_total" -> totalF.toDouble,
+      "stats_pruned_read_s" -> tPruned, "stats_full_filter_s" -> tFull)
+    println(s"REHEARSAL|skipping|kept=$keptF|total=$totalF")
+
     // ---- heap telemetry + report ----
     val peakHeap = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.stream()

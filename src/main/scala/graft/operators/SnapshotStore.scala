@@ -329,6 +329,123 @@ object SnapshotStore {
       }
   }
 
+  // ---- per-file Bloom membership filters (point-lookup skipping) ----
+
+  /** `#bloomcols\t<c1>,<c2>\t<bits>` — declared Bloom columns + bitset
+    * width; `#bloom\t<relpath>\t<col>\t<base64 bitset>` per (file,
+    * column). K (number of hash probes) is fixed at 4; positions are
+    * `xxhash64(cast(value as string) ## seed) mod bits`, computed by
+    * Spark expressions on BOTH the write and probe side so the two can
+    * never drift. */
+  private val BloomK = 4
+
+  private def bloomColsLine(cols: Seq[String], bits: Int) =
+    s"#bloomcols\t${cols.mkString(",")}\t$bits"
+
+  private def bloomColsLineOf(meta: Seq[String]): Option[String] =
+    meta.collectFirst { case l if l.startsWith("#bloomcols\t") => l }
+
+  private def parseBloomCols(line: String): (Seq[String], Int) = {
+    val a = line.split("\t", 3)
+    (a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(2).toInt)
+  }
+
+  private def bloomLine(rel: String, c: String, b64: String) =
+    s"#bloom\t$rel\t$c\t$b64"
+
+  private def parseBloomLines(meta: Seq[String])
+      : Map[(String, String), String] =
+    meta.filter(_.startsWith("#bloom\t")).map { l =>
+      val a = l.split("\t", 4)
+      ((a(1), a(2)), l)
+    }.toMap
+
+  /** The K probe-position expressions for one value expression. */
+  private def bloomPositions(value: org.apache.spark.sql.Column,
+      bits: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until BloomK).map { seed =>
+      pmod(xxhash64(concat_ws("##", value.cast("string"),
+        lit(seed.toString))), lit(bits.toLong)).cast("int")
+    }
+
+  /** Compute `#bloom` lines for NEW files: per contributing dir, ONE
+    * aggregate collecting the distinct probe positions per file (each
+    * set bounded by min(distinct values, bits) — never row-scale on the
+    * driver), then fold into a BitSet and base64 it. Null values set no
+    * bit (an equality probe never matches NULL). */
+  private def computeFileBlooms(spark: SparkSession, root: String,
+      relPaths: Seq[String], cols: Seq[String], bits: Int)
+      : Seq[((String, String), String)] = {
+    if (relPaths.isEmpty || cols.isEmpty) return Nil
+    val enc = java.util.Base64.getEncoder
+    relPaths.groupBy(_.split("/").take(2).mkString("/")).toSeq
+      .sortBy(_._1).flatMap { case (_, ps) =>
+        val df = spark.read.parquet(ps.map(p => s"$root/$p"): _*)
+        val fields = df.schema.fieldNames.toSet
+        val present = cols.filter(fields.contains)
+        val byName = ps.map(p =>
+          p.split("/").takeRight(2).mkString("/") -> p).toMap
+        val aggs = present.flatMap { c =>
+          bloomPositions(col(c), bits).zipWithIndex.map { case (pos, i) =>
+            collect_set(when(col(c).isNotNull, pos))
+              .as(s"graft_bloom_${i}_$c")
+          }
+        }
+        if (aggs.isEmpty)
+          ps.flatMap(rel => cols.map(c =>
+            ((rel, c), bloomLine(rel, c,
+              enc.encodeToString(Array.emptyByteArray)))))
+        else {
+          val rows = df.groupBy(input_file_name().as("graft_file"))
+            .agg(aggs.head, aggs.tail: _*).collect().toSeq
+          rows.flatMap { r =>
+            val fname = r.getString(0).split("/").takeRight(2)
+              .mkString("/")
+            val rel = byName.getOrElse(fname,
+              throw new IllegalStateException(
+                s"SnapshotStore: bloom scan surfaced unexpected file " +
+                  fname))
+            cols.map { c =>
+              val bs = new java.util.BitSet(bits)
+              if (present.contains(c))
+                (0 until BloomK).foreach { i =>
+                  r.getAs[scala.collection.Seq[Int]](
+                    s"graft_bloom_${i}_$c").foreach(bs.set)
+                }
+              ((rel, c), bloomLine(rel, c,
+                enc.encodeToString(bs.toByteArray)))
+            }
+          }
+        }
+      }
+  }
+
+  /** Bloom-line maintenance across every publish — same carry/compute
+    * discipline as [[withFileStats]] (files are immutable, so a known
+    * bitset is valid forever). */
+  private def withFileBlooms(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(Long, String)], meta: Seq[String],
+      prevMeta: Seq[String]): Seq[String] = {
+    bloomColsLineOf(meta).orElse(bloomColsLineOf(prevMeta)) match {
+      case None => meta.filterNot(_.startsWith("#bloom\t"))
+      case Some(declLine) =>
+        val (cols, bits) = parseBloomCols(declLine)
+        val paths = entries.map(_._2)
+        val pathSet = paths.toSet
+        val known =
+          (parseBloomLines(prevMeta) ++ parseBloomLines(meta)).filter {
+            case ((p, c), _) => pathSet.contains(p) && cols.contains(c)
+          }
+        val missing =
+          paths.filter(p => cols.exists(c => !known.contains((p, c))))
+        val computed =
+          computeFileBlooms(spark, root, missing, cols, bits)
+        meta.filterNot(l => l.startsWith("#bloom\t") ||
+            l.startsWith("#bloomcols\t")) ++
+          Seq(declLine) ++ (known ++ computed.toMap).values.toSeq.sorted
+    }
+  }
+
   /** Maintain file statistics across EVERY publish, centrally: if the
     * store (or the incoming meta) declares `#statcols`, carry known
     * `#stat` lines — keyed by (relpath, col); files are immutable and
@@ -337,12 +454,8 @@ object SnapshotStore {
     * parent manifest, and compute stats only for genuinely new files.
     * No declaration ⇒ pass-through (zero extra jobs). */
   private def withFileStats(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(Long, String)], meta: Seq[String]): Seq[String] = {
-    val f = fs(spark, root)
-    val prevMeta =
-      if (v > 1 && f.exists(manifestPath(root, v - 1)))
-        manifestMeta(spark, root, v - 1)
-      else Seq.empty[String]
+      entries: Seq[(Long, String)], meta: Seq[String],
+      prevMeta: Seq[String]): Seq[String] = {
     statColsLineOf(meta).orElse(statColsLineOf(prevMeta)) match {
       case None => meta.filterNot(_.startsWith("#stat\t"))
       case Some(declLine) =>
@@ -505,9 +618,15 @@ object SnapshotStore {
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
       "SnapshotStore: metadata lines must start with '#'")
-    // file statistics ride the SAME atomic manifest creation as the file
-    // list (computed BEFORE the tmp write; no declaration ⇒ no-op)
-    val fullMeta = withFileStats(spark, root, v, entries, meta)
+    // file statistics + bloom filters ride the SAME atomic manifest
+    // creation as the file list (computed BEFORE the tmp write; no
+    // declaration ⇒ no-op)
+    val prevMeta =
+      if (v > 1 && fs(spark, root).exists(manifestPath(root, v - 1)))
+        manifestMeta(spark, root, v - 1)
+      else Seq.empty[String]
+    val fullMeta = withFileBlooms(spark, root, v, entries,
+      withFileStats(spark, root, v, entries, meta, prevMeta), prevMeta)
     // an embedded newline would split a logical line in two and corrupt
     // every later read of the manifest (lines are '\n'-joined below)
     (fullMeta ++ entries.map(_._2)).foreach { s =>
@@ -1150,6 +1269,191 @@ object SnapshotStore {
         l.startsWith("#stat\t")) ++
         Seq(statColsLine(cols), opLine("declare_stats")))
     v
+  }
+
+  /** Remove the file-statistics declaration (and all `#stat` lines)
+    * with a metadata-only version — the undo for [[declareStats]]:
+    * without it a mis-declared column set would tax every future
+    * publish with its stats job forever. Reads keep working (files
+    * without stats are simply never pruned); a later re-declare
+    * backfills from scratch. Returns the new version. */
+  def dropStats(spark: SparkSession, root: String,
+      expectedVersion: Option[Long] = None): Long = {
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to drop"))
+    if (storedStatCols(spark, root, cur).isEmpty)
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no file statistics declared at $root — " +
+          "nothing to drop")
+    val v = cur + 1
+    // an EMPTY `#statcols` line is the explicit tombstone: publish
+    // carries a missing declaration forward from the parent manifest
+    // (so plain removal would resurrect it), but an empty declaration
+    // means "stats off" and wins the carry
+    publish(spark, root, v, readManifest(spark, root, cur),
+      manifestMeta(spark, root, cur).filterNot(l =>
+        l.startsWith("#op\t") || l.startsWith("#statcols\t") ||
+        l.startsWith("#stat\t")) ++
+        Seq(statColsLine(Nil), opLine("drop_stats")))
+    v
+  }
+
+  /** Declare per-file BLOOM membership filters for point-lookup
+    * skipping — the Delta bloom-index idea, and the complement of
+    * [[declareStats]]: min/max envelopes only prune when the layout
+    * CLUSTERS the column, while a Bloom filter prunes equality probes
+    * on ANY distribution — including high-cardinality STRING keys,
+    * which range stats refuse outright (truncation/collation traps
+    * don't exist for hashes). Backfill runs here; every later publish
+    * maintains bitsets for its new files only (same carry discipline
+    * as stats — files are immutable). One `#bloom` line per (file,
+    * column), base64 of a `bits`-wide bitset, K = 4 probe positions
+    * hashed by Spark expressions on BOTH write and probe side.
+    * Sizing: false-positive rate ≈ (1−e^(−4n/bits))⁴ for n distinct
+    * values per file — default 65536 bits ≈ 0.5% at n = 5000, ~11 KB
+    * of manifest per (file, column). Supported types: string /
+    * integral / date (stable canonical string forms); a Bloom filter
+    * answers only equality, so floats' representation drift is refused
+    * by name. */
+  def declareBloom(spark: SparkSession, root: String, cols: Seq[String],
+      bits: Int = 65536,
+      expectedVersion: Option[Long] = None): Long = {
+    require(cols.nonEmpty, "declareBloom needs at least one column")
+    require(bits >= 64 && bits <= (1 << 24),
+      s"bloom bits out of range [64, 2^24]: $bits")
+    cols.foreach { c =>
+      require(!c.exists(ch =>
+        ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
+        s"bloom column name '$c' contains a separator character")
+    }
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — commit() first, then " +
+          "declare bloom filters"))
+    val declared = declaredCols(spark, root, cur).getOrElse(
+      schemaCols(read(spark, root, cur).schema)).toMap
+    cols.foreach { c =>
+      if (ManagedCols.contains(c))
+        throw new IllegalArgumentException(
+          s"SnapshotStore: cannot declare a bloom on managed column " +
+            s"'$c' — doc_id point reads go through readDocs")
+      val t = declared.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"SnapshotStore: bloom column '$c' does not exist at $root — " +
+            s"stored columns: ${declared.keys.toSeq.sorted.mkString(", ")}"))
+      import org.apache.spark.sql.types._
+      DataType.fromDDL(t) match {
+        case StringType | DateType =>
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        case dt => throw new IllegalArgumentException(
+          s"SnapshotStore: bloom column '$c' has type ${dt.catalogString}" +
+            " — membership hashing needs a stable canonical form " +
+            "(string/integral/date); float and decimal renderings drift")
+      }
+    }
+    val v = cur + 1
+    publish(spark, root, v, readManifest(spark, root, cur),
+      manifestMeta(spark, root, cur).filterNot(l =>
+        l.startsWith("#op\t") || l.startsWith("#bloomcols\t") ||
+        l.startsWith("#bloom\t")) ++
+        Seq(bloomColsLine(cols, bits), opLine("declare_bloom")))
+    v
+  }
+
+  /** Undo for [[declareBloom]] — empty-declaration tombstone, same
+    * carry semantics as [[dropStats]]. */
+  def dropBloom(spark: SparkSession, root: String,
+      expectedVersion: Option[Long] = None): Long = {
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to drop"))
+    if (storedBloomCols(spark, root, cur).isEmpty)
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no bloom filters declared at $root — " +
+          "nothing to drop")
+    val v = cur + 1
+    publish(spark, root, v, readManifest(spark, root, cur),
+      manifestMeta(spark, root, cur).filterNot(l =>
+        l.startsWith("#op\t") || l.startsWith("#bloomcols\t") ||
+        l.startsWith("#bloom\t")) ++
+        Seq(bloomColsLine(Nil, 64), opLine("drop_bloom")))
+    v
+  }
+
+  /** Columns a version keeps Bloom filters for (`#bloomcols`). */
+  def storedBloomCols(spark: SparkSession, root: String,
+      v: Long): Seq[String] =
+    manifestMeta(spark, root, v).collectFirst {
+      case l if l.startsWith("#bloomcols\t") => parseBloomCols(l)._1
+    }.getOrElse(Nil)
+
+  private def bloomKeptEntries(spark: SparkSession, root: String,
+      v: Long, colName: String, value: Any): Seq[(Long, String)] = {
+    val meta = manifestMeta(spark, root, v)
+    val entries = readManifest(spark, root, v)
+    val decl = bloomColsLineOf(meta).map(parseBloomCols)
+    decl match {
+      case Some((cols, bits)) if cols.contains(colName) =>
+        // probe positions via the SAME Spark expressions the write
+        // side used — a driver-side hash reimplementation could drift
+        val posRow = spark.range(1)
+          .select(bloomPositions(lit(value), bits): _*).collect().head
+        val probes = (0 until BloomK).map(posRow.getInt)
+        val dec = java.util.Base64.getDecoder
+        val bitsets = meta.filter(_.startsWith("#bloom\t")).flatMap { l =>
+          val a = l.split("\t", 4)
+          if (a.length == 4 && a(2) == colName)
+            Some(a(1) -> java.util.BitSet.valueOf(dec.decode(a(3))))
+          else None
+        }.toMap
+        entries.filter { case (_, p) =>
+          bitsets.get(p) match {
+            case None => true // no bitset recorded ⇒ must scan
+            case Some(bs) => probes.forall(bs.get)
+          }
+        }
+      case _ => entries
+    }
+  }
+
+  /** Equality point read with BLOOM FILE SKIPPING: scan only the files
+    * whose Bloom filter admits `value` (false positives re-filtered by
+    * the exact residual predicate; false negatives impossible — a
+    * recorded bitset always contains every present value's probes).
+    * Without a declaration this is just `read().filter`. */
+  def readPoint(spark: SparkSession, root: String, colName: String,
+      value: Any, version: Long = -1L): DataFrame = {
+    require(value != null,
+      "readPoint needs a non-null value (Bloom filters answer equality)")
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val declared = declaredCols(spark, root, v).getOrElse(Nil).toMap
+    val t = declared.getOrElse(colName,
+      throw new IllegalArgumentException(
+        s"SnapshotStore: readPoint column '$colName' is not a stored " +
+          s"payload column at $root — stored: " +
+          declared.keys.toSeq.sorted.mkString(", ")))
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val kept = bloomKeptEntries(spark, root, v, colName, value)
+    val base =
+      if (kept.nonEmpty) assemble(spark, root, v, kept)
+      else read(spark, root, v).limit(0)
+    base.filter(col(colName) === lit(value).cast(dt))
+  }
+
+  /** (files kept, files total) a [[readPoint]] would scan. */
+  def bloomReport(spark: SparkSession, root: String, colName: String,
+      value: Any, version: Long = -1L): (Int, Int) = {
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val kept = bloomKeptEntries(spark, root, v, colName, value)
+    (kept.size, readManifest(spark, root, v).size)
   }
 
   /** Range read with FILE-LEVEL DATA SKIPPING — the stats-pruned scan

@@ -494,6 +494,43 @@ object Pipeline extends QueryPack {
         .readWhere(s, root, "n_chars", 100L, 180L)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Bloom point-lookup end-to-end (SnapshotStore.declareBloom →
+    // readPoint): the ingestion index keyed by its vec_key STRING —
+    // exactly the column class range stats refuse (high-cardinality
+    // text, hash-scattered layout) and the reference's fetch-by-key
+    // access pattern (Pinecone fetch). The oracle replays the chunk/key
+    // derivation and filters; the require pins that the Bloom actually
+    // skipped files at both driver scale factors. False positives only
+    // cost extra scanned files (residual-filtered); false negatives are
+    // impossible, so a pruned-away true row would hash-mismatch.
+    "i16_bloom_point" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i16-bloom").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val idx = IngestionPipeline.buildIndex(s, d, chunkSize = 120,
+          overlap = 20, dim = 8)
+        .select("doc_id", "chunk_idx", "vec_key", "vec_uid")
+      graft.operators.SnapshotStore.commit(idx, root, buckets = 8)
+      graft.operators.SnapshotStore.declareBloom(s, root, Seq("vec_uid"))
+      graft.operators.SnapshotStore.optimize(s, root,
+        maxRecordsPerFile = 256L)
+      // the probe: the UNIQUE content-hash key of doc 3's first chunk
+      // (one tiny driver pull — the fetch-by-key access pattern starts
+      // from a known key)
+      val key = idx.filter(col("doc_id") === 3 && col("chunk_idx") === 0)
+        .select("vec_uid").collect().head.get(0)
+      val (kept, total) = graft.operators.SnapshotStore
+        .bloomReport(s, root, "vec_uid", key)
+      require(kept < total,
+        s"i16: bloom pruning did not engage ($kept of $total files)")
+      graft.operators.SnapshotStore
+        .readPoint(s, root, "vec_uid", key)
+        .select("doc_id", "chunk_idx", "vec_key")
+        .orderBy("doc_id")
     })
   )
 
@@ -896,6 +933,14 @@ object Pipeline extends QueryPack {
     "i15_stats_skipping" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars BETWEEN 100 AND 180
+        |ORDER BY doc_id""".stripMargin,
+
+    // the probed vec_uid is doc 3 / chunk 0's content hash — unique by
+    // construction, so the equality filter reduces to that one chunk
+    "i16_bloom_point" ->
+      """SELECT cast(3 as bigint) AS doc_id, cast(0 as int) AS chunk_idx,
+        |  concat_ws('_', source, 'text', 0) AS vec_key
+        |FROM documents WHERE doc_id = 3
         |ORDER BY doc_id""".stripMargin
   )
 }

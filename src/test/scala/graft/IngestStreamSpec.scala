@@ -203,6 +203,55 @@ class IngestStreamSpec extends SparkTestBase {
       === expected)
   }
 
+  test("file statistics survive the streaming txn + maintenance loop") {
+    import graft.operators.SnapshotStore
+    val src = tmp("stat_src"); val store = tmp("stat_store")
+    val cp = tmp("stat_cp")
+    Files.copy(Paths.get(sf0001, "documents.parquet"),
+      Paths.get(src, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    IngestStream.transactionalAvailable(spark, src, store, cp,
+      streamId = "stat_stream", buckets = 4,
+      chunkSize = 120, overlap = 20, dim = 8)
+    SnapshotStore.declareStats(spark, store, Seq("chunk_idx"))
+
+    // a later micro-batch (re-parsed doc 0, doubled text → more chunks)
+    // must get its new files' stats computed by the publish itself
+    val reparsed = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0L)
+      .withColumn("text", concat(col("text"), col("text")))
+    SnapshotStore.commitBatch(
+      IngestionPipeline.buildIndexFrom(reparsed, 120, 20, 8),
+      store, 4, "stat_stream", batchId = 1L): Unit
+
+    def wantAt(lo: Long, hi: Long) =
+      rows(SnapshotStore.read(spark, store)
+        .filter(col("chunk_idx").between(lo, hi)).drop("bucket"))
+    assert(rows(SnapshotStore.readWhere(spark, store, "chunk_idx", 2L, 5L)
+      .drop("bucket")) === wantAt(2L, 5L))
+    // every file of the head version carries an envelope: the full
+    // range keeps all files, and a beyond-range read prunes to zero
+    val head = SnapshotStore.currentVersion(spark, store).get
+    val (kAll, total) = SnapshotStore.skippingReport(spark, store,
+      "chunk_idx", 0L, 1000000L)
+    assert(kAll === total && total > 0)
+    val (kNone, _) = SnapshotStore.skippingReport(spark, store,
+      "chunk_idx", 900000L, 1000000L)
+    assert(kNone === 0, s"beyond-range read kept $kNone files")
+
+    // maintenance: optimize + vacuum keep both the txn watermark and
+    // the stats declaration alive
+    SnapshotStore.optimize(spark, store)
+    SnapshotStore.vacuum(spark, store, keepVersions = 1)
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "stat_stream")
+      === Some(1L))
+    assert(SnapshotStore.storedStatCols(spark, store,
+      SnapshotStore.currentVersion(spark, store).get)
+      === Seq("chunk_idx"))
+    assert(rows(SnapshotStore.readWhere(spark, store, "chunk_idx", 2L, 5L)
+      .drop("bucket")) === wantAt(2L, 5L))
+    assert(head > 0)
+  }
+
   test("streaming dedup drops near-dups of earlier batches and siblings") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "runs far away into the deep dark forest tonight"

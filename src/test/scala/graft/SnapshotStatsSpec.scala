@@ -50,8 +50,11 @@ class SnapshotStatsSpec extends SparkTestBase {
     // 51 of 1000 values in range; clustered files cover ~64 values each
     assert(kept < total / 2,
       s"pruning did not bite: kept $kept of $total files")
-    val got = sortedRows(SnapshotStore.readWhere(spark, root,
-      "n", 100L, 150L))
+    val pruned = SnapshotStore.readWhere(spark, root, "n", 100L, 150L)
+    // the physical scan surface IS the kept set — not just the report
+    assert(pruned.inputFiles.length === kept)
+    assert(SnapshotStore.read(spark, root).inputFiles.length === total)
+    val got = sortedRows(pruned)
     val want = sortedRows(SnapshotStore.read(spark, root)
       .filter(col("n") >= 100 && col("n") <= 150))
     assert(got === want)
@@ -183,6 +186,108 @@ class SnapshotStatsSpec extends SparkTestBase {
     assert(kept === total)
     assert(SnapshotStore.readWhere(spark, root, "n", 100L, 150L)
       .count() === 51L)
+  }
+
+  test("dropStats is the undo: pruning stops, reads stay exact, " +
+      "re-declare backfills") {
+    val root = "target/snapstats-drop"
+    cleanup(root)
+    SnapshotStore.commit(frame(), root, buckets = 2)
+    SnapshotStore.declareStats(spark, root, Seq("n"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    val (k1, t1) = SnapshotStore.skippingReport(spark, root, "n", 0L, 10L)
+    assert(k1 < t1)
+    SnapshotStore.dropStats(spark, root)
+    val head = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.storedStatCols(spark, root, head).isEmpty)
+    val (k2, t2) = SnapshotStore.skippingReport(spark, root, "n", 0L, 10L)
+    assert(k2 === t2) // nothing prunes without stats
+    assert(SnapshotStore.readWhere(spark, root, "n", 0L, 10L)
+      .count() === 11L)
+    // a second drop is a named error; re-declaring backfills
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.dropStats(spark, root)
+    }
+    assert(e.getMessage.contains("no file statistics"))
+    SnapshotStore.declareStats(spark, root, Seq("n"))
+    val (k3, t3) = SnapshotStore.skippingReport(spark, root, "n", 0L, 10L)
+    assert(k3 < t3)
+  }
+
+  test("bloom point skipping: string-key lookups prune files on an " +
+      "UNCLUSTERED layout; maintained across upsert; absent value " +
+      "prunes everything") {
+    val root = "target/snapstats-bloom"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    // high-cardinality string key, hash-scattered across buckets — the
+    // layout range stats can never prune
+    val df = (0L until 2000L).map(i => (i, s"key_$i", i))
+      .toDF("doc_id", "k", "n")
+    SnapshotStore.commit(df, root, buckets = 8)
+    SnapshotStore.declareBloom(spark, root, Seq("k"), bits = 4096)
+    // split buckets into several files so pruning has grain
+    SnapshotStore.optimize(spark, root, maxRecordsPerFile = 64L)
+    val (kept, total) = SnapshotStore.bloomReport(spark, root,
+      "k", "key_777")
+    assert(total >= 16, s"expected many files, got $total")
+    assert(kept * 2 < total,
+      s"bloom pruning did not bite: kept $kept of $total")
+    val hit = SnapshotStore.readPoint(spark, root, "k", "key_777")
+    assert(hit.inputFiles.length === kept)
+    assert(hit.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(777L))
+    // a value that exists nowhere prunes every file (no false-negative
+    // risk in reverse: bitsets admit supersets, never subsets)
+    val (keptMiss, _) = SnapshotStore.bloomReport(spark, root,
+      "k", "key_nope_xyz")
+    assert(keptMiss < total)
+    assert(SnapshotStore.readPoint(spark, root, "k", "key_nope_xyz")
+      .count() === 0L)
+    // upsert: fresh files get bitsets automatically; lookups stay exact
+    val fresh = Seq((5000L, "key_brand_new", 5000L))
+      .toDF("doc_id", "k", "n")
+    SnapshotStore.upsert(spark, fresh, fresh.select("doc_id"),
+      root, buckets = 8)
+    assert(SnapshotStore.readPoint(spark, root, "k", "key_brand_new")
+      .count() === 1L)
+    assert(SnapshotStore.readPoint(spark, root, "k", "key_777")
+      .count() === 1L)
+    // dropBloom: tombstone stops pruning, reads stay exact
+    SnapshotStore.dropBloom(spark, root)
+    val (kAfter, tAfter) = SnapshotStore.bloomReport(spark, root,
+      "k", "key_777")
+    assert(kAfter === tAfter)
+    assert(SnapshotStore.readPoint(spark, root, "k", "key_777")
+      .count() === 1L)
+  }
+
+  test("bloom guards: unknown / managed / float columns and null probes " +
+      "are named errors") {
+    val root = "target/snapstats-bloom-guards"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a", 1.5)).toDF("doc_id", "k", "x")
+    SnapshotStore.commit(df, root, buckets = 2)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.declareBloom(spark, root, Seq("nope"))
+    }
+    assert(e1.getMessage.contains("does not exist"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.declareBloom(spark, root, Seq("doc_id"))
+    }
+    assert(e2.getMessage.contains("managed column"))
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotStore.declareBloom(spark, root, Seq("x"))
+    }
+    assert(e3.getMessage.contains("stable canonical form"))
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotStore.readPoint(spark, root, "k", null)
+    }
+    assert(e4.getMessage.contains("non-null"))
   }
 
   test("guards: unknown / managed / text columns and missing bounds are " +
