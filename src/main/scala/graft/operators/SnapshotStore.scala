@@ -1515,6 +1515,62 @@ object SnapshotStore {
     base.filter(residual)
   }
 
+  /** Row-level DELETE by range — the data-retention / GDPR primitive,
+    * file-pruned the way the log-structured formats do it: files whose
+    * recorded [min, max] envelope provably contains NO row in [lo, hi]
+    * carry into the new manifest VERBATIM (zero rewrite); only the
+    * candidate files' rows are read, filtered, and rewritten — delete
+    * cost ∝ files that might match, not table size. SQL DELETE
+    * semantics: a NULL predicate deletes nothing, so null-valued rows
+    * are kept explicitly. Without a stats declaration every file is a
+    * candidate (correct, just unpruned). A delete that provably touches
+    * nothing is a version-free no-op returning the current version.
+    * CHECK constraints cannot be violated by removing rows; the schema,
+    * bucket modulus, txn watermarks, and declarations all carry.
+    * Returns the (possibly unchanged) version. */
+  def deleteWhere(spark: SparkSession, root: String, colName: String,
+      lo: Any, hi: Any,
+      expectedVersion: Option[Long] = None): Long = {
+    require(lo != null || hi != null,
+      "deleteWhere needs at least one bound")
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to delete from"))
+    val declaredSeq = declaredCols(spark, root, cur).getOrElse(
+      schemaCols(read(spark, root, cur).schema))
+    val declared = declaredSeq.toMap
+    val t = declared.getOrElse(colName,
+      throw new IllegalArgumentException(
+        s"SnapshotStore: deleteWhere column '$colName' is not a stored " +
+          s"payload column at $root — stored: " +
+          declared.keys.toSeq.sorted.mkString(", ")))
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val meta = manifestMeta(spark, root, cur)
+    val entries = readManifest(spark, root, cur)
+    val candidates = pruneByStats(meta, entries, colName,
+      Option(lo).map(boundBd(_, colName)),
+      Option(hi).map(boundBd(_, colName)))
+    if (candidates.isEmpty) return cur
+    val candidateSet = candidates.toSet
+    val carried = entries.filterNot(candidateSet)
+    val c = col(colName)
+    val hit = (Option(lo).map(x => c >= lit(x).cast(dt)) ++
+      Option(hi).map(x => c <= lit(x).cast(dt))).reduce(_ && _)
+    val survivors = assemble(spark, root, cur, candidates)
+      .filter(!hit || c.isNull)
+    val v = cur + 1
+    val dirName = writeVersionDir(survivors, spark, root, v)
+    publish(spark, root, v,
+      carried ++ listVersionFiles(spark, root, dirName),
+      carriedTxn(spark, root, Nil) ++
+        carriedCheckLines(spark, root) ++
+        declaredSeq.map { case (n, ty) => colLine(n, ty) } ++
+        storedBuckets(spark, root, cur).map(bucketsLine).toSeq :+
+        opLine("delete_where"))
+    v
+  }
+
   /** (files kept, files total) a [[readWhere]] with these bounds would
     * scan — the observability hook for skipping effectiveness (results
     * are residual-filtered, so pruning is invisible in them). */

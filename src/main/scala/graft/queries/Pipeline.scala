@@ -531,6 +531,41 @@ object Pipeline extends QueryPack {
         .readPoint(s, root, "vec_uid", key)
         .select("doc_id", "chunk_idx", "vec_key")
         .orderBy("doc_id")
+    }),
+
+    // File-pruned row-level DELETE (SnapshotStore.deleteWhere): the
+    // data-retention loop — remove every mid-length document from the
+    // versioned store, rewriting ONLY the files whose stats envelope
+    // admits the range (the require pins that at least one file carried
+    // verbatim, i.e. the delete was pruned, not a full rewrite). The
+    // oracle replays the deletion set-theoretically; any stale row in a
+    // carried file or lost row in a rewritten one is a hash mismatch.
+    "i17_delete_range" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i17-del").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+      graft.operators.SnapshotStore.commit(docs, root, buckets = 8)
+      graft.operators.SnapshotStore.declareStats(s, root, Seq("n_chars"))
+      graft.operators.SnapshotStore.optimize(s, root,
+        sortByDocId = false, zorderBy = Seq("n_chars"),
+        maxRecordsPerFile = 32L)
+      val vBefore = graft.operators.SnapshotStore
+        .currentVersion(s, root).get
+      graft.operators.SnapshotStore
+        .deleteWhere(s, root, "n_chars", 200L, 300L)
+      val before = graft.operators.SnapshotStore
+        .read(s, root, vBefore).inputFiles.toSet
+      val after = graft.operators.SnapshotStore
+        .read(s, root).inputFiles.toSet
+      require(before.intersect(after).nonEmpty,
+        "i17: delete rewrote every file — stats pruning did not carry")
+      graft.operators.SnapshotStore.read(s, root)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -933,6 +968,11 @@ object Pipeline extends QueryPack {
     "i15_stats_skipping" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars BETWEEN 100 AND 180
+        |ORDER BY doc_id""".stripMargin,
+
+    "i17_delete_range" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE NOT (n_chars BETWEEN 200 AND 300)
         |ORDER BY doc_id""".stripMargin,
 
     // the probed vec_uid is doc 3 / chunk 0's content hash — unique by

@@ -264,6 +264,49 @@ class SnapshotStatsSpec extends SparkTestBase {
       .count() === 1L)
   }
 
+  test("deleteWhere rewrites only candidate files, carries provably " +
+      "untouched ones verbatim, keeps nulls, and no-ops off-range") {
+    val root = "target/snapstats-delete"
+    cleanup(root)
+    SnapshotStore.commit(frame(), root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("n", "score"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    val vOpt = SnapshotStore.currentVersion(spark, root).get
+    val entriesBefore = SnapshotStore.read(spark, root).inputFiles.toSet
+
+    val v = SnapshotStore.deleteWhere(spark, root, "n", 200L, 299L)
+    assert(v === vOpt + 1)
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() === 900L)
+    assert(after.filter(col("n").between(200L, 299L)).count() === 0L)
+    // untouched files carried VERBATIM (same physical paths reused)
+    val entriesAfter = after.inputFiles.toSet
+    val shared = entriesBefore.intersect(entriesAfter)
+    assert(shared.nonEmpty,
+      "delete rewrote every file — stats pruning did not carry any")
+    assert(entriesAfter.size < entriesBefore.size + 8)
+    // time travel still serves the pre-delete snapshot
+    assert(SnapshotStore.read(spark, root, vOpt).count() === 1000L)
+
+    // NULL rows survive a delete on their column (SQL DELETE: a null
+    // predicate deletes nothing) — score is null at every n % 7 == 0
+    val nullsBefore = after.filter(col("score").isNull).count()
+    SnapshotStore.deleteWhere(spark, root, "score", 0.0, 1000.0)
+    val afterScore = SnapshotStore.read(spark, root)
+    assert(afterScore.filter(col("score").isNotNull).count() === 0L)
+    assert(afterScore.count() === nullsBefore)
+
+    // provably-empty delete is a version-free no-op
+    val vNow = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.deleteWhere(spark, root, "n", 900000L,
+      990000L) === vNow)
+    assert(SnapshotStore.currentVersion(spark, root).get === vNow)
+    // stats stay maintained: the rewritten files answer range reads
+    assert(SnapshotStore.readWhere(spark, root, "n", 0L, 100L).count()
+      === afterScore.filter(col("n") <= 100L).count())
+  }
+
   test("bloom guards: unknown / managed / float columns and null probes " +
       "are named errors") {
     val root = "target/snapstats-bloom-guards"
