@@ -1571,6 +1571,52 @@ object SnapshotStore {
     v
   }
 
+  /** Equality companion of [[deleteWhere]] — delete every row whose
+    * `colName` equals `value`, with BLOOM pruning choosing the
+    * candidate files: the delete-by-key (right-to-be-forgotten) shape,
+    * where the key is typically a high-cardinality string no min/max
+    * envelope could prune. Files whose bitset rejects the value carry
+    * verbatim (false negatives impossible, so no stale row can hide in
+    * a carried file); NULL never equals anything, so null rows are
+    * kept. Provably-empty deletes are version-free no-ops. */
+  def deletePoint(spark: SparkSession, root: String, colName: String,
+      value: Any, expectedVersion: Option[Long] = None): Long = {
+    require(value != null,
+      "deletePoint needs a non-null value (SQL equality never matches " +
+        "NULL — nothing would be deleted)")
+    checkExpected(spark, root, expectedVersion)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root — nothing to delete from"))
+    val declaredSeq = declaredCols(spark, root, cur).getOrElse(
+      schemaCols(read(spark, root, cur).schema))
+    val declared = declaredSeq.toMap
+    val t = declared.getOrElse(colName,
+      throw new IllegalArgumentException(
+        s"SnapshotStore: deletePoint column '$colName' is not a stored " +
+          s"payload column at $root — stored: " +
+          declared.keys.toSeq.sorted.mkString(", ")))
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val entries = readManifest(spark, root, cur)
+    val candidates = bloomKeptEntries(spark, root, cur, colName, value)
+    if (candidates.isEmpty) return cur
+    val candidateSet = candidates.toSet
+    val carried = entries.filterNot(candidateSet)
+    val c = col(colName)
+    val survivors = assemble(spark, root, cur, candidates)
+      .filter(c =!= lit(value).cast(dt) || c.isNull)
+    val v = cur + 1
+    val dirName = writeVersionDir(survivors, spark, root, v)
+    publish(spark, root, v,
+      carried ++ listVersionFiles(spark, root, dirName),
+      carriedTxn(spark, root, Nil) ++
+        carriedCheckLines(spark, root) ++
+        declaredSeq.map { case (n, ty) => colLine(n, ty) } ++
+        storedBuckets(spark, root, cur).map(bucketsLine).toSeq :+
+        opLine("delete_point"))
+    v
+  }
+
   /** (files kept, files total) a [[readWhere]] with these bounds would
     * scan — the observability hook for skipping effectiveness (results
     * are residual-filtered, so pruning is invisible in them). */

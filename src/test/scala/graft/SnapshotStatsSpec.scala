@@ -307,6 +307,40 @@ class SnapshotStatsSpec extends SparkTestBase {
       === afterScore.filter(col("n") <= 100L).count())
   }
 
+  test("deletePoint: bloom-pruned delete-by-key rewrites only admitting " +
+      "files; absent key is a version-free no-op") {
+    val root = "target/snapstats-delpoint"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 2000L).map(i => (i, s"user_${i % 500}", i))
+      .toDF("doc_id", "owner", "n")
+    SnapshotStore.commit(df, root, buckets = 8)
+    SnapshotStore.declareBloom(spark, root, Seq("owner"), bits = 8192)
+    SnapshotStore.optimize(spark, root, maxRecordsPerFile = 64L)
+    val before = SnapshotStore.read(spark, root)
+    val filesBefore = before.inputFiles.toSet
+    val nOwner = before.filter(col("owner") === "user_42").count()
+    assert(nOwner === 4L)
+
+    val v0 = SnapshotStore.currentVersion(spark, root).get
+    val v = SnapshotStore.deletePoint(spark, root, "owner", "user_42")
+    assert(v === v0 + 1)
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() === 2000L - nOwner)
+    assert(after.filter(col("owner") === "user_42").count() === 0L)
+    // most files carried verbatim — the bloom chose few candidates
+    val shared = filesBefore.intersect(after.inputFiles.toSet)
+    assert(shared.size * 2 > filesBefore.size,
+      s"delete-by-key rewrote ${filesBefore.size - shared.size} of " +
+        s"${filesBefore.size} files — bloom pruning did not carry")
+    // a key that never existed: no version published
+    val vNow = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.deletePoint(spark, root, "owner",
+      "user_never_existed") === vNow)
+    assert(SnapshotStore.currentVersion(spark, root).get === vNow)
+  }
+
   test("bloom guards: unknown / managed / float columns and null probes " +
       "are named errors") {
     val root = "target/snapstats-bloom-guards"
