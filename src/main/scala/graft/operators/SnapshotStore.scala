@@ -284,49 +284,81 @@ object SnapshotStore {
     * contributing dir, reading ONLY the declared columns and grouping
     * by file — a bounded job (one output row per new file) whose cost
     * scales with the delta, exactly like the commit that wrote it. */
-  private def computeFileStats(spark: SparkSession, root: String,
-      relPaths: Seq[String], cols: Seq[String])
-      : Seq[((String, String), String)] = {
-    if (relPaths.isEmpty || cols.isEmpty) return Nil
-    relPaths.groupBy(_.split("/").take(2).mkString("/")).toSeq
-      .sortBy(_._1).flatMap { case (_, ps) =>
+  /** One combined scan computing BOTH `#stat` and `#bloom` lines for
+    * new files: per contributing dir, a SINGLE columnar aggregate over
+    * the union of declared columns, grouped by file (one output row
+    * per new file — bounded by the delta's file count). A store that
+    * declares both metadata kinds still scans its delta once per
+    * publish, not once per kind. */
+  private def computeFileMeta(spark: SparkSession, root: String,
+      statPaths: Set[String], statCols: Seq[String],
+      bloomPaths: Set[String], bloomCols: Seq[String], bloomBits: Int)
+      : (Seq[((String, String), String)],
+         Seq[((String, String), String)]) = {
+    val allPaths = (statPaths ++ bloomPaths).toSeq.sorted
+    if (allPaths.isEmpty) return (Nil, Nil)
+    val enc = java.util.Base64.getEncoder
+    val statOut = Seq.newBuilder[((String, String), String)]
+    val bloomOut = Seq.newBuilder[((String, String), String)]
+    allPaths.groupBy(_.split("/").take(2).mkString("/")).toSeq
+      .sortBy(_._1).foreach { case (_, ps) =>
         val df = spark.read.parquet(ps.map(p => s"$root/$p"): _*)
         val fields = df.schema.fieldNames.toSet
-        val present = cols.filter(fields.contains)
+        val presentS = statCols.filter(fields.contains)
+        val presentB = bloomCols.filter(fields.contains)
         // key by bucket=<b>/<file>: one write job reuses part filenames
         // across its bucket dirs, so the bare filename is NOT unique
         // within an attempt dir
         val byName = ps.map(p =>
           p.split("/").takeRight(2).mkString("/") -> p).toMap
         val aggs = Seq(count(lit(1)).as("graft_rows")) ++
-          present.flatMap { c =>
+          presentS.flatMap { c =>
             Seq(min(col(c)).as(s"graft_min_$c"),
               max(col(c)).as(s"graft_max_$c"),
               sum(when(col(c).isNull, 1L).otherwise(0L))
                 .as(s"graft_nulls_$c"))
+          } ++
+          presentB.flatMap { c =>
+            bloomPositions(col(c), bloomBits).zipWithIndex.map {
+              case (pos, i) =>
+                collect_set(when(col(c).isNotNull, pos))
+                  .as(s"graft_bloom_${i}_$c")
+            }
           }
         val rows = df.groupBy(input_file_name().as("graft_file"))
           .agg(aggs.head, aggs.tail: _*).collect().toSeq
-        rows.flatMap { r =>
+        rows.foreach { r =>
           val fname = r.getString(0).split("/").takeRight(2).mkString("/")
           val rel = byName.getOrElse(fname,
             throw new IllegalStateException(
-              s"SnapshotStore: stats scan surfaced unexpected file $fname"))
+              s"SnapshotStore: metadata scan surfaced unexpected file " +
+                fname))
           val n = r.getAs[Long]("graft_rows")
-          cols.map { c =>
-            if (!present.contains(c))
+          if (statPaths.contains(rel)) statCols.foreach { c =>
+            if (!presentS.contains(c))
               // column absent from this dir's files: additive evolution
               // — every row null-fills it on read
-              ((rel, c), statLine(rel, c, n, n, None, None))
+              statOut += ((rel, c) -> statLine(rel, c, n, n, None, None))
             else {
               val nulls = r.getAs[Long](s"graft_nulls_$c")
               val mn = canon(r.get(r.fieldIndex(s"graft_min_$c")))
               val mx = canon(r.get(r.fieldIndex(s"graft_max_$c")))
-              ((rel, c), statLine(rel, c, n, nulls, mn, mx))
+              statOut += ((rel, c) -> statLine(rel, c, n, nulls, mn, mx))
             }
+          }
+          if (bloomPaths.contains(rel)) bloomCols.foreach { c =>
+            val bs = new java.util.BitSet(bloomBits)
+            if (presentB.contains(c))
+              (0 until BloomK).foreach { i =>
+                r.getAs[scala.collection.Seq[Int]](
+                  s"graft_bloom_${i}_$c").foreach(bs.set)
+              }
+            bloomOut += ((rel, c) -> bloomLine(rel, c,
+              enc.encodeToString(bs.toByteArray)))
           }
         }
       }
+    (statOut.result(), bloomOut.result())
   }
 
   // ---- per-file Bloom membership filters (point-lookup skipping) ----
@@ -368,111 +400,49 @@ object SnapshotStore {
         lit(seed.toString))), lit(bits.toLong)).cast("int")
     }
 
-  /** Compute `#bloom` lines for NEW files: per contributing dir, ONE
-    * aggregate collecting the distinct probe positions per file (each
-    * set bounded by min(distinct values, bits) — never row-scale on the
-    * driver), then fold into a BitSet and base64 it. Null values set no
-    * bit (an equality probe never matches NULL). */
-  private def computeFileBlooms(spark: SparkSession, root: String,
-      relPaths: Seq[String], cols: Seq[String], bits: Int)
-      : Seq[((String, String), String)] = {
-    if (relPaths.isEmpty || cols.isEmpty) return Nil
-    val enc = java.util.Base64.getEncoder
-    relPaths.groupBy(_.split("/").take(2).mkString("/")).toSeq
-      .sortBy(_._1).flatMap { case (_, ps) =>
-        val df = spark.read.parquet(ps.map(p => s"$root/$p"): _*)
-        val fields = df.schema.fieldNames.toSet
-        val present = cols.filter(fields.contains)
-        val byName = ps.map(p =>
-          p.split("/").takeRight(2).mkString("/") -> p).toMap
-        val aggs = present.flatMap { c =>
-          bloomPositions(col(c), bits).zipWithIndex.map { case (pos, i) =>
-            collect_set(when(col(c).isNotNull, pos))
-              .as(s"graft_bloom_${i}_$c")
-          }
-        }
-        if (aggs.isEmpty)
-          ps.flatMap(rel => cols.map(c =>
-            ((rel, c), bloomLine(rel, c,
-              enc.encodeToString(Array.emptyByteArray)))))
-        else {
-          val rows = df.groupBy(input_file_name().as("graft_file"))
-            .agg(aggs.head, aggs.tail: _*).collect().toSeq
-          rows.flatMap { r =>
-            val fname = r.getString(0).split("/").takeRight(2)
-              .mkString("/")
-            val rel = byName.getOrElse(fname,
-              throw new IllegalStateException(
-                s"SnapshotStore: bloom scan surfaced unexpected file " +
-                  fname))
-            cols.map { c =>
-              val bs = new java.util.BitSet(bits)
-              if (present.contains(c))
-                (0 until BloomK).foreach { i =>
-                  r.getAs[scala.collection.Seq[Int]](
-                    s"graft_bloom_${i}_$c").foreach(bs.set)
-                }
-              ((rel, c), bloomLine(rel, c,
-                enc.encodeToString(bs.toByteArray)))
-            }
-          }
-        }
+  /** Maintain file statistics AND Bloom filters across EVERY publish,
+    * centrally: known `#stat`/`#bloom` lines — keyed by (relpath, col);
+    * files are immutable and attempt-unique, so a known line is valid
+    * forever — carry from the incoming meta (rollback/restore carry
+    * their version's) or the parent manifest, and [[computeFileMeta]]
+    * computes ONLY genuinely new files, in one combined scan for both
+    * metadata kinds. No declarations ⇒ pass-through (zero extra jobs).
+    * An EMPTY declaration line is the drop tombstone and carries with
+    * no lines. */
+  private def withFileIndexes(spark: SparkSession, root: String,
+      v: Long, entries: Seq[(Long, String)], meta: Seq[String],
+      prevMeta: Seq[String]): Seq[String] = {
+    val statDecl = statColsLineOf(meta).orElse(statColsLineOf(prevMeta))
+    val bloomDecl =
+      bloomColsLineOf(meta).orElse(bloomColsLineOf(prevMeta))
+    val base = meta.filterNot(l => l.startsWith("#stat\t") ||
+      l.startsWith("#statcols\t") || l.startsWith("#bloom\t") ||
+      l.startsWith("#bloomcols\t"))
+    if (statDecl.isEmpty && bloomDecl.isEmpty) return base
+    val paths = entries.map(_._2)
+    val pathSet = paths.toSet
+    val statCols = statDecl.map(parseStatCols).getOrElse(Nil)
+    val (bloomCols, bloomBits) =
+      bloomDecl.map(parseBloomCols).getOrElse((Seq.empty[String], 64))
+    val knownStats =
+      (parseStatLines(prevMeta) ++ parseStatLines(meta)).filter {
+        case ((p, c), _) => pathSet.contains(p) && statCols.contains(c)
       }
-  }
-
-  /** Bloom-line maintenance across every publish — same carry/compute
-    * discipline as [[withFileStats]] (files are immutable, so a known
-    * bitset is valid forever). */
-  private def withFileBlooms(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(Long, String)], meta: Seq[String],
-      prevMeta: Seq[String]): Seq[String] = {
-    bloomColsLineOf(meta).orElse(bloomColsLineOf(prevMeta)) match {
-      case None => meta.filterNot(_.startsWith("#bloom\t"))
-      case Some(declLine) =>
-        val (cols, bits) = parseBloomCols(declLine)
-        val paths = entries.map(_._2)
-        val pathSet = paths.toSet
-        val known =
-          (parseBloomLines(prevMeta) ++ parseBloomLines(meta)).filter {
-            case ((p, c), _) => pathSet.contains(p) && cols.contains(c)
-          }
-        val missing =
-          paths.filter(p => cols.exists(c => !known.contains((p, c))))
-        val computed =
-          computeFileBlooms(spark, root, missing, cols, bits)
-        meta.filterNot(l => l.startsWith("#bloom\t") ||
-            l.startsWith("#bloomcols\t")) ++
-          Seq(declLine) ++ (known ++ computed.toMap).values.toSeq.sorted
-    }
-  }
-
-  /** Maintain file statistics across EVERY publish, centrally: if the
-    * store (or the incoming meta) declares `#statcols`, carry known
-    * `#stat` lines — keyed by (relpath, col); files are immutable and
-    * attempt-unique, so a known line is valid forever — from the
-    * incoming meta (rollback/restore carry their version's) or the
-    * parent manifest, and compute stats only for genuinely new files.
-    * No declaration ⇒ pass-through (zero extra jobs). */
-  private def withFileStats(spark: SparkSession, root: String, v: Long,
-      entries: Seq[(Long, String)], meta: Seq[String],
-      prevMeta: Seq[String]): Seq[String] = {
-    statColsLineOf(meta).orElse(statColsLineOf(prevMeta)) match {
-      case None => meta.filterNot(_.startsWith("#stat\t"))
-      case Some(declLine) =>
-        val cols = parseStatCols(declLine)
-        val paths = entries.map(_._2)
-        val pathSet = paths.toSet
-        val known =
-          (parseStatLines(prevMeta) ++ parseStatLines(meta)).filter {
-            case ((p, c), _) => pathSet.contains(p) && cols.contains(c)
-          }
-        val missing =
-          paths.filter(p => cols.exists(c => !known.contains((p, c))))
-        val computed = computeFileStats(spark, root, missing, cols)
-        meta.filterNot(l => l.startsWith("#stat\t") ||
-            l.startsWith("#statcols\t")) ++
-          Seq(declLine) ++ (known ++ computed.toMap).values.toSeq.sorted
-    }
+    val knownBlooms =
+      (parseBloomLines(prevMeta) ++ parseBloomLines(meta)).filter {
+        case ((p, c), _) => pathSet.contains(p) && bloomCols.contains(c)
+      }
+    val missingStats = paths.filter(p =>
+      statCols.exists(c => !knownStats.contains((p, c)))).toSet
+    val missingBlooms = paths.filter(p =>
+      bloomCols.exists(c => !knownBlooms.contains((p, c)))).toSet
+    val (computedStats, computedBlooms) = computeFileMeta(spark, root,
+      missingStats, statCols, missingBlooms, bloomCols, bloomBits)
+    base ++
+      statDecl.toSeq ++
+      (knownStats ++ computedStats.toMap).values.toSeq.sorted ++
+      bloomDecl.toSeq ++
+      (knownBlooms ++ computedBlooms.toMap).values.toSeq.sorted
   }
 
   /** Columns a version keeps per-file statistics for (`#statcols`). */
@@ -625,8 +595,8 @@ object SnapshotStore {
       if (v > 1 && fs(spark, root).exists(manifestPath(root, v - 1)))
         manifestMeta(spark, root, v - 1)
       else Seq.empty[String]
-    val fullMeta = withFileBlooms(spark, root, v, entries,
-      withFileStats(spark, root, v, entries, meta, prevMeta), prevMeta)
+    val fullMeta = withFileIndexes(spark, root, v, entries, meta,
+      prevMeta)
     // an embedded newline would split a logical line in two and corrupt
     // every later read of the manifest (lines are '\n'-joined below)
     (fullMeta ++ entries.map(_._2)).foreach { s =>

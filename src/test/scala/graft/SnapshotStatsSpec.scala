@@ -307,6 +307,35 @@ class SnapshotStatsSpec extends SparkTestBase {
       === afterScore.filter(col("n") <= 100L).count())
   }
 
+  test("stats + bloom declared together: one publish maintains both; " +
+      "range and point skipping coexist") {
+    val root = "target/snapstats-both"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 1000L).map(i => (i, i, s"key_$i"))
+      .toDF("doc_id", "n", "k")
+    SnapshotStore.commit(df, root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("n"))
+    SnapshotStore.declareBloom(spark, root, Seq("k"), bits = 4096)
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    // the upsert's ONE publish must maintain both metadata kinds
+    val fresh = Seq((3000L, 3000L, "key_fresh")).toDF("doc_id", "n", "k")
+    SnapshotStore.upsert(spark, fresh, fresh.select("doc_id"),
+      root, buckets = 4)
+    val (ks, ts) = SnapshotStore.skippingReport(spark, root, "n", 10L, 40L)
+    assert(ks < ts)
+    val (kb, tb) = SnapshotStore.bloomReport(spark, root, "k", "key_500")
+    assert(kb < tb)
+    assert(SnapshotStore.readWhere(spark, root, "n", 10L, 40L)
+      .count() === 31L)
+    assert(SnapshotStore.readPoint(spark, root, "k", "key_fresh")
+      .count() === 1L)
+    assert(SnapshotStore.readPoint(spark, root, "k", "key_500")
+      .count() === 1L)
+  }
+
   test("deletePoint: bloom-pruned delete-by-key rewrites only admitting " +
       "files; absent key is a version-free no-op") {
     val root = "target/snapstats-delpoint"
