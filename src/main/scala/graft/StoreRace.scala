@@ -37,14 +37,19 @@ object StoreRace {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     for (i <- 1 to rounds) {
-      val rows = Seq((idBase + i, s"$writerId-$i")).toDF("doc_id", "payload")
+      val rows = Seq((idBase + i, s"$writerId-$i", idBase + i))
+        .toDF("doc_id", "payload", "n")
       // maxAttempts is generous: every retry implies the OTHER writer
       // published (system-wide progress), so the bound only has to cover
       // the peers' total commit count, not a spin budget
       SnapshotStore.withConflictRetry(spark, root, maxAttempts = 50) {
         expected =>
           if (expected == 0L)
+            // whichever writer wins the very first commit declares file
+            // statistics — every later publish (both writers, racing)
+            // must then maintain envelopes for its new files
             SnapshotStore.commit(rows, root, buckets,
+              meta = Seq(SnapshotStore.statsDeclaration(Seq("n"))),
               expectedVersion = Some(0L))
           else
             SnapshotStore.upsert(spark, rows, rows.select("doc_id"),

@@ -1241,6 +1241,36 @@ object SnapshotStore {
     v
   }
 
+  /** A `#statcols` manifest line for declaring file statistics AT
+    * FIRST COMMIT (pass via `commit(meta = Seq(...))`) — same effect
+    * as a later [[declareStats]] without spending an extra metadata
+    * version. The live-store type/existence checks run in
+    * [[declareStats]] only; a column declared this way that turns out
+    * non-clusterable simply records unprunable envelopes. */
+  def statsDeclaration(cols: Seq[String]): String = {
+    require(cols.nonEmpty, "statsDeclaration needs at least one column")
+    cols.foreach { c =>
+      require(!c.exists(ch =>
+        ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
+        s"stats column name '$c' contains a separator character")
+    }
+    statColsLine(cols)
+  }
+
+  /** A `#bloomcols` manifest line for declaring Bloom filters at first
+    * commit — the [[statsDeclaration]] analog of [[declareBloom]]. */
+  def bloomDeclaration(cols: Seq[String], bits: Int = 65536): String = {
+    require(cols.nonEmpty, "bloomDeclaration needs at least one column")
+    require(bits >= 64 && bits <= (1 << 24),
+      s"bloom bits out of range [64, 2^24]: $bits")
+    cols.foreach { c =>
+      require(!c.exists(ch =>
+        ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
+        s"bloom column name '$c' contains a separator character")
+    }
+    bloomColsLine(cols, bits)
+  }
+
   /** Remove the file-statistics declaration (and all `#stat` lines)
     * with a metadata-only version — the undo for [[declareStats]]:
     * without it a mis-declared column set would tax every future

@@ -79,5 +79,20 @@ class StoreRaceSpec extends SparkTestBase {
     SnapshotStore.vacuum(spark, root, keepVersions = 1)
     assert(contents === want)
     assert(SnapshotStore.currentVersion(spark, root) === Some(total))
+
+    // the first-commit stats declaration survived the whole race, and
+    // EVERY file — both writers', winners and retry survivors — has a
+    // recorded envelope: a far-off-range read prunes to zero files (an
+    // unrecorded file would be unprunable and keep > 0), while the real
+    // ranges read back exactly
+    assert(SnapshotStore.storedStatCols(spark, root, total) === Seq("n"))
+    val (kNone, tAll) = SnapshotStore.skippingReport(spark, root,
+      "n", 9000000L, 9100000L)
+    assert(tAll > 0 && kNone === 0,
+      s"$kNone of $tAll files lack a stats envelope after the race")
+    assert(SnapshotStore.readWhere(spark, root, "n",
+      1001L, 1000L + Rounds).count() === Rounds.toLong)
+    assert(SnapshotStore.readWhere(spark, root, "n",
+      2001L, 2000L + Rounds).count() === Rounds.toLong)
   }
 }
