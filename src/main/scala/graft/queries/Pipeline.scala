@@ -566,6 +566,46 @@ object Pipeline extends QueryPack {
       graft.operators.SnapshotStore.read(s, root)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Bloom-pruned DELETE-BY-KEY (SnapshotStore.deletePoint) — the
+    // right-to-be-forgotten loop over the chunk index: the bloom is
+    // declared AT FIRST COMMIT (bloomDeclaration via commit meta, no
+    // extra metadata version), one chunk's unique content hash is
+    // deleted, and the per-document chunk counts must drop by exactly
+    // one for that document — a stale row hiding in a bloom-carried
+    // file, or an over-deleted neighbour, is a hash mismatch. The
+    // require pins that the delete carried files verbatim (pruned by
+    // bitset, not a full rewrite).
+    "i18_delete_key" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i18-delkey").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val idx = IngestionPipeline.buildIndex(s, d, chunkSize = 120,
+          overlap = 20, dim = 8)
+        .select("doc_id", "chunk_idx", "vec_uid")
+      graft.operators.SnapshotStore.commit(idx, root, buckets = 8,
+        meta = Seq(graft.operators.SnapshotStore
+          .bloomDeclaration(Seq("vec_uid"))))
+      graft.operators.SnapshotStore.optimize(s, root,
+        maxRecordsPerFile = 256L)
+      val vBefore = graft.operators.SnapshotStore
+        .currentVersion(s, root).get
+      val key = idx.filter(col("doc_id") === 3 && col("chunk_idx") === 0)
+        .select("vec_uid").collect().head.get(0)
+      graft.operators.SnapshotStore.deletePoint(s, root, "vec_uid", key)
+      val before = graft.operators.SnapshotStore
+        .read(s, root, vBefore).inputFiles.toSet
+      val after = graft.operators.SnapshotStore
+        .read(s, root).inputFiles.toSet
+      require(before.intersect(after).nonEmpty,
+        "i18: delete-by-key rewrote every file — bloom did not carry")
+      graft.operators.SnapshotStore.read(s, root)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"))
+        .orderBy("doc_id")
     })
   )
 
@@ -974,6 +1014,18 @@ object Pipeline extends QueryPack {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE NOT (n_chars BETWEEN 200 AND 300)
         |ORDER BY doc_id""".stripMargin,
+
+    // per-doc chunk counts with doc 3 down one chunk (its chunk 0's
+    // unique vec_uid was the deleted key; doc 3 has >= 2 chunks in the
+    // fixtures, so it stays present)
+    "i18_delete_key" ->
+      """WITH t AS (SELECT doc_id,
+        |  greatest(1, cast(ceil((length(text) - 20) / 100.0) as int)) AS nc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(CASE WHEN doc_id = 3 THEN nc - 1 ELSE nc END as bigint)
+        |    AS n_chunks
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // the probed vec_uid is doc 3 / chunk 0's content hash — unique by
     // construction, so the equality filter reduces to that one chunk
