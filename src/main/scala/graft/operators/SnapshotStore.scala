@@ -424,6 +424,34 @@ object SnapshotStore {
     val statCols = statDecl.map(parseStatCols).getOrElse(Nil)
     val (bloomCols, bloomBits) =
       bloomDecl.map(parseBloomCols).getOrElse((Seq.empty[String], 64))
+    // [[bloomDeclaration]] (the first-commit form) bypasses
+    // declareBloom's type validation; enforce it HERE, at the first
+    // maintenance that would hash the column — a float/decimal bloom
+    // would otherwise record write-side renderings the probe side can
+    // silently miss (a false negative dressed as an empty result)
+    if (bloomCols.nonEmpty) {
+      // toMap is last-wins: the INCOMING meta's declaration overrides a
+      // stale carried one
+      val colTypes = (prevMeta ++ meta).collect {
+        case l if l.startsWith("#col\t") =>
+          val Array(_, n, t) = l.split("\t", 3); (n, t)
+      }.toMap
+      bloomCols.foreach { c =>
+        colTypes.get(c).foreach { t =>
+          import org.apache.spark.sql.types._
+          DataType.fromDDL(t) match {
+            case StringType | DateType =>
+            case _: ByteType | _: ShortType | _: IntegerType |
+                _: LongType =>
+            case dt => throw new IllegalArgumentException(
+              s"SnapshotStore: bloom column '$c' has type " +
+                s"${dt.catalogString} — membership hashing needs a " +
+                "stable canonical form (string/integral/date); drop the " +
+                "bloomDeclaration or dropBloom() the store")
+          }
+        }
+      }
+    }
     val knownStats =
       (parseStatLines(prevMeta) ++ parseStatLines(meta)).filter {
         case ((p, c), _) => pathSet.contains(p) && statCols.contains(c)
@@ -488,13 +516,81 @@ object SnapshotStore {
     }
   }
 
-  private def boundBd(b: Any, colName: String): java.math.BigDecimal =
-    canon(b) match {
-      case Some(s) => new java.math.BigDecimal(s)
-      case None => throw new IllegalArgumentException(
-        s"SnapshotStore: unsupported bound value for '$colName': $b — " +
-          "pass a finite numeric / date / timestamp value")
+  /** Canonicalize a user-supplied bound/probe value THROUGH the
+    * column's DECLARED type — the write side canonicalized the stored
+    * column's values (epoch-micros for timestamps, epoch-days for
+    * dates), so a bound canonicalized from its raw JVM type would be
+    * compared in the wrong unit space: an epoch-seconds Long bound on a
+    * TimestampType column would make files that DO contain matching
+    * rows look provably disjoint, silently dropping rows from readWhere
+    * and silently carrying files deleteWhere must rewrite (an
+    * incomplete GDPR delete with no error). The bound is evaluated as
+    * `CAST(literal AS declaredType)` via the same Catalyst Cast the
+    * residual predicate uses, so pruning and residual can never
+    * disagree; an uncastable or null-casting bound is a named error,
+    * never a silent mis-prune. */
+  private def canonAs(spark: SparkSession, b: Any,
+      dt: org.apache.spark.sql.types.DataType,
+      colName: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val litE =
+      try Literal(b)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"SnapshotStore: unsupported bound value for '$colName': $b " +
+            s"(${b.getClass.getName}) — pass a finite numeric / date / " +
+            "timestamp / string value", e)
+      }
+    val cast = Cast(litE, dt,
+      Option(spark.sessionState.conf.sessionLocalTimeZone))
+    if (!cast.resolved)
+      throw new IllegalArgumentException(
+        s"SnapshotStore: bound value $b (${litE.dataType.catalogString}) " +
+          s"for '$colName' is not castable to the column's declared type " +
+          s"${dt.catalogString}")
+    val internal =
+      try cast.eval()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"SnapshotStore: bound value $b for '$colName' does not " +
+            s"convert to the column's declared type ${dt.catalogString}: " +
+            e.getMessage, e)
+      }
+    if (internal == null)
+      throw new IllegalArgumentException(
+        s"SnapshotStore: bound value $b for '$colName' casts to NULL " +
+          s"under the column's declared type ${dt.catalogString} — a " +
+          "null bound would silently prune everything")
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        internal.toString // integral internal forms (date = epoch-day Int)
+      case FloatType =>
+        val f = internal.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) throw new IllegalArgumentException(
+          s"SnapshotStore: non-finite bound for '$colName': $b")
+        f.toDouble.toString
+      case DoubleType =>
+        val d = internal.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) throw new IllegalArgumentException(
+          s"SnapshotStore: non-finite bound for '$colName': $b")
+        d.toString
+      case _: DecimalType =>
+        internal.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toPlainString
+      case TimestampType | TimestampNTZType =>
+        internal.toString // epoch-micros Long
+      case other => throw new IllegalArgumentException(
+        s"SnapshotStore: column '$colName' has type " +
+          s"${other.catalogString} — range bounds need numeric / date / " +
+          "timestamp columns")
     }
+  }
+
+  private def boundBd(spark: SparkSession, b: Any,
+      dt: org.apache.spark.sql.types.DataType,
+      colName: String): java.math.BigDecimal =
+    new java.math.BigDecimal(canonAs(spark, b, dt, colName))
 
   /** The logical schema a version's manifest declares (`#col` lines,
     * written by every publish since the schema contract landed), as
@@ -1391,8 +1487,16 @@ object SnapshotStore {
       case l if l.startsWith("#bloomcols\t") => parseBloomCols(l)._1
     }.getOrElse(Nil)
 
+  /** `dt` is the column's DECLARED type: the write side hashed
+    * `cast(storedColumn as string)`, so the probe must hash
+    * `cast(lit(value) as dt)` — probing the value's natural type (a
+    * Double 42.0 on a bigint bloom hashing "42.0" vs stored "42") would
+    * be a bloom FALSE NEGATIVE: readPoint silently returns zero rows
+    * and deletePoint silently no-ops even though the residual equality
+    * (which does cast) would match. */
   private def bloomKeptEntries(spark: SparkSession, root: String,
-      v: Long, colName: String, value: Any): Seq[(Long, String)] = {
+      v: Long, colName: String, value: Any,
+      dt: org.apache.spark.sql.types.DataType): Seq[(Long, String)] = {
     val meta = manifestMeta(spark, root, v)
     val entries = readManifest(spark, root, v)
     val decl = bloomColsLineOf(meta).map(parseBloomCols)
@@ -1401,7 +1505,8 @@ object SnapshotStore {
         // probe positions via the SAME Spark expressions the write
         // side used — a driver-side hash reimplementation could drift
         val posRow = spark.range(1)
-          .select(bloomPositions(lit(value), bits): _*).collect().head
+          .select(bloomPositions(lit(value).cast(dt), bits): _*)
+          .collect().head
         val probes = (0 until BloomK).map(posRow.getInt)
         val dec = java.util.Base64.getDecoder
         val bitsets = meta.filter(_.startsWith("#bloom\t")).flatMap { l =>
@@ -1432,14 +1537,17 @@ object SnapshotStore {
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
-    val declared = declaredCols(spark, root, v).getOrElse(Nil).toMap
+    // legacy manifests without #col declarations fall back to the
+    // physical schema (read() works there, so readPoint must too)
+    val declared = declaredCols(spark, root, v).getOrElse(
+      schemaCols(read(spark, root, v).schema)).toMap
     val t = declared.getOrElse(colName,
       throw new IllegalArgumentException(
         s"SnapshotStore: readPoint column '$colName' is not a stored " +
           s"payload column at $root — stored: " +
           declared.keys.toSeq.sorted.mkString(", ")))
     val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
-    val kept = bloomKeptEntries(spark, root, v, colName, value)
+    val kept = bloomKeptEntries(spark, root, v, colName, value, dt)
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
       else read(spark, root, v).limit(0)
@@ -1452,7 +1560,15 @@ object SnapshotStore {
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
-    val kept = bloomKeptEntries(spark, root, v, colName, value)
+    val declared = declaredCols(spark, root, v).getOrElse(
+      schemaCols(read(spark, root, v).schema)).toMap
+    // a column with no declared type has no bloom either → report the
+    // unpruned scan readPoint's error path never reaches
+    val kept = declared.get(colName)
+      .map(org.apache.spark.sql.types.DataType.fromDDL) match {
+        case Some(dt) => bloomKeptEntries(spark, root, v, colName, value, dt)
+        case None => readManifest(spark, root, v)
+      }
     (kept.size, readManifest(spark, root, v).size)
   }
 
@@ -1488,7 +1604,11 @@ object SnapshotStore {
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
-    val declared = declaredCols(spark, root, v).getOrElse(Nil).toMap
+    // legacy manifests without #col declarations fall back to the
+    // physical schema, same as deleteWhere/declareStats — read() works
+    // there, so readWhere must too
+    val declared = declaredCols(spark, root, v).getOrElse(
+      schemaCols(read(spark, root, v).schema)).toMap
     val types = bounds.keys.map { c =>
       val t = declared.getOrElse(c,
         throw new IllegalArgumentException(
@@ -1503,7 +1623,8 @@ object SnapshotStore {
         case (es, (c, (lo, hi))) =>
           if (lo == null && hi == null) es
           else pruneByStats(meta, es, c,
-            Option(lo).map(boundBd(_, c)), Option(hi).map(boundBd(_, c)))
+            Option(lo).map(boundBd(spark, _, types(c), c)),
+            Option(hi).map(boundBd(spark, _, types(c), c)))
       }
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
@@ -1549,8 +1670,8 @@ object SnapshotStore {
     val meta = manifestMeta(spark, root, cur)
     val entries = readManifest(spark, root, cur)
     val candidates = pruneByStats(meta, entries, colName,
-      Option(lo).map(boundBd(_, colName)),
-      Option(hi).map(boundBd(_, colName)))
+      Option(lo).map(boundBd(spark, _, dt, colName)),
+      Option(hi).map(boundBd(spark, _, dt, colName)))
     if (candidates.isEmpty) return cur
     val candidateSet = candidates.toSet
     val carried = entries.filterNot(candidateSet)
@@ -1598,7 +1719,7 @@ object SnapshotStore {
           declared.keys.toSeq.sorted.mkString(", ")))
     val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
     val entries = readManifest(spark, root, cur)
-    val candidates = bloomKeptEntries(spark, root, cur, colName, value)
+    val candidates = bloomKeptEntries(spark, root, cur, colName, value, dt)
     if (candidates.isEmpty) return cur
     val candidateSet = candidates.toSet
     val carried = entries.filterNot(candidateSet)
@@ -1632,11 +1753,21 @@ object SnapshotStore {
         throw new IllegalArgumentException(s"no published version at $root"))
     val entries = readManifest(spark, root, v)
     val meta = manifestMeta(spark, root, v)
+    // same type normalization as readWhereAll, so the report predicts
+    // exactly the scan readWhere would run; a column absent from the
+    // declaration has no stats either, so its bound prunes nothing
+    val declared = declaredCols(spark, root, v).getOrElse(
+      schemaCols(read(spark, root, v).schema)).toMap
     val kept = bounds.toSeq.sortBy(_._1).foldLeft(entries) {
       case (es, (c, (lo, hi))) =>
-        if (lo == null && hi == null) es
-        else pruneByStats(meta, es, c,
-          Option(lo).map(boundBd(_, c)), Option(hi).map(boundBd(_, c)))
+        declared.get(c).map(org.apache.spark.sql.types.DataType.fromDDL)
+          match {
+            case Some(dt) if lo != null || hi != null =>
+              pruneByStats(meta, es, c,
+                Option(lo).map(boundBd(spark, _, dt, c)),
+                Option(hi).map(boundBd(spark, _, dt, c)))
+            case _ => es
+          }
     }
     (kept.size, entries.size)
   }
@@ -1799,8 +1930,27 @@ object SnapshotStore {
           s"SnapshotStore: failed to copy $rel while cloning")
     }
     val newEntries = mapping.map { case (b, _, newRel) => (b, newRel) }
+    // carried `#stat`/`#bloom` lines keep their VALUES but must follow
+    // the relpath rewrite — dropped or stale-pathed lines would force
+    // publish's withFileIndexes to re-scan the entire cloned snapshot
+    // (bounded-by-delta maintenance suddenly costing a full table read)
+    val relMap = mapping.map { case (_, rel, newRel) => rel -> newRel }.toMap
     val meta = manifestMeta(spark, srcRoot, cur)
-      .filterNot(_.startsWith("#op\t")) :+ opLine("clone")
+      .filterNot(_.startsWith("#op\t"))
+      .flatMap { l =>
+        if (l.startsWith("#stat\t") || l.startsWith("#bloom\t")) {
+          // limit -1: a stat line's min/max fields may be EMPTY (all-null
+          // file) and Java's default split drops trailing empties, which
+          // would silently shorten the rebuilt line
+          val a = l.split("\t", -1)
+          // a line for a file outside the cloned version cannot exist
+          // (lines are keyed to manifest entries), but stay conservative:
+          // dropping it only costs a recompute, mapping it wrongly would
+          // attach stats to the wrong file
+          relMap.get(a(1)).map(nr => (a.take(1) :+ nr) ++ a.drop(2))
+            .map(_.mkString("\t"))
+        } else Some(l)
+      } :+ opLine("clone")
     publish(spark, dstRoot, 1L, newEntries, meta)
     1L
   }

@@ -45,8 +45,14 @@ object ZOrder {
     * multiply, floor — DuckDB reproduces it bit-for-bit (q40 oracle). */
   def bucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
     val buckets = 1 << bits
+    // lo/hi cast too: for numeric stats the cast is a no-op, for
+    // TIMESTAMP stats it is what makes the arithmetic resolve at all
+    // (double - timestamp is a type error — optimize(zorderBy=ts)
+    // admits timestamps by contract, so bucket must as well)
+    val (cd, lod, hid) = (c.cast("double"), lo.cast("double"),
+      hi.cast("double"))
     least(lit(buckets - 1), greatest(lit(0),
-      floor((c.cast("double") - lo) / (hi - lo + lit(1e-9)) * buckets)))
+      floor((cd - lod) / (hid - lod + lit(1e-9)) * buckets)))
   }
 
   /** Write `df` to `path` z-ordered on `zCols` across `nFiles` range

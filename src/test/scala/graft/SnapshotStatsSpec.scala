@@ -396,6 +396,145 @@ class SnapshotStatsSpec extends SparkTestBase {
     assert(e4.getMessage.contains("non-null"))
   }
 
+  test("bounds normalize through the column's DECLARED type: a Date " +
+      "bound on a timestamp column prunes in epoch-micros space, not " +
+      "epoch-days") {
+    val root = "target/snapstats-typed-bounds"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    // timestamps spread over 1000 days; stats canonicalize to MICROS
+    val df = (0L until 1000L).map { i =>
+      (i, new java.sql.Timestamp(86400000L * i))
+    }.toDF("doc_id", "ts")
+    SnapshotStore.commit(df, root, buckets = 2)
+    SnapshotStore.declareStats(spark, root, Seq("ts"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("ts"), maxRecordsPerFile = 64L)
+    // a java.sql.Date bound canonicalizes to epoch-DAYS raw — compared
+    // against micros envelopes it pruned EVERY file (mn_micros > hi_days)
+    // and readWhere silently returned zero rows; normalized through the
+    // declared TimestampType both sides compare in micros
+    val lo = java.sql.Date.valueOf("1970-04-11") // day 100
+    val hi = java.sql.Date.valueOf("1970-07-20") // day 200
+    val got = SnapshotStore.readWhere(spark, root, "ts", lo, hi)
+    assert(got.count() === 101L,
+      "date bounds on a timestamp column dropped rows — bound " +
+        "canonicalized in the wrong unit space")
+    val (kept, total) = SnapshotStore.skippingReport(spark, root,
+      "ts", lo, hi)
+    assert(kept < total, s"pruning did not engage: $kept of $total")
+    // deleteWhere through the same normalization: files that match must
+    // NOT be carried as provably disjoint (the incomplete-GDPR trap)
+    SnapshotStore.deleteWhere(spark, root, "ts", lo, hi)
+    assert(SnapshotStore.read(spark, root).count() === 899L)
+    // a bound that cannot cast to the declared type is a NAMED error,
+    // never a silent mis-prune
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readWhere(spark, root, "ts", "not a time", null)
+        .count()
+    }
+    assert(e.getMessage.contains("ts"))
+  }
+
+  test("bloom probes hash the column's declared type: an equal-but-" +
+      "differently-typed probe is not a false negative") {
+    val root = "target/snapstats-bloom-typed"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 500L).map(i => (i, i * 3L)).toDF("doc_id", "n3")
+    SnapshotStore.commit(df, root, buckets = 4)
+    SnapshotStore.declareBloom(spark, root, Seq("n3"), bits = 4096)
+    SnapshotStore.optimize(spark, root, maxRecordsPerFile = 64L)
+    // the write side hashed cast(n3 as string) = "42"; a Double probe
+    // hashed "42.0" → all K positions missed → bloom false negative:
+    // readPoint returned ZERO rows and deletePoint no-opped even though
+    // the residual equality matches
+    assert(SnapshotStore.readPoint(spark, root, "n3", 42.0)
+      .count() === 1L,
+      "Double probe on a bigint bloom was a false negative")
+    assert(SnapshotStore.readPoint(spark, root, "n3", 42)
+      .count() === 1L) // Int probe on a bigint column
+    val v0 = SnapshotStore.currentVersion(spark, root).get
+    val v = SnapshotStore.deletePoint(spark, root, "n3", 42.0)
+    assert(v === v0 + 1,
+      "deletePoint with a Double probe version-free no-opped on a " +
+        "matching bigint key")
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("n3") === 42L).count() === 0L)
+  }
+
+  test("legacy manifest without #col declarations: readPoint/readWhere " +
+      "fall back to the physical schema like read() does") {
+    val root = "target/snapstats-legacy"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L).map(i => (i, i, s"k_$i"))
+      .toDF("doc_id", "n", "k")
+    SnapshotStore.commit(df, root, buckets = 2)
+    // simulate a pre-declaration manifest: same entries, #col lines
+    // stripped (manifests are plain text by design)
+    val m1 = new java.io.File(root, "_versions/v00001.manifest")
+    val legacy = scala.io.Source.fromFile(m1, "UTF-8").getLines()
+      .filterNot(_.startsWith("#col\t")).mkString("", "\n", "\n")
+    val m2 = new java.io.File(root, "_versions/v00002.manifest")
+    java.nio.file.Files.write(m2.toPath, legacy.getBytes("UTF-8"))
+    assert(SnapshotStore.read(spark, root).count() === 100L)
+    assert(SnapshotStore.readWhere(spark, root, "n", 10L, 20L)
+      .count() === 11L)
+    assert(SnapshotStore.readPoint(spark, root, "k", "k_7")
+      .count() === 1L)
+  }
+
+  test("clone carries stat + bloom lines with rewritten relpaths — " +
+      "pruning engages on the clone without a re-scan") {
+    val srcRoot = "target/snapstats-clone-src"
+    val dstRoot = "target/snapstats-clone-dst"
+    cleanup(srcRoot); cleanup(dstRoot)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 1000L).map(i => (i, i, s"key_$i"))
+      .toDF("doc_id", "n", "k")
+    SnapshotStore.commit(df, srcRoot, buckets = 4)
+    SnapshotStore.declareStats(spark, srcRoot, Seq("n"))
+    SnapshotStore.declareBloom(spark, srcRoot, Seq("k"), bits = 4096)
+    SnapshotStore.optimize(spark, srcRoot, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    SnapshotStore.cloneTo(spark, srcRoot, dstRoot)
+    // the clone's manifest must hold as many stat/bloom lines as the
+    // source's — all keyed to the REWRITTEN paths, so skipping works
+    val (kept, total) = SnapshotStore.skippingReport(spark, dstRoot,
+      "n", 100L, 150L)
+    assert(kept < total, s"clone lost stats pruning: $kept of $total")
+    val (kb, tb) = SnapshotStore.bloomReport(spark, dstRoot, "k", "key_7")
+    assert(kb < tb, s"clone lost bloom pruning: $kb of $tb")
+    assert(SnapshotStore.readWhere(spark, dstRoot, "n", 100L, 150L)
+      .count() === 51L)
+    assert(SnapshotStore.readPoint(spark, dstRoot, "k", "key_7")
+      .count() === 1L)
+  }
+
+  test("bloomDeclaration on a non-hashable column is rejected at first " +
+      "maintenance, not recorded silently") {
+    val root = "target/snapstats-bloomdecl-guard"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, 1.5, "a")).toDF("doc_id", "x", "k")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.commit(df, root, buckets = 2,
+        meta = Seq(SnapshotStore.bloomDeclaration(Seq("x"))))
+    }
+    assert(e.getMessage.contains("stable canonical form"))
+    // the good declaration path still works at first commit
+    cleanup(root)
+    SnapshotStore.commit(df, root, buckets = 2,
+      meta = Seq(SnapshotStore.bloomDeclaration(Seq("k"))))
+    assert(SnapshotStore.readPoint(spark, root, "k", "a").count() === 1L)
+  }
+
   test("guards: unknown / managed / text columns and missing bounds are " +
       "named errors") {
     val root = "target/snapstats-guards"
