@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * one left join back onto the one-row-per-node distance table — two
   * exchanges over edge-scale data, no driver collect; the distance table
   * localCheckpoints per round so iterative lineage never replays prior
-  * rounds. Negative weights are rejected up front: with them
-  * "distances only decrease ⇒ stable round = fixpoint" still holds, but
-  * a negative CYCLE would diverge forever under early exit, and
-  * detecting one is a different operator's contract.
+  * rounds. Negative weights are rejected AT FIRST USE, inside the
+  * relaxation expression itself — the guard costs one comparison per
+  * relaxed edge instead of a dedicated full-edge-list pre-scan job per
+  * call, and it is exactly as strong: an edge no relaxation ever reads
+  * cannot influence any distance, while every edge that COULD (including
+  * every edge of a reachable negative cycle, which would diverge forever
+  * under early exit) fires the guard the round it is first joined.
   *
   * Distances are longs with an additive-overflow-safe [[Inf]] sentinel;
   * `maxRounds` bounds the run (n−1 rounds reach the true fixpoint on
@@ -34,13 +37,18 @@ object WeightedSssp {
     * directed edges `(src, dst, w)` with non-negative long weights.
     * With `earlyExit`, stops after the first round that improves no
     * node. Returns (final distance table, rounds actually run). */
+  private val NegMsg =
+    "WeightedSssp: negative edge weights are not supported (a " +
+      "negative cycle would make the early-exit fixpoint diverge)"
+
   def run(edges: DataFrame, dist0: DataFrame, maxRounds: Int,
       earlyExit: Boolean = false): (DataFrame, Int) = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val negs = edges.filter(col("w") < 0).limit(1).count()
-    require(negs == 0L,
-      "WeightedSssp: negative edge weights are not supported (a " +
-        "negative cycle would make the early-exit fixpoint diverge)")
+    // the weight guard, evaluated per RELAXED edge inside the rollup —
+    // no separate full-edge-list validation job (raise_error keeps the
+    // superstep's codegen; the catch below re-surfaces it by name)
+    val checkedW = when(col("w").cast("long") >= 0, col("w").cast("long"))
+      .otherwise(raise_error(lit(NegMsg)))
     var dist = dist0.select(col("v"), col("dist").cast("long").as("dist"))
       .localCheckpoint(eager = true)
     var rounds = 0
@@ -50,12 +58,23 @@ object WeightedSssp {
         .select(col("v").as("fv"), col("dist").as("fd"))
       val nd = edges.join(frontier, col("src") === col("fv"))
         .groupBy("dst")
-        .agg(min(col("fd") + col("w").cast("long")).as("nd"))
-      val next = dist.join(nd, dist("v") === nd("dst"), "left")
-        .select(col("v"),
-          least(col("dist"), coalesce(col("nd"), lit(Inf)))
-            .as("dist"))
-        .localCheckpoint(eager = true)
+        .agg(min(col("fd") + checkedW).as("nd"))
+      val next =
+        try dist.join(nd, dist("v") === nd("dst"), "left")
+          .select(col("v"),
+            least(col("dist"), coalesce(col("nd"), lit(Inf)))
+              .as("dist"))
+          .localCheckpoint(eager = true)
+        catch {
+          // the raise_error surfaces as a SparkException chain; rethrow
+          // as the operator's own named contract violation
+          case e: Exception
+              if Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(8)
+                .exists(t => Option(t.getMessage).exists(
+                  _.contains("negative edge weights"))) =>
+            throw new IllegalArgumentException(NegMsg, e)
+        }
       if (earlyExit) {
         // distances only ever decrease, so "no row improved" is exactly
         // the fixpoint; one bounded count over the node table
