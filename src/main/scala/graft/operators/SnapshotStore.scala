@@ -318,12 +318,18 @@ object SnapshotStore {
               sum(when(col(c).isNull, 1L).otherwise(0L))
                 .as(s"graft_nulls_$c"))
           } ++
-          presentB.flatMap { c =>
-            bloomPositions(col(c), bloomBits).zipWithIndex.map {
-              case (pos, i) =>
-                collect_set(when(col(c).isNotNull, pos))
-                  .as(s"graft_bloom_${i}_$c")
-            }
+          presentB.map { c =>
+            // positions fold into the bitset ON THE EXECUTORS
+            // (graft.plans.BloomBitsetAgg): the driver receives bits/8
+            // finished bytes per (file, column), never the up-to-K×bits
+            // distinct Int positions a collect_set would pull — the
+            // difference between ~8 KB and ~1 MB per file at the default
+            // width, and between ~2 MB and a multi-GB allocation at the
+            // permitted 2^24 bits
+            graft.plans.BloomBitsetAgg.bloom_bitset(
+              when(col(c).isNotNull,
+                array(bloomPositions(col(c), bloomBits): _*)),
+              bloomBits).as(s"graft_bloom_$c")
           }
         val rows = df.groupBy(input_file_name().as("graft_file"))
           .agg(aggs.head, aggs.tail: _*).collect().toSeq
@@ -347,14 +353,14 @@ object SnapshotStore {
             }
           }
           if (bloomPaths.contains(rel)) bloomCols.foreach { c =>
-            val bs = new java.util.BitSet(bloomBits)
-            if (presentB.contains(c))
-              (0 until BloomK).foreach { i =>
-                r.getAs[scala.collection.Seq[Int]](
-                  s"graft_bloom_${i}_$c").foreach(bs.set)
-              }
+            // absent column = all-null fill on read = empty bitset, same
+            // bytes the aggregate yields for an all-null present column
+            val bytes =
+              if (presentB.contains(c))
+                r.getAs[Array[Byte]](s"graft_bloom_$c")
+              else Array.empty[Byte]
             bloomOut += ((rel, c) -> bloomLine(rel, c,
-              enc.encodeToString(bs.toByteArray)))
+              enc.encodeToString(bytes)))
           }
         }
       }

@@ -535,6 +535,46 @@ class SnapshotStatsSpec extends SparkTestBase {
     assert(SnapshotStore.readPoint(spark, root, "k", "a").count() === 1L)
   }
 
+  test("executor-side bitset aggregate is bit-identical to a driver-side " +
+      "position fold; a many-file OPTIMIZE maintains blooms exactly") {
+    val sp = spark
+    import sp.implicits._
+    // bit-identity: same positions folded two ways must yield the same
+    // toByteArray bytes (the #bloom manifest encoding)
+    val bits = 512
+    val posDf = (0L until 200L)
+      .map(i => Seq(((i * 7) % bits).toInt, ((i * 13 + 5) % bits).toInt))
+      .toDF("ps")
+    val aggBytes = posDf
+      .agg(graft.plans.BloomBitsetAgg.bloom_bitset(col("ps"), bits))
+      .collect().head.getAs[Array[Byte]](0)
+    val positions = posDf.select(explode(col("ps"))).distinct()
+      .collect().map(_.getInt(0))
+    val bs = new java.util.BitSet(bits)
+    positions.foreach(bs.set)
+    assert(java.util.Arrays.equals(aggBytes, bs.toByteArray),
+      "executor-folded bitset differs from the driver fold it replaced")
+    // many files in one maintenance pass: 2000 rows, 8 buckets, 8-row
+    // files → ~250 (file, column) bitsets through one publish
+    val root = "target/snapstats-manyfiles"
+    cleanup(root)
+    val df = (0L until 2000L).map(i => (i, s"key_$i")).toDF("doc_id", "k")
+    SnapshotStore.commit(df, root, buckets = 8,
+      meta = Seq(SnapshotStore.bloomDeclaration(Seq("k"), bits = 2048)))
+    SnapshotStore.optimize(spark, root, maxRecordsPerFile = 8L)
+    val (_, total) = SnapshotStore.bloomReport(spark, root, "k", "key_3")
+    assert(total >= 200, s"expected ~250 files, got $total")
+    // every key findable (no false negative anywhere), misses prune hard
+    Seq(3L, 777L, 1999L).foreach { i =>
+      val hit = SnapshotStore.readPoint(spark, root, "k", s"key_$i")
+      assert(hit.select("doc_id").collect().map(_.getLong(0)).toSeq
+        === Seq(i))
+    }
+    val (keptMiss, _) = SnapshotStore.bloomReport(spark, root, "k", "nope")
+    assert(keptMiss * 10 < total,
+      s"miss probe kept $keptMiss of $total files")
+  }
+
   test("guards: unknown / managed / text columns and missing bounds are " +
       "named errors") {
     val root = "target/snapstats-guards"
