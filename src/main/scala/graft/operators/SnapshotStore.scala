@@ -280,6 +280,72 @@ object SnapshotStore {
     if (s.isEmpty) None
     else scala.util.Try(new java.math.BigDecimal(s)).toOption
 
+  // ---- string-bound canonical form (truncated range stats) ----------
+  //
+  // String stats use BINARY collation over UTF-8 bytes — the one
+  // collation Spark's UTF8String comparison, parquet min/max, and
+  // DuckDB's default all agree on — serialized as `s:<base64(bytes)>`
+  // so a manifest line can never be corrupted by the value's own
+  // characters. Bounds are TRUNCATED the way Delta/Iceberg do it:
+  //   lower = first 32 code points verbatim (a prefix sorts <= the full
+  //           string, so it is a valid lower bound);
+  //   upper = first 32 code points with the last non-0xFF byte
+  //           incremented and the tail dropped (strictly greater than
+  //           any string sharing the 32-cp prefix — see incBytes);
+  //           all-0xFF prefixes are unbounded above (None).
+  // Exactness: files whose longest value fits 32 code points store
+  // exact min/max (truncation was the identity there).
+
+  private val StringCanonPrefix = "s:"
+  private[graft] val StringStatChars = 32
+
+  private def canonString(s: String): String =
+    StringCanonPrefix + java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string strictly greater than every byte string that
+    * starts with `a`: drop trailing 0xFF bytes, increment the last
+    * remaining one. None = a is all-0xFF (no finite upper bound). */
+  private def incBytes(a: Array[Byte]): Option[Array[Byte]] = {
+    var i = a.length - 1
+    while (i >= 0 && a(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(a, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** Compare two canonical stat/bound strings. None = the two are not
+    * comparable (numeric vs string canon — a declaration/type drift);
+    * callers treat that as "cannot prune", never as a verdict. */
+  private def cmpCanon(a: String, b: String): Option[Int] = {
+    val as = a.startsWith(StringCanonPrefix)
+    val bs = b.startsWith(StringCanonPrefix)
+    if (as && bs) {
+      val dec = java.util.Base64.getDecoder
+      scala.util.Try(cmpBytes(dec.decode(a.drop(2)), dec.decode(b.drop(2))))
+        .toOption
+    } else if (!as && !bs)
+      (parseBd(a), parseBd(b)) match {
+        case (Some(x), Some(y)) => Some(x.compareTo(y))
+        case _ => None
+      }
+    else None
+  }
+
   /** Compute `#stat` lines for NEW files: one columnar aggregate per
     * contributing dir, reading ONLY the declared columns and grouping
     * by file — a bounded job (one output row per new file) whose cost
@@ -306,6 +372,8 @@ object SnapshotStore {
         val fields = df.schema.fieldNames.toSet
         val presentS = statCols.filter(fields.contains)
         val presentB = bloomCols.filter(fields.contains)
+        val isStr = presentS.filter(c => df.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType).toSet
         // key by bucket=<b>/<file>: one write job reuses part filenames
         // across its bucket dirs, so the bare filename is NOT unique
         // within an attempt dir
@@ -313,10 +381,21 @@ object SnapshotStore {
           p.split("/").takeRight(2).mkString("/") -> p).toMap
         val aggs = Seq(count(lit(1)).as("graft_rows")) ++
           presentS.flatMap { c =>
-            Seq(min(col(c)).as(s"graft_min_$c"),
-              max(col(c)).as(s"graft_max_$c"),
+            // string columns aggregate TRUNCATED prefixes — min/max of a
+            // 32-cp substring never ships a multi-KB document text to
+            // the driver, and min(trunc) / inc(max(trunc)) are valid
+            // (possibly loose) envelope bounds in binary byte order;
+            // max(length) decides whether the envelope is exact
+            val statSrc =
+              if (isStr(c)) substring(col(c), 1, StringStatChars)
+              else col(c)
+            Seq(min(statSrc).as(s"graft_min_$c"),
+              max(statSrc).as(s"graft_max_$c"),
               sum(when(col(c).isNull, 1L).otherwise(0L))
-                .as(s"graft_nulls_$c"))
+                .as(s"graft_nulls_$c")) ++
+              (if (isStr(c))
+                 Seq(max(length(col(c))).as(s"graft_len_$c"))
+               else Nil)
           } ++
           presentB.map { c =>
             // positions fold into the bitset ON THE EXECUTORS
@@ -345,7 +424,22 @@ object SnapshotStore {
               // column absent from this dir's files: additive evolution
               // — every row null-fills it on read
               statOut += ((rel, c) -> statLine(rel, c, n, n, None, None))
-            else {
+            else if (isStr(c)) {
+              val nulls = r.getAs[Long](s"graft_nulls_$c")
+              val mnT = Option(r.getAs[String](s"graft_min_$c"))
+              val mxT = Option(r.getAs[String](s"graft_max_$c"))
+              val exact = !r.isNullAt(r.fieldIndex(s"graft_len_$c")) &&
+                r.getAs[Int](s"graft_len_$c") <= StringStatChars
+              val mn = mnT.map(canonString)
+              val mx = mxT.flatMap { m =>
+                if (exact) Some(canonString(m)) // truncation was identity
+                else incBytes(m.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                  .map(b => StringCanonPrefix + java.util.Base64
+                    .getEncoder.encodeToString(b))
+              }
+              statOut += ((rel, c) -> statLine(rel, c, n, nulls, mn, mx))
+            } else {
               val nulls = r.getAs[Long](s"graft_nulls_$c")
               val mn = canon(r.get(r.fieldIndex(s"graft_min_$c")))
               val mx = canon(r.get(r.fieldIndex(s"graft_max_$c")))
@@ -492,14 +586,18 @@ object SnapshotStore {
     * pruning only removes files that PROVABLY contain no row in
     * [lo, hi] — an all-null file (a range bound excludes NULL) or a
     * disjoint [min, max] envelope. */
+  /** `lo`/`hi` are CANONICAL strings ([[canonAs]]' output — decimal for
+    * numeric/date/timestamp columns, `s:<base64>` byte form for string
+    * columns); an incomparable pair (numeric stat vs string bound —
+    * type drift) keeps the file, never prunes it. */
   private def pruneByStats(meta: Seq[String], entries: Seq[(Long, String)],
-      colName: String, lo: Option[java.math.BigDecimal],
-      hi: Option[java.math.BigDecimal]): Seq[(Long, String)] = {
+      colName: String, lo: Option[String],
+      hi: Option[String]): Seq[(Long, String)] = {
     val stats = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
       val a = l.split("\t", 7)
       if (a.length == 7 && a(2) == colName)
-        Some(a(1) -> ((a(3).toLong, a(4).toLong, parseBd(a(5)),
-          parseBd(a(6)))))
+        Some(a(1) -> ((a(3).toLong, a(4).toLong,
+          Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty))))
       else None
     }.toMap
     entries.filter { case (_, p) =>
@@ -509,11 +607,13 @@ object SnapshotStore {
           if (rows > 0 && nulls == rows) false
           else {
             val aboveLo = (lo, mx) match {
-              case (Some(l), Some(m)) => m.compareTo(l) >= 0
+              case (Some(l), Some(m)) =>
+                cmpCanon(m, l).forall(_ >= 0)
               case _ => true
             }
             val belowHi = (hi, mn) match {
-              case (Some(h), Some(m)) => m.compareTo(h) <= 0
+              case (Some(h), Some(m)) =>
+                cmpCanon(m, h).forall(_ <= 0)
               case _ => true
             }
             aboveLo && belowHi
@@ -586,17 +686,19 @@ object SnapshotStore {
           .toJavaBigDecimal.toPlainString
       case TimestampType | TimestampNTZType =>
         internal.toString // epoch-micros Long
+      case StringType =>
+        // binary collation over UTF-8 bytes, matching the write side's
+        // truncated envelopes; a probe bound is one exact value, so it
+        // is never truncated
+        StringCanonPrefix + java.util.Base64.getEncoder.encodeToString(
+          internal.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .getBytes)
       case other => throw new IllegalArgumentException(
         s"SnapshotStore: column '$colName' has type " +
           s"${other.catalogString} — range bounds need numeric / date / " +
-          "timestamp columns")
+          "timestamp / string columns")
     }
   }
-
-  private def boundBd(spark: SparkSession, b: Any,
-      dt: org.apache.spark.sql.types.DataType,
-      colName: String): java.math.BigDecimal =
-    new java.math.BigDecimal(canonAs(spark, b, dt, colName))
 
   /** The logical schema a version's manifest declares (`#col` lines,
     * written by every publish since the schema contract landed), as
@@ -1207,15 +1309,24 @@ object SnapshotStore {
       expectedVersion: Option[Long] = None,
       sortByDocId: Boolean = true,
       zorderBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Long = {
+      maxRecordsPerFile: Long = 0L,
+      sortBy: Seq[String] = Nil): Long = {
     require(maxRecordsPerFile >= 0,
       s"maxRecordsPerFile must be >= 0: $maxRecordsPerFile")
+    require(zorderBy.isEmpty || sortBy.isEmpty,
+      "SnapshotStore: zorderBy and sortBy are exclusive cluster orders — " +
+        "z-order interleaves its columns, a lexical sort nests them")
     checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no published version at $root — nothing to optimize"))
     val v = cur + 1
     val snap = read(spark, root, cur)
+    sortBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"SnapshotStore: sortBy column '$c' does not exist at $root — " +
+          s"stored columns: ${snap.schema.fieldNames.mkString(", ")}")
+    }
     zorderBy.foreach { c =>
       val f = snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -1259,7 +1370,16 @@ object SnapshotStore {
             col("doc_id"))
           .drop(zorderBy.flatMap(c =>
             Seq(s"graft_lo_$c", s"graft_hi_$c")) :+ "graft_zv": _*)
-      } else if (sortByDocId)
+      } else if (sortBy.nonEmpty)
+        // OPTIMIZE SORT: lexical (nested) cluster order — the right
+        // layout for a SINGLE hot predicate column, and the only one
+        // for STRING columns (which z-order's min-max normalization
+        // cannot bucket); with maxRecordsPerFile each bucket's sorted
+        // run splits into files with tight leading-column envelopes
+        snap.repartition(col("bucket"))
+          .sortWithinPartitions(
+            col("bucket") +: sortBy.map(col) :+ col("doc_id"): _*)
+      else if (sortByDocId)
         // lead with the partition column: FileFormatWriter keeps a sort
         // already prefixed by it, instead of inserting its own re-sort
         snap.repartition(col("bucket"))
@@ -1294,10 +1414,15 @@ object SnapshotStore {
     * batch, optimize, restore — then maintains stats automatically,
     * computing them only for its NEW files (files are immutable, so a
     * recorded envelope is valid forever; carried files carry their
-    * lines). Only numeric / date / timestamp payload columns qualify:
-    * string bounds need truncation + collation semantics to be safe
-    * (the classic text-stats correctness trap), and `doc_id` point
-    * reads already have [[readDocs]]' bucket pruning. Returns the new
+    * lines). Numeric / date / timestamp columns record exact envelopes;
+    * STRING columns record 32-code-point TRUNCATED envelopes under
+    * explicit BINARY collation (lower bound truncates down, upper bound
+    * increments the last non-0xFF byte of the truncation — the
+    * Delta/Iceberg rule), so prefix/range scans over text keys prune
+    * without the classic truncation/collation correctness traps: every
+    * recorded envelope CONTAINS the true one, and the comparison orders
+    * raw UTF-8 bytes on both write and probe side. `doc_id` point reads
+    * already have [[readDocs]]' bucket pruning. Returns the new
     * version. */
   def declareStats(spark: SparkSession, root: String, cols: Seq[String],
       expectedVersion: Option[Long] = None): Long = {
@@ -1327,11 +1452,11 @@ object SnapshotStore {
       DataType.fromDDL(t) match {
         case _: NumericType =>
         case DateType | TimestampType | TimestampNTZType =>
+        case StringType => // truncated binary-collation envelopes
         case dt => throw new IllegalArgumentException(
           s"SnapshotStore: stats column '$c' has non-clusterable type " +
             s"${dt.catalogString} — file skipping needs numeric/date/" +
-            "timestamp bounds (string truncation/collation make text " +
-            "bounds a correctness trap)")
+            "timestamp/string bounds")
       }
     }
     val v = cur + 1
@@ -1629,8 +1754,8 @@ object SnapshotStore {
         case (es, (c, (lo, hi))) =>
           if (lo == null && hi == null) es
           else pruneByStats(meta, es, c,
-            Option(lo).map(boundBd(spark, _, types(c), c)),
-            Option(hi).map(boundBd(spark, _, types(c), c)))
+            Option(lo).map(canonAs(spark, _, types(c), c)),
+            Option(hi).map(canonAs(spark, _, types(c), c)))
       }
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
@@ -1676,8 +1801,8 @@ object SnapshotStore {
     val meta = manifestMeta(spark, root, cur)
     val entries = readManifest(spark, root, cur)
     val candidates = pruneByStats(meta, entries, colName,
-      Option(lo).map(boundBd(spark, _, dt, colName)),
-      Option(hi).map(boundBd(spark, _, dt, colName)))
+      Option(lo).map(canonAs(spark, _, dt, colName)),
+      Option(hi).map(canonAs(spark, _, dt, colName)))
     if (candidates.isEmpty) return cur
     val candidateSet = candidates.toSet
     val carried = entries.filterNot(candidateSet)
@@ -1770,8 +1895,8 @@ object SnapshotStore {
           match {
             case Some(dt) if lo != null || hi != null =>
               pruneByStats(meta, es, c,
-                Option(lo).map(boundBd(spark, _, dt, c)),
-                Option(hi).map(boundBd(spark, _, dt, c)))
+                Option(lo).map(canonAs(spark, _, dt, c)),
+                Option(hi).map(canonAs(spark, _, dt, c)))
             case _ => es
           }
     }

@@ -606,6 +606,40 @@ object Pipeline extends QueryPack {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"))
         .orderBy("doc_id")
+    }),
+
+    // STRING range skipping end-to-end (statsDeclaration at first
+    // commit → OPTIMIZE with a lexical sort order → readWhere over a
+    // text key band): the i15 shape on the column class numeric stats
+    // can't serve — string envelopes are 32-code-point truncations
+    // under explicit binary collation (lower bound truncates down,
+    // upper bound increments the last byte of the truncation), so
+    // prefix/range scans over `source` prune files while every recorded
+    // envelope still CONTAINS the true one. The oracle replays the band
+    // as a plain filter (DuckDB's default ASCII comparison is the same
+    // binary order); the require pins that pruning actually engaged.
+    "i19_string_skipping" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i19-strstats").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+      graft.operators.SnapshotStore.commit(docs, root, buckets = 8,
+        meta = Seq(graft.operators.SnapshotStore
+          .statsDeclaration(Seq("source"))))
+      graft.operators.SnapshotStore.optimize(s, root,
+        sortByDocId = false, sortBy = Seq("source"),
+        maxRecordsPerFile = 32L)
+      val (kept, total) = graft.operators.SnapshotStore
+        .skippingReport(s, root, "source", "src3", "src5")
+      require(kept < total,
+        s"i19: string stats pruning did not engage ($kept of $total files)")
+      graft.operators.SnapshotStore
+        .readWhere(s, root, "source", "src3", "src5")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -1033,6 +1067,11 @@ object Pipeline extends QueryPack {
       """SELECT cast(3 as bigint) AS doc_id, cast(0 as int) AS chunk_idx,
         |  concat_ws('_', source, 'text', 0) AS vec_key
         |FROM documents WHERE doc_id = 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "i19_string_skipping" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source >= 'src3' AND source <= 'src5'
         |ORDER BY doc_id""".stripMargin
   )
 }

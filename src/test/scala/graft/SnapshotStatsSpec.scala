@@ -575,13 +575,75 @@ class SnapshotStatsSpec extends SparkTestBase {
       s"miss probe kept $keptMiss of $total files")
   }
 
+  test("string range stats: truncated binary-collation envelopes prune " +
+      "prefix scans and survive the truncation-boundary trap") {
+    val root = "target/snapstats-string"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 1000L).map(i => (i, f"key_$i%04d", i))
+      .toDF("doc_id", "k", "n")
+    SnapshotStore.commit(df, root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("k"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      sortBy = Seq("k"), maxRecordsPerFile = 64L)
+    // a contiguous key band: sorted layout → most files provably miss
+    val (kept, total) = SnapshotStore.skippingReport(spark, root,
+      "k", "key_0100", "key_0150")
+    assert(total >= 12, s"expected many small files, got $total")
+    assert(kept < total / 2,
+      s"string pruning did not bite: kept $kept of $total files")
+    val got = SnapshotStore.readWhere(spark, root,
+      "k", "key_0100", "key_0150")
+    assert(got.count() === 51L)
+    assert(got.inputFiles.length === kept)
+    // exactness vs the plain filter on both bounds incl. one-sided
+    assert(SnapshotStore.readWhere(spark, root, "k", "key_0990", null)
+      .count() === 10L)
+    // deleteWhere over strings: prune + carry + exact residual
+    val before = SnapshotStore.read(spark, root).inputFiles.toSet
+    SnapshotStore.deleteWhere(spark, root, "k", "key_0200", "key_0299")
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() === 900L)
+    assert(before.intersect(after.inputFiles.toSet).nonEmpty,
+      "string delete rewrote every file — pruning did not carry")
+
+    // TRUNCATION-BOUNDARY TRAP: values longer than 32 code points that
+    // share a 32-cp prefix — a recorded envelope that truncated the max
+    // WITHOUT incrementing would claim the file ends at the prefix and
+    // wrongly prune probes landing between prefix and true max
+    val root2 = "target/snapstats-string-trunc"
+    cleanup(root2)
+    val prefix = "p" * 32
+    val longDf = (0L until 100L).map { i =>
+      (i, prefix + f"_tail_$i%03d")
+    }.toDF("doc_id", "k")
+    SnapshotStore.commit(longDf, root2, buckets = 2,
+      meta = Seq(SnapshotStore.statsDeclaration(Seq("k"))))
+    // probe strictly above the truncated prefix but inside the true
+    // range: must NOT be pruned away
+    assert(SnapshotStore.readWhere(spark, root2, "k",
+      prefix + "_tail_050", prefix + "_tail_060").count() === 11L)
+    // probe above every possible extension of the prefix: prunes all
+    val (k2, t2) = SnapshotStore.skippingReport(spark, root2, "k",
+      "q", null) // 'q' > 'p'... prefix+anything
+    assert(k2 === 0, s"above-envelope probe kept $k2 of $t2 files")
+    assert(SnapshotStore.readWhere(spark, root2, "k", "q", null)
+      .count() === 0L)
+    // below-envelope probe prunes too (lower bounds are exact prefixes)
+    val (k3, _) = SnapshotStore.skippingReport(spark, root2, "k",
+      null, "o")
+    assert(k3 === 0)
+  }
+
   test("guards: unknown / managed / text columns and missing bounds are " +
       "named errors") {
     val root = "target/snapstats-guards"
     cleanup(root)
     val sp = spark
     import sp.implicits._
-    val df = Seq((1L, "abc", 5L)).toDF("doc_id", "label", "n")
+    val df = Seq((1L, "abc", 5L, Seq(1.0, 2.0)))
+      .toDF("doc_id", "label", "n", "emb")
     SnapshotStore.commit(df, root, buckets = 2)
     val e1 = intercept[IllegalArgumentException] {
       SnapshotStore.declareStats(spark, root, Seq("nope"))
@@ -592,7 +654,7 @@ class SnapshotStatsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("managed column"))
     val e3 = intercept[IllegalArgumentException] {
-      SnapshotStore.declareStats(spark, root, Seq("label"))
+      SnapshotStore.declareStats(spark, root, Seq("emb"))
     }
     assert(e3.getMessage.contains("non-clusterable"))
     val e4 = intercept[IllegalArgumentException] {
