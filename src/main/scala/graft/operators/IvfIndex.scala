@@ -380,6 +380,155 @@ object IvfIndex {
     }
   }
 
+  /** OPTIMIZE for the stored ANN index: split every over-populated cell
+    * in two, rewriting ONLY the split cells' partitions (the
+    * [[deleteFromIndex]] pruning pattern). Many [[upsertIndexed]] /
+    * [[appendToIndex]] rounds skew cell populations (s12 measures it) and
+    * a hot cell makes every probe that touches it scan-heavy; re-training
+    * the whole index ([[trainCentroids]] + [[writeIndexWith]]) fixes
+    * that at full-rebuild cost — this fixes it at cost ∝ the hot cells.
+    *
+    * Determinism: a hot cell's two sub-centroids seed from its two
+    * lowest vec_ids (the [[centroids]] rule applied cell-locally), one
+    * Lloyd refinement runs on the cell's own rows (integer means of
+    * integer-quantized vectors, ties to the lower cent_id), so the
+    * post-rebalance layout is engine-reproducible like everything else
+    * here. The surviving sub-cell keeps the old cent_id; the other gets
+    * `max(cent_id) + i`. Flat ([[writeIndex]]) layouts only — the SQ8
+    * tier stores codes, not geometry, and re-clustering codes would
+    * compound quantization error silently.
+    *
+    * NOT crash-atomic (same caveat as [[deleteFromIndex]], documented
+    * honestly): the centroid sidecar and the index partitions are two
+    * separate writes over a bare parquet layout. Centroids write FIRST —
+    * a crash between the two leaves new centroid ids whose cells are
+    * still merged in the old partition, which probes still find through
+    * the kept id (complete results, degraded pruning); the reverse order
+    * would leave rows assigned to cells no probe can rank, silently
+    * dropping them from every search. A store needing a transactional
+    * window should route the layout through a manifest-published root
+    * ([[SnapshotStore]]-style).
+    *
+    * Returns the number of cells split (0 = no cell exceeded
+    * `hotFactor` × mean population — nothing rewritten). */
+  def rebalance(spark: SparkSession, path: String,
+      hotFactor: Double = 2.0): Int = {
+    require(hotFactor >= 1.0, s"hotFactor must be >= 1, got $hotFactor")
+    val index = spark.read.parquet(s"$path/index")
+    require(index.columns.contains("embedding"),
+      "IvfIndex.rebalance needs the flat (writeIndex) layout — an SQ8 " +
+        "index stores codes, not geometry; re-train and rewrite instead")
+    val counts = index
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    if (counts.isEmpty) return 0
+    val mean = counts.map(_.getLong(1)).sum.toDouble / counts.length
+    val hot = counts.filter(r =>
+      r.getLong(1) > hotFactor * mean && r.getLong(1) >= 2)
+      .map(_.getLong(0)).sorted
+    if (hot.isEmpty) return 0
+    val cents = readCentroids(spark, path)
+    val maxId = cents.map(_._1).max
+    val newIdOf = hot.zipWithIndex
+      .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
+    val hotRows = index
+      .filter(col("cent_id").cast("long").isin(hot.toIndexedSeq: _*))
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        col("cent_id").cast("long").as("cent_id"),
+        VectorFunctions.quantize1e6(col("embedding")).as("graft_qe"))
+      .localCheckpoint(eager = true) // split cells read once, used thrice
+    // deterministic seeds: each hot cell's two lowest vec_ids, quantized
+    // by the SAME expression queries use (2×|hot| rows to the driver)
+    val w = Window.partitionBy("cent_id").orderBy("vec_id")
+    val seeds = hotRows.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= 2)
+      .select("cent_id", "graft_rn", "graft_qe")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        r.getSeq[Long](2).toArray)).toMap
+    val dim = cents.head._2.length
+    // integer squared-L2 against this row's OWN cell's two seeds — a
+    // broadcast of 2×|hot| quantized vectors via the literal seed table
+    // CASE chains build via when().when()... — reduce(_.otherwise(_))
+    // closes the chain after two branches and throws on the third
+    def caseChain(pairs: Seq[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)]): org.apache.spark.sql.Column =
+      pairs.tail.foldLeft(when(pairs.head._1, pairs.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
+    def distTo(seed: Map[(Long, Int), Array[Long]], rn: Int) =
+      caseChain(hot.toIndexedSeq.map { c =>
+        // a 1-row hot cell cannot reach here (n >= 2 filter), so both
+        // seeds exist
+        val q = seed((c, rn))
+        (col("cent_id") === c,
+          (0 until dim).map(i =>
+            (element_at(col("graft_qe"), i + 1) - lit(q(i))) *
+              (element_at(col("graft_qe"), i + 1) - lit(q(i))))
+            .reduce(_ + _))
+      })
+    def assignWith(seed: Map[(Long, Int), Array[Long]]) =
+      hotRows.withColumn("graft_da", distTo(seed, 1))
+        .withColumn("graft_db", distTo(seed, 2))
+        .withColumn("graft_new_cent",
+          // tie → the KEPT (lower) id, matching cellRanks' tie-break
+          when(col("graft_db") < col("graft_da"),
+            caseChain(hot.toIndexedSeq.map(c =>
+              (col("cent_id") === c, lit(newIdOf(c))))))
+            .otherwise(col("cent_id")))
+    // one Lloyd refinement: means of the seed assignment become the
+    // final sub-centroids (integer re-quantized, empty side keeps seed)
+    val meanCols = (0 until dim).map(i =>
+      avg(element_at(col("graft_qe"), i + 1)).as(s"c$i"))
+    val means = assignWith(seeds)
+      .groupBy(col("cent_id"), col("graft_new_cent"))
+      .agg(meanCols.head, meanCols.tail: _*)
+      .collect()
+      .map { r =>
+        val origin = r.getLong(0)
+        val sub = if (r.getLong(1) == origin) 1 else 2
+        ((origin, sub),
+          Array.tabulate(dim)(i => math.round(r.getDouble(i + 2))))
+      }.toMap
+    val refined = hot.flatMap { c =>
+      Seq(((c, 1), means.getOrElse((c, 1), seeds((c, 1)))),
+        ((c, 2), means.getOrElse((c, 2), seeds((c, 2)))))
+    }.toMap
+    val merged = assignWith(refined)
+      .select((index.columns.filterNot(_ == "cent_id").map(col) :+
+        col("graft_new_cent").as("cent_id")).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+    // centroid sidecar FIRST (see the crash-order note above): kept ids
+    // re-point to sub-centroid 1, new ids append as sub-centroid 2
+    val byId = cents.toMap
+    val newCents = cents.map { case (id, q) =>
+      (id, if (newIdOf.contains(id)) refined((id, 1)) else q)
+    } ++ hot.map(c => (newIdOf(c), refined((c, 2))))
+    val sp2 = spark
+    import sp2.implicits._
+    newCents.toSeq.map { case (id, q) => (id, q.toSeq) }
+      .toDF("cent_id", "qc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    require(byId.size + hot.length == newCents.length,
+      s"rebalance centroid bookkeeping drifted") // paranoia, driver-cheap
+    // dynamic overwrite rewrites exactly the split cells' partitions and
+    // creates the new sub-cells'; a kept id emptied by the refinement
+    // (every row moved to the new side) needs the explicit removal
+    // deleteFromIndex documents
+    val survivors = merged.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id").parquet(s"$path/index")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hot.filterNot(survivors.contains).foreach { c =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/index/cent_id=$c"), true)
+    }
+    hot.length
+  }
+
   /** Stored IVF-SQ8 index (the Faiss IVF-SQ idea): same cell-partitioned
     * layout as [[writeIndex]], but rows store the SYMMETRIC-int8
     * quantized vector ([[VectorFunctions.quantizeInt8]] — small integers,

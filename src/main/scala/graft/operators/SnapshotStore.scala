@@ -500,6 +500,130 @@ object SnapshotStore {
         lit(seed.toString))), lit(bits.toLong)).cast("int")
     }
 
+  // ---- columnar metadata sidecar (file-count scale) ------------------
+  //
+  // Inline `#stat`/`#bloom` manifest lines are perfect at hundreds of
+  // files and catastrophic at 10⁵–10⁶: every operation re-reads and
+  // re-parses GBs of base64 bitsets through the driver. Past
+  // [[sidecarThreshold]] lines, publish moves the per-file metadata into
+  // an immutable PARQUET sidecar (`meta/vNNNNN-<uuid8>/`, one row per
+  // (kind, file, column)) and the manifest carries a single `#metafile`
+  // pointer — the Iceberg manifest-list idea. The text manifest stays
+  // the commit root (atomic create-exclusive publish is untouched);
+  // the sidecar rides the same immutability discipline as data files:
+  // written before the manifest tmp, shared by later versions until a
+  // compaction writes a successor, garbage for [[vacuum]] if its
+  // publish lost the race.
+  //
+  // Why this scales: readers load ONLY the columns + kind they need
+  // (stats pruning never deserializes a bloom byte — parquet column
+  // pruning), bloom probes evaluate ON EXECUTORS and collect only the
+  // verdicts, and publish unions carried sidecar rows with the delta's
+  // executor-side, so no step holds all bitsets in driver memory.
+  // Between compactions each publish appends its delta INLINE (bounded
+  // by the threshold), so sidecar rewrites amortize to one per
+  // ~threshold/delta publishes.
+
+  /** Inline stat+bloom line count above which publish compacts the
+    * per-file metadata into a parquet sidecar. private[graft] var so the
+    * spec can force sidecar mode on small fixtures; suites run
+    * sequentially in the forked test JVM. */
+  @volatile private[graft] var sidecarThreshold: Int = 4096
+
+  private def metaFileLine(rel: String) = s"#metafile\t$rel"
+
+  private def metaFileRelOf(meta: Seq[String]): Option[String] =
+    meta.collectFirst {
+      case l if l.startsWith("#metafile\t") => l.split("\t", 2)(1)
+    }
+
+  private def sidecarSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("rel", StringType, nullable = false),
+      StructField("col", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("nulls", LongType, nullable = true),
+      StructField("mn", StringType, nullable = true),
+      StructField("mx", StringType, nullable = true),
+      StructField("bloom", BinaryType, nullable = true)))
+  }
+
+  private def sidecarDf(spark: SparkSession, root: String,
+      rel: String): DataFrame =
+    spark.read.schema(sidecarSchema).parquet(s"$root/$rel")
+
+  /** Inline `#stat`/`#bloom` lines → sidecar rows. */
+  private def linesToRows(statLines: Iterable[String],
+      bloomLines: Iterable[String]): Seq[org.apache.spark.sql.Row] = {
+    val dec = java.util.Base64.getDecoder
+    val stat = statLines.toSeq.map { l =>
+      val a = l.split("\t", 7)
+      org.apache.spark.sql.Row("stat", a(1), a(2), a(3).toLong,
+        a(4).toLong,
+        if (a(5).isEmpty) null else a(5),
+        if (a(6).isEmpty) null else a(6), null)
+    }
+    val bloom = bloomLines.toSeq.map { l =>
+      val a = l.split("\t", 4)
+      org.apache.spark.sql.Row("bloom", a(1), a(2), null, null, null,
+        null, dec.decode(a(3)))
+    }
+    stat ++ bloom
+  }
+
+  /** The (path, col) pairs among `candidates` that the sidecar does NOT
+    * cover for `kind` — an executor-side anti-join that returns only the
+    * misses (delta-sized in steady state), never the sidecar's key set. */
+  private def sidecarMisses(spark: SparkSession, side: DataFrame,
+      kind: String, candidates: Seq[(String, String)])
+      : Set[(String, String)] = {
+    if (candidates.isEmpty) return Set.empty
+    import spark.implicits._
+    val cand = candidates.toDF("rel", "col")
+    cand.join(side.filter(col("kind") === kind).select("rel", "col"),
+        Seq("rel", "col"), "left_anti")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  /** Write the compacted sidecar for version `v`: carried rows from
+    * `oldRel` (filtered to live files + declared columns, minus keys the
+    * inline delta re-states) unioned with the inline delta — all
+    * executor-side; the driver holds only the delta. Returns the new
+    * sidecar's relpath. */
+  private def writeSidecar(spark: SparkSession, root: String, v: Long,
+      oldRel: Option[String], statLines: Iterable[String],
+      bloomLines: Iterable[String], pathSet: Set[String],
+      statCols: Seq[String], bloomCols: Seq[String]): String = {
+    import spark.implicits._
+    val rel =
+      f"meta/v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val inlineRows = linesToRows(statLines, bloomLines)
+    val inline = spark.createDataFrame(
+      spark.sparkContext.parallelize(inlineRows,
+        math.max(1, math.min(inlineRows.size / 1024 + 1, 32))),
+      sidecarSchema)
+    val merged = oldRel match {
+      case None => inline
+      case Some(o) =>
+        val live = pathSet.toSeq.toDF("rel")
+        val declared = (statCols.map(("stat", _)) ++
+          bloomCols.map(("bloom", _))).toDF("kind", "col")
+        val inlineKeys = inlineRows.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2)))
+          .toDF("kind", "rel", "col")
+        sidecarDf(spark, root, o)
+          .join(live, Seq("rel"), "left_semi")
+          .join(broadcast(declared), Seq("kind", "col"), "left_semi")
+          .join(broadcast(inlineKeys), Seq("kind", "rel", "col"),
+            "left_anti")
+          .unionByName(inline)
+    }
+    merged.write.mode("overwrite").parquet(s"$root/$rel")
+    rel
+  }
+
   /** Maintain file statistics AND Bloom filters across EVERY publish,
     * centrally: known `#stat`/`#bloom` lines — keyed by (relpath, col);
     * files are immutable and attempt-unique, so a known line is valid
@@ -517,8 +641,12 @@ object SnapshotStore {
       bloomColsLineOf(meta).orElse(bloomColsLineOf(prevMeta))
     val base = meta.filterNot(l => l.startsWith("#stat\t") ||
       l.startsWith("#statcols\t") || l.startsWith("#bloom\t") ||
-      l.startsWith("#bloomcols\t"))
+      l.startsWith("#bloomcols\t") || l.startsWith("#metafile\t"))
     if (statDecl.isEmpty && bloomDecl.isEmpty) return base
+    // carried sidecar: the incoming meta's pointer wins (rollback/clone
+    // carry their own version's), else the parent's
+    val carriedSidecar =
+      metaFileRelOf(meta).orElse(metaFileRelOf(prevMeta))
     val paths = entries.map(_._2)
     val pathSet = paths.toSet
     val statCols = statDecl.map(parseStatCols).getOrElse(Nil)
@@ -560,17 +688,46 @@ object SnapshotStore {
       (parseBloomLines(prevMeta) ++ parseBloomLines(meta)).filter {
         case ((p, c), _) => pathSet.contains(p) && bloomCols.contains(c)
       }
-    val missingStats = paths.filter(p =>
-      statCols.exists(c => !knownStats.contains((p, c)))).toSet
-    val missingBlooms = paths.filter(p =>
-      bloomCols.exists(c => !knownBlooms.contains((p, c)))).toSet
+    // candidate (path, col) pairs not covered INLINE; with a sidecar the
+    // executor-side anti-join then returns only the true misses
+    // (delta-sized), never the sidecar's key set
+    val candStats = for {
+      p <- paths; c <- statCols; if !knownStats.contains((p, c))
+    } yield (p, c)
+    val candBlooms = for {
+      p <- paths; c <- bloomCols; if !knownBlooms.contains((p, c))
+    } yield (p, c)
+    val (missStatPairs, missBloomPairs) = carriedSidecar match {
+      case None => (candStats.toSet, candBlooms.toSet)
+      case Some(rel) =>
+        val side = sidecarDf(spark, root, rel)
+        (sidecarMisses(spark, side, "stat", candStats),
+          sidecarMisses(spark, side, "bloom", candBlooms))
+    }
+    val missingStats = missStatPairs.map(_._1)
+    val missingBlooms = missBloomPairs.map(_._1)
     val (computedStats, computedBlooms) = computeFileMeta(spark, root,
       missingStats, statCols, missingBlooms, bloomCols, bloomBits)
-    base ++
-      statDecl.toSeq ++
-      (knownStats ++ computedStats.toMap).values.toSeq.sorted ++
-      bloomDecl.toSeq ++
-      (knownBlooms ++ computedBlooms.toMap).values.toSeq.sorted
+    // computeFileMeta emits lines for EVERY declared column of a missing
+    // file; keep only the truly-missing keys so sidecar-covered (p, c)
+    // pairs are never duplicated inline
+    val inlineStats = knownStats ++
+      computedStats.filter { case (k, _) => missStatPairs.contains(k) }
+    val inlineBlooms = knownBlooms ++
+      computedBlooms.filter { case (k, _) => missBloomPairs.contains(k) }
+    val inlineCount = inlineStats.size + inlineBlooms.size
+    if (inlineCount <= sidecarThreshold)
+      base ++
+        carriedSidecar.map(metaFileLine).toSeq ++
+        statDecl.toSeq ++ inlineStats.values.toSeq.sorted ++
+        bloomDecl.toSeq ++ inlineBlooms.values.toSeq.sorted
+    else {
+      val newRel = writeSidecar(spark, root, v, carriedSidecar,
+        inlineStats.values, inlineBlooms.values, pathSet, statCols,
+        bloomCols)
+      base ++ Seq(metaFileLine(newRel)) ++
+        statDecl.toSeq ++ bloomDecl.toSeq
+    }
   }
 
   /** Columns a version keeps per-file statistics for (`#statcols`). */
@@ -589,17 +746,40 @@ object SnapshotStore {
   /** `lo`/`hi` are CANONICAL strings ([[canonAs]]' output — decimal for
     * numeric/date/timestamp columns, `s:<base64>` byte form for string
     * columns); an incomparable pair (numeric stat vs string bound —
-    * type drift) keeps the file, never prunes it. */
-  private def pruneByStats(meta: Seq[String], entries: Seq[(Long, String)],
+    * type drift) keeps the file, never prunes it. Gated on the CURRENT
+    * `#statcols` declaration: a sidecar may carry rows for since-dropped
+    * columns (rows are pruned lazily at the next compaction), and
+    * dropStats' contract is that pruning STOPS, valid stale envelopes or
+    * not. */
+  private def pruneByStats(spark: SparkSession, root: String,
+      meta: Seq[String], entries: Seq[(Long, String)],
       colName: String, lo: Option[String],
       hi: Option[String]): Seq[(Long, String)] = {
-    val stats = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
+    val declared = statColsLineOf(meta).map(parseStatCols).getOrElse(Nil)
+    if (!declared.contains(colName)) return entries
+    val inline = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
       val a = l.split("\t", 7)
       if (a.length == 7 && a(2) == colName)
         Some(a(1) -> ((a(3).toLong, a(4).toLong,
           Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty))))
       else None
     }.toMap
+    // sidecar rows for THIS column only — parquet column pruning means a
+    // stats probe never reads a single bloom byte, however many bitsets
+    // the sidecar holds
+    val fromSidecar = metaFileRelOf(meta) match {
+      case None => Map.empty[String,
+        (Long, Long, Option[String], Option[String])]
+      case Some(rel) =>
+        sidecarDf(spark, root, rel)
+          .filter(col("kind") === "stat" && col("col") === colName)
+          .select("rel", "rows", "nulls", "mn", "mx")
+          .collect().map { r =>
+            r.getString(0) -> ((r.getLong(1), r.getLong(2),
+              Option(r.getString(3)), Option(r.getString(4))))
+          }.toMap
+    }
+    val stats = fromSidecar ++ inline
     entries.filter { case (_, p) =>
       stats.get(p) match {
         case None => true
@@ -1305,12 +1485,23 @@ object SnapshotStore {
     * file-level stats pruning tight per-file envelopes to skip on
     * (size it to ~128–1024 MB files at production scale). Returns the
     * new version. */
+  /** `buckets` non-empty = BUCKET-SCOPED compaction: only the named
+    * buckets' files are read, re-arranged, and rewritten; every other
+    * manifest entry carries VERBATIM. This bounds the optimistic-
+    * concurrency retry unit — a full-table OPTIMIZE under a busy writer
+    * redoes the entire compaction per [[withConflictRetry]] attempt
+    * (livelock at scale), a scoped one redoes only its buckets, so a
+    * large table compacts incrementally as a series of small
+    * transactions (the Delta/Iceberg partition-scoped OPTIMIZE idea
+    * applied to this store's bucket layout). A scope that matches no
+    * files is a version-free no-op. */
   def optimize(spark: SparkSession, root: String,
       expectedVersion: Option[Long] = None,
       sortByDocId: Boolean = true,
       zorderBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      sortBy: Seq[String] = Nil): Long = {
+      sortBy: Seq[String] = Nil,
+      buckets: Seq[Long] = Nil): Long = {
     require(maxRecordsPerFile >= 0,
       s"maxRecordsPerFile must be >= 0: $maxRecordsPerFile")
     require(zorderBy.isEmpty || sortBy.isEmpty,
@@ -1321,7 +1512,15 @@ object SnapshotStore {
       throw new IllegalArgumentException(
         s"no published version at $root — nothing to optimize"))
     val v = cur + 1
-    val snap = read(spark, root, cur)
+    val bucketScope = buckets.toSet
+    val allEntries = readManifest(spark, root, cur)
+    val (scoped, carriedEntries) =
+      if (bucketScope.isEmpty) (allEntries, Seq.empty[(Long, String)])
+      else allEntries.partition(e => bucketScope.contains(e._1))
+    if (bucketScope.nonEmpty && scoped.isEmpty) return cur
+    val snap =
+      if (bucketScope.isEmpty) read(spark, root, cur)
+      else assemble(spark, root, cur, scoped)
     sortBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"SnapshotStore: sortBy column '$c' does not exist at $root — " +
@@ -1392,15 +1591,24 @@ object SnapshotStore {
     // spans the whole value range and nothing could ever prune)
     val dirName = writeVersionDir(arranged, spark, root, v,
       maxRecordsPerFile)
-    // declare what was physically WRITTEN (the snapshot's union schema,
-    // payload types now guaranteed uniform by the read validation) — also
-    // materializes a declaration for legacy stores
-    publish(spark, root, v, listVersionFiles(spark, root, dirName),
+    // full form: declare what was physically WRITTEN (the snapshot's
+    // union schema, payload types now guaranteed uniform by the read
+    // validation) — also materializes a declaration for legacy stores.
+    // Scoped form: the CURRENT declaration must carry — the scoped
+    // subset's union schema can MISS a column only other buckets' files
+    // store, and declaring that narrower schema would fail the carried
+    // files' read-time validation as an undeclared column.
+    val declaredSeq =
+      if (bucketScope.isEmpty) schemaCols(snap.schema)
+      else declaredCols(spark, root, cur).getOrElse(
+        schemaCols(read(spark, root, cur).schema))
+    publish(spark, root, v,
+      carriedEntries ++ listVersionFiles(spark, root, dirName),
       carriedTxn(spark, root, Nil) ++
         carriedCheckLines(spark, root) ++
-        schemaCols(snap.schema).map { case (n, t) => colLine(n, t) } ++
+        declaredSeq.map { case (n, t) => colLine(n, t) } ++
         storedBuckets(spark, root, cur).map(bucketsLine).toSeq :+
-        opLine("optimize"))
+        opLine(if (bucketScope.isEmpty) "optimize" else "optimize_scoped"))
     v
   }
 
@@ -1646,9 +1854,29 @@ object SnapshotStore {
             Some(a(1) -> java.util.BitSet.valueOf(dec.decode(a(3))))
           else None
         }.toMap
+        // sidecar bitsets test ON THE EXECUTORS; only the REJECTED
+        // relpaths come back (a file absent from the sidecar is not
+        // rejected and scans, same as a missing inline line) — the
+        // driver never holds the bitset bytes, so probe memory is
+        // O(files pruned × path length), not O(files × bits)
+        val sideRejected: Set[String] = metaFileRelOf(meta) match {
+          case None => Set.empty
+          case Some(rel) =>
+            val pr = probes.toArray
+            import spark.implicits._
+            sidecarDf(spark, root, rel)
+              .filter(col("kind") === "bloom" && col("col") === colName)
+              .select("rel", "bloom")
+              .as[(String, Array[Byte])]
+              .flatMap { case (p, bytes) =>
+                val bs = java.util.BitSet.valueOf(bytes)
+                if (pr.forall(bs.get)) None else Some(p)
+              }
+              .collect().toSet
+        }
         entries.filter { case (_, p) =>
           bitsets.get(p) match {
-            case None => true // no bitset recorded ⇒ must scan
+            case None => !sideRejected.contains(p)
             case Some(bs) => probes.forall(bs.get)
           }
         }
@@ -1753,7 +1981,7 @@ object SnapshotStore {
       .foldLeft(readManifest(spark, root, v)) {
         case (es, (c, (lo, hi))) =>
           if (lo == null && hi == null) es
-          else pruneByStats(meta, es, c,
+          else pruneByStats(spark, root, meta, es, c,
             Option(lo).map(canonAs(spark, _, types(c), c)),
             Option(hi).map(canonAs(spark, _, types(c), c)))
       }
@@ -1800,7 +2028,7 @@ object SnapshotStore {
     val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
     val meta = manifestMeta(spark, root, cur)
     val entries = readManifest(spark, root, cur)
-    val candidates = pruneByStats(meta, entries, colName,
+    val candidates = pruneByStats(spark, root, meta, entries, colName,
       Option(lo).map(canonAs(spark, _, dt, colName)),
       Option(hi).map(canonAs(spark, _, dt, colName)))
     if (candidates.isEmpty) return cur
@@ -1894,7 +2122,7 @@ object SnapshotStore {
         declared.get(c).map(org.apache.spark.sql.types.DataType.fromDDL)
           match {
             case Some(dt) if lo != null || hi != null =>
-              pruneByStats(meta, es, c,
+              pruneByStats(spark, root, meta, es, c,
                 Option(lo).map(canonAs(spark, _, dt, c)),
                 Option(hi).map(canonAs(spark, _, dt, c)))
             case _ => es
@@ -2066,8 +2294,26 @@ object SnapshotStore {
     // publish's withFileIndexes to re-scan the entire cloned snapshot
     // (bounded-by-delta maintenance suddenly costing a full table read)
     val relMap = mapping.map { case (_, rel, newRel) => rel -> newRel }.toMap
+    // a metadata SIDECAR clones like the data files do: read the
+    // source's, rewrite the rel column through the SAME mapping
+    // (executor-side join — the sidecar can hold 10^5+ bitset rows),
+    // write it as the clone's own v00001 sidecar; rows for files
+    // outside the cloned version drop in the join
+    val clonedSidecar = metaFileRelOf(manifestMeta(spark, srcRoot, cur))
+      .map { srcRel =>
+        import spark.implicits._
+        val dstRel =
+          f"meta/v00001-${java.util.UUID.randomUUID().toString.take(8)}"
+        val mapDf = relMap.toSeq.toDF("rel", "graft_new_rel")
+        sidecarDf(spark, srcRoot, srcRel)
+          .join(mapDf, Seq("rel"))
+          .select(col("kind"), col("graft_new_rel").as("rel"), col("col"),
+            col("rows"), col("nulls"), col("mn"), col("mx"), col("bloom"))
+          .write.mode("overwrite").parquet(s"$dstRoot/$dstRel")
+        dstRel
+      }
     val meta = manifestMeta(spark, srcRoot, cur)
-      .filterNot(_.startsWith("#op\t"))
+      .filterNot(l => l.startsWith("#op\t") || l.startsWith("#metafile\t"))
       .flatMap { l =>
         if (l.startsWith("#stat\t") || l.startsWith("#bloom\t")) {
           // limit -1: a stat line's min/max fields may be EMPTY (all-null
@@ -2081,7 +2327,7 @@ object SnapshotStore {
           relMap.get(a(1)).map(nr => (a.take(1) :+ nr) ++ a.drop(2))
             .map(_.mkString("\t"))
         } else Some(l)
-      } :+ opLine("clone")
+      } ++ clonedSidecar.map(metaFileLine).toSeq :+ opLine("clone")
     publish(spark, dstRoot, 1L, newEntries, meta)
     1L
   }
@@ -2282,6 +2528,10 @@ object SnapshotStore {
     val keep = dropCand.filter(pinned) ++ keepTail
     val referenced = keep.flatMap(v => readManifest(spark, root, v))
       .map(_._2).toSet
+    // metadata sidecars referenced by any KEPT manifest stay (time
+    // travel resolves them); the rest are compaction/lost-race garbage
+    val referencedMeta = keep.flatMap(v =>
+      metaFileRelOf(manifestMeta(spark, root, v))).toSet
     val deleted = mutable.ArrayBuffer.empty[String]
     val StagingRe = "\\.staging-v(\\d{5})-.*".r // legacy layout leftovers
     // plain vNNNNN (legacy + clone targets) or vNNNNN-<uuid8> attempt dirs
@@ -2323,6 +2573,22 @@ object SnapshotStore {
           !f.listStatus(vd.getPath).exists(s =>
             s.isDirectory && s.getPath.getName.startsWith("bucket=")))
         f.delete(vd.getPath, true)
+    }
+    // metadata sidecar dirs: unreferenced ones are garbage, except the
+    // possibly-in-flight version's (same discipline as data dirs)
+    val MetaDirRe = "v(\\d{5})-[0-9a-f]{8}".r
+    val metaDir = new Path(root, "meta")
+    if (f.exists(metaDir)) f.listStatus(metaDir).foreach { md =>
+      val name = md.getPath.getName
+      val rel = s"meta/$name"
+      val mdVersion = name match {
+        case MetaDirRe(n) => Some(n.toLong)
+        case _ => None
+      }
+      if (!mdVersion.contains(inFlight) && !referencedMeta.contains(rel)) {
+        f.delete(md.getPath, true)
+        deleted += rel
+      }
     }
     // crashed tag publishes leave _tags/.tmp-<name>-uuid files
     val tagsDir = new Path(root, "_tags")

@@ -630,6 +630,33 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = 16, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // Stored-index REBALANCE (IvfIndex.rebalance — OPTIMIZE for the ANN
+    // store): seeded cells skew by construction, the hottest split in
+    // two (sub-centroids seeded from each cell's two lowest ids + one
+    // integer-Lloyd refinement), ONLY the split cells' partitions
+    // rewrite. Full-probe search afterwards must STILL be exactly
+    // brute-force cosine top-3 — a row lost to a mis-assigned sub-cell,
+    // left stale in a rewritten partition, or double-stored would hash-
+    // mismatch. The require pins that at least one cell actually split.
+    "s21_ivf_rebalance" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s21-rebal").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.writeIndex(emb, k = 16, root)
+      val split = graft.operators.IvfIndex.rebalance(s, root,
+        hotFactor = 1.0)
+      require(split >= 1,
+        "s21: no cell exceeded mean population — rebalance untested")
+      graft.operators.IvfIndex.searchIndexed(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = 64, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1073,6 +1100,20 @@ object Similarity extends QueryPack {
         |sims AS (SELECT q.q_id, c.vec_id,
         |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
         |  FROM cand c JOIN q ON c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM sims)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // rebalance moves rows BETWEEN cells, never in or out of the index:
+    // full-probe search after it is plain brute-force cosine top-3
+    "s21_ivf_rebalance" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < $AnnEvalQueries),
+        |sims AS (SELECT q.q_id, c.vec_id,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
+        |  FROM embeddings c JOIN q ON c.vec_id <> q.q_id),
         |ranked AS (SELECT q_id, vec_id, sim,
         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
         |  FROM sims)

@@ -214,6 +214,61 @@ class IvfIndexSpec extends SparkTestBase {
       before - nDoomed)
   }
 
+  test("rebalance splits hot cells, bounds the max cell, and leaves " +
+      "full-probe search ≡ the pre-rebalance brute-force results") {
+    cleanup()
+    val emb = Tables.embeddings(spark, sf0001)
+    // k = 4 seeded centroids over the fixture corpus are naturally
+    // skewed (seeds are the 4 lowest vec_ids, not spread)
+    IvfIndex.writeIndex(emb, k = 4, indexPath)
+    def cellCounts() = spark.read.parquet(s"$indexPath/index")
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = cellCounts()
+    val maxBefore = before.values.max
+    val total = before.values.sum
+    // full-probe truth BEFORE the rebalance: layout-independent
+    val want = IvfIndex.searchIndexed(spark, indexPath,
+        emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+        nProbe = 4, topK = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+
+    val split = IvfIndex.rebalance(spark, indexPath, hotFactor = 1.0)
+    assert(split >= 1, s"no cell exceeded mean population? $before")
+    val after = cellCounts()
+    assert(after.size === before.size + split)
+    assert(after.values.sum === total, "rebalance lost or duplicated rows")
+    assert(after.values.max < maxBefore,
+      s"hottest cell did not shrink: ${after.values.max} vs $maxBefore")
+    // the centroid sidecar and the partition layout agree
+    val centIds = spark.read.parquet(s"$indexPath/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(after.keySet.subsetOf(centIds),
+      "partition holds a cell the centroid table cannot rank")
+    // full-probe search is STILL exactly brute force — no row lost to a
+    // mis-assigned sub-cell, none double-counted
+    val got = IvfIndex.searchIndexed(spark, indexPath,
+        emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+        nProbe = 64, topK = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // idempotence-ish: a second pass either splits further or no-ops,
+    // but never corrupts (row count conserved)
+    IvfIndex.rebalance(spark, indexPath, hotFactor = 2.0)
+    assert(cellCounts().values.sum === total)
+    // SQ8 layouts are refused by name (codes carry no geometry)
+    val sqPath = s"$indexPath-sq"
+    val f2 = new java.io.File(sqPath)
+    if (f2.exists()) { import scala.reflect.io.Directory
+      new Directory(f2).deleteRecursively() }
+    IvfIndex.writeIndexSq(emb, k = 4, sqPath)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rebalance(spark, sqPath)
+    }
+    assert(e.getMessage.contains("flat"))
+  }
+
   test("search rejects a queryFilter over rank-side columns with a named error") {
     val emb = Tables.embeddings(spark, sf0001)
     val err = intercept[IllegalArgumentException] {

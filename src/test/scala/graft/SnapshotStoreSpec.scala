@@ -141,6 +141,59 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(rows(SnapshotStore.read(spark, root)) === before)
   }
 
+  test("bucket-scoped optimize rewrites ONLY the named buckets, carries " +
+      "the rest verbatim, and retries as a bounded unit under a racing " +
+      "writer") {
+    val root = "target/snap-scoped-opt"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 2000L).map(i => (i, i, s"v_$i"))
+      .toDF("doc_id", "n", "s")
+    SnapshotStore.commit(df, root, buckets = 8)
+    // fragment every bucket so compaction has something to collapse
+    val fresh = (0L until 2000L by 100L).map(i => (i, i + 1000000L,
+      s"v2_$i")).toDF("doc_id", "n", "s")
+    SnapshotStore.upsert(spark, fresh, fresh.select("doc_id"),
+      root, buckets = 8)
+    val before = SnapshotStore.read(spark, root)
+    val rowsBefore = before.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val filesBefore = before.inputFiles.toSet
+
+    // scoped compaction of buckets 0..2 under a RACING writer: the first
+    // attempt bases on a version the racer immediately supersedes, so the
+    // scoped optimize must detect the conflict and redo ONLY its unit
+    var raced = false
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      if (!raced) {
+        raced = true
+        val d = Seq((999999L, 1L, "racer")).toDF("doc_id", "n", "s")
+        SnapshotStore.upsert(spark, d, d.select("doc_id"), root,
+          buckets = 8)
+      }
+      SnapshotStore.optimize(spark, root, expectedVersion = Some(observed),
+        sortByDocId = false, sortBy = Seq("n"), buckets = Seq(0L, 1L, 2L))
+    }
+    val after = SnapshotStore.read(spark, root)
+    // content = pre-race content + the racer's row (nothing lost/dupped)
+    val racerRow = after.filter(col("doc_id") === 999999L)
+    assert(racerRow.count() === 1L, "the racing writer's row must survive")
+    assert(after.count() === rowsBefore.size + 1L)
+    assert(after.filter(col("doc_id") =!= 999999L).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString) === rowsBefore)
+    // out-of-scope buckets' files carried VERBATIM (same physical paths)
+    val carried = after.inputFiles.toSet.intersect(filesBefore)
+    assert(carried.exists(_.contains("bucket=5")),
+      "bucket 5 was out of scope and must carry its old files")
+    assert(!after.inputFiles.toSet.exists(p =>
+      filesBefore.contains(p) && p.contains("bucket=1/")),
+      "bucket 1 was in scope and must have been rewritten")
+    // a scope matching no files is a version-free no-op
+    val vNow = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.optimize(spark, root,
+      buckets = Seq(999L)) === vNow)
+  }
+
   test("additive schema evolution: new column null-fills older files") {
     val root = "target/snap-evolve"
     cleanup(root)
