@@ -18,12 +18,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=t14,s03 restricts the dump for local iteration; the
-    // driver never sets it, so round artifacts always cover every query.
+    // SPARK_GRAFT_ONLY=t14,s03 restricts the dump for local iteration;
+    // SPARK_GRAFT_SKIP=q63,q66 excludes named queries (e.g. the
+    // all-pairs-truth class on an oversized ad-hoc fixture). The driver
+    // sets neither, so round artifacts always cover every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def selected(n: String): Boolean =
+      only.forall(f => f.exists(n.startsWith)) && !skip.exists(n.startsWith)
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+      .filter { case (n, _) => selected(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -43,7 +49,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle dump honors the same filters — a restricted sweep must
+    // hand compare.py only the oracles whose results were dumped
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => selected(n) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -449,33 +449,31 @@ object IvfIndex {
     val dim = cents.head._2.length
     // integer squared-L2 against this row's OWN cell's two seeds — a
     // broadcast of 2×|hot| quantized vectors via the literal seed table
-    // CASE chains build via when().when()... — reduce(_.otherwise(_))
-    // closes the chain after two branches and throws on the third
-    def caseChain(pairs: Seq[(org.apache.spark.sql.Column,
-        org.apache.spark.sql.Column)]): org.apache.spark.sql.Column =
-      pairs.tail.foldLeft(when(pairs.head._1, pairs.head._2)) {
-        case (acc, (c, v)) => acc.when(c, v)
-      }
-    def distTo(seed: Map[(Long, Int), Array[Long]], rn: Int) =
-      caseChain(hot.toIndexedSeq.map { c =>
-        // a 1-row hot cell cannot reach here (n >= 2 filter), so both
-        // seeds exist
-        val q = seed((c, rn))
-        (col("cent_id") === c,
-          (0 until dim).map(i =>
-            (element_at(col("graft_qe"), i + 1) - lit(q(i))) *
-              (element_at(col("graft_qe"), i + 1) - lit(q(i))))
-            .reduce(_ + _))
-      })
-    def assignWith(seed: Map[(Long, Int), Array[Long]]) =
-      hotRows.withColumn("graft_da", distTo(seed, 1))
-        .withColumn("graft_db", distTo(seed, 2))
+    // each row joins its OWN cell's two sub-centroid candidates from a
+    // broadcast seed table — the plan stays one fixed-size zip_with
+    // distance pair per row regardless of |hot| (a per-cell CASE chain
+    // would grow the expression tree O(|hot|·dim) and eventually break
+    // codegen on a production-sized hot set)
+    val sp = spark
+    import sp.implicits._
+    def sqDist(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    def assignWith(seed: Map[(Long, Int), Array[Long]]) = {
+      // a 1-row hot cell cannot reach here (n >= 2 filter), so both
+      // sub-centroid candidates exist for every hot cell
+      val seedsDf = hot.toIndexedSeq.map { c =>
+        (c, seed((c, 1)).toSeq, seed((c, 2)).toSeq, newIdOf(c))
+      }.toDF("cent_id", "graft_qa", "graft_qb", "graft_new_id")
+      hotRows.join(broadcast(seedsDf), Seq("cent_id"))
+        .withColumn("graft_da", sqDist(col("graft_qe"), col("graft_qa")))
+        .withColumn("graft_db", sqDist(col("graft_qe"), col("graft_qb")))
         .withColumn("graft_new_cent",
           // tie → the KEPT (lower) id, matching cellRanks' tie-break
-          when(col("graft_db") < col("graft_da"),
-            caseChain(hot.toIndexedSeq.map(c =>
-              (col("cent_id") === c, lit(newIdOf(c))))))
+          when(col("graft_db") < col("graft_da"), col("graft_new_id"))
             .otherwise(col("cent_id")))
+    }
     // one Lloyd refinement: means of the seed assignment become the
     // final sub-centroids (integer re-quantized, empty side keeps seed)
     val meanCols = (0 until dim).map(i =>
@@ -504,8 +502,6 @@ object IvfIndex {
     val newCents = cents.map { case (id, q) =>
       (id, if (newIdOf.contains(id)) refined((id, 1)) else q)
     } ++ hot.map(c => (newIdOf(c), refined((c, 2))))
-    val sp2 = spark
-    import sp2.implicits._
     newCents.toSeq.map { case (id, q) => (id, q.toSeq) }
       .toDF("cent_id", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
