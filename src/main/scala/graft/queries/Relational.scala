@@ -1108,7 +1108,11 @@ object Relational extends QueryPack {
           z.bucket(col("l_orderkey"), col("lo_o"), col("hi_o"), 8),
           z.bucket(col("l_partkey"), col("lo_p"), col("hi_p"), 8)), 8)
           .as("zv"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // l_partkey tiebreak: (l_orderkey, l_linenumber) pairs duplicate in
+      // the fixture, so the two-column sort is not total (round-8 10x
+      // sweep finding — zv derives from partkey, so three columns order
+      // every row)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
   override val oracles: Map[String, String] = Map(
@@ -1523,7 +1527,7 @@ object Relational extends QueryPack {
         |  ${(0 until 8).map(i =>
              s"(((bo >> $i) & 1) << ${2 * i}) | (((bp >> $i) & 1) << ${2 * i + 1})")
              .mkString(" | ")} AS zv
-        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM b ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
 
     "q39_salted_join" ->
       s"""WITH w(event_type, weight) AS (VALUES ${
