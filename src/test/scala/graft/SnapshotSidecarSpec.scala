@@ -176,6 +176,48 @@ class SnapshotSidecarSpec extends SparkTestBase {
     }
   }
 
+  test("exactly-once txn markers and the sidecar compose: watermark, " +
+      "replay no-op, and skipping all survive optimize + vacuum") {
+    withThreshold(16) {
+      val root = "target/sidecar-txn"
+      cleanup(root)
+      val sp = spark
+      import sp.implicits._
+      val b0 = (0L until 500L).map(i => (i, i, s"key_$i"))
+        .toDF("doc_id", "n", "k")
+      SnapshotStore.commitBatch(b0, root, buckets = 4,
+        streamId = "sc_stream", batchId = 0L)
+      SnapshotStore.declareStats(spark, root, Seq("n"))
+      SnapshotStore.declareBloom(spark, root, Seq("k"), bits = 2048)
+      SnapshotStore.optimize(spark, root, sortByDocId = false,
+        zorderBy = Seq("n"), maxRecordsPerFile = 16L)
+      assert(manifestText(root).contains("#metafile\t"))
+      // a later micro-batch publishes THROUGH the sidecar-mode manifest:
+      // watermark advances, its new files' metadata lands inline
+      val b1 = (1000L until 1010L).map(i => (i, i, s"key_$i"))
+        .toDF("doc_id", "n", "k")
+      val v1 = SnapshotStore.commitBatch(b1, root, buckets = 4,
+        streamId = "sc_stream", batchId = 1L)
+      assert(SnapshotStore.lastCommittedBatch(spark, root, "sc_stream")
+        === Some(1L))
+      // exactly-once: a replayed delivery of batch 1 must no-op
+      assert(SnapshotStore.commitBatch(b1, root, buckets = 4,
+        streamId = "sc_stream", batchId = 1L) === v1)
+      assert(SnapshotStore.currentVersion(spark, root) === Some(v1))
+      // maintenance keeps watermark, declarations, and skipping alive
+      SnapshotStore.optimize(spark, root)
+      SnapshotStore.vacuum(spark, root, keepVersions = 1)
+      assert(SnapshotStore.lastCommittedBatch(spark, root, "sc_stream")
+        === Some(1L))
+      assert(SnapshotStore.readWhere(spark, root, "n", 1000L, 1005L)
+        .count() === 6L)
+      assert(SnapshotStore.readPoint(spark, root, "k", "key_1007")
+        .count() === 1L)
+      assert(SnapshotStore.readPoint(spark, root, "k", "key_42")
+        .count() === 1L)
+    }
+  }
+
   test("dropStats gates pruning despite live sidecar rows; re-declare " +
       "resumes WITHOUT a backfill re-scan; clone carries the sidecar") {
     withThreshold(32) {
