@@ -751,10 +751,34 @@ object SnapshotStore {
     * columns (rows are pruned lazily at the next compaction), and
     * dropStats' contract is that pruning STOPS, valid stale envelopes or
     * not. */
-  private def pruneByStats(spark: SparkSession, root: String,
-      meta: Seq[String], entries: Seq[(Long, String)],
-      colName: String, lo: Option[String],
-      hi: Option[String]): Seq[(Long, String)] = {
+  /** Sidecar `#stat` rows for `cols`, keyed (col, relpath) — ONE
+    * metadata scan however many columns a conjunctive read bounds, with
+    * parquet column pruning guaranteeing a stats probe never reads a
+    * single bloom byte, however many bitsets the sidecar holds. */
+  private def sidecarStats(spark: SparkSession, root: String,
+      meta: Seq[String], cols: Set[String])
+      : Map[(String, String), (Long, Long, Option[String], Option[String])] =
+    metaFileRelOf(meta) match {
+      case Some(rel) if cols.nonEmpty =>
+        sidecarDf(spark, root, rel)
+          .filter(col("kind") === "stat" &&
+            col("col").isin(cols.toSeq: _*))
+          .select("col", "rel", "rows", "nulls", "mn", "mx")
+          .collect().map { r =>
+            (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+              r.getLong(3), Option(r.getString(4)),
+              Option(r.getString(5))))
+          }.toMap
+      case _ => Map.empty
+    }
+
+  /** `side` is a [[sidecarStats]] prefetch covering at least `colName`
+    * (callers with multi-column bounds fetch all columns in one scan —
+    * never one metadata job per bound). */
+  private def pruneByStats(meta: Seq[String], entries: Seq[(Long, String)],
+      colName: String, lo: Option[String], hi: Option[String],
+      side: Map[(String, String),
+        (Long, Long, Option[String], Option[String])]): Seq[(Long, String)] = {
     val declared = statColsLineOf(meta).map(parseStatCols).getOrElse(Nil)
     if (!declared.contains(colName)) return entries
     val inline = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
@@ -764,20 +788,8 @@ object SnapshotStore {
           Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty))))
       else None
     }.toMap
-    // sidecar rows for THIS column only — parquet column pruning means a
-    // stats probe never reads a single bloom byte, however many bitsets
-    // the sidecar holds
-    val fromSidecar = metaFileRelOf(meta) match {
-      case None => Map.empty[String,
-        (Long, Long, Option[String], Option[String])]
-      case Some(rel) =>
-        sidecarDf(spark, root, rel)
-          .filter(col("kind") === "stat" && col("col") === colName)
-          .select("rel", "rows", "nulls", "mn", "mx")
-          .collect().map { r =>
-            r.getString(0) -> ((r.getLong(1), r.getLong(2),
-              Option(r.getString(3)), Option(r.getString(4))))
-          }.toMap
+    val fromSidecar = side.collect {
+      case ((c, p), v) if c == colName => p -> v
     }
     val stats = fromSidecar ++ inline
     entries.filter { case (_, p) =>
@@ -1977,13 +1989,14 @@ object SnapshotStore {
       c -> org.apache.spark.sql.types.DataType.fromDDL(t)
     }.toMap
     val meta = manifestMeta(spark, root, v)
+    val side = sidecarStats(spark, root, meta, bounds.keySet)
     val kept = bounds.toSeq.sortBy(_._1)
       .foldLeft(readManifest(spark, root, v)) {
         case (es, (c, (lo, hi))) =>
           if (lo == null && hi == null) es
-          else pruneByStats(spark, root, meta, es, c,
+          else pruneByStats(meta, es, c,
             Option(lo).map(canonAs(spark, _, types(c), c)),
-            Option(hi).map(canonAs(spark, _, types(c), c)))
+            Option(hi).map(canonAs(spark, _, types(c), c)), side)
       }
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
@@ -2028,9 +2041,10 @@ object SnapshotStore {
     val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
     val meta = manifestMeta(spark, root, cur)
     val entries = readManifest(spark, root, cur)
-    val candidates = pruneByStats(spark, root, meta, entries, colName,
+    val candidates = pruneByStats(meta, entries, colName,
       Option(lo).map(canonAs(spark, _, dt, colName)),
-      Option(hi).map(canonAs(spark, _, dt, colName)))
+      Option(hi).map(canonAs(spark, _, dt, colName)),
+      sidecarStats(spark, root, meta, Set(colName)))
     if (candidates.isEmpty) return cur
     val candidateSet = candidates.toSet
     val carried = entries.filterNot(candidateSet)
@@ -2117,14 +2131,15 @@ object SnapshotStore {
     // declaration has no stats either, so its bound prunes nothing
     val declared = declaredCols(spark, root, v).getOrElse(
       schemaCols(read(spark, root, v).schema)).toMap
+    val side = sidecarStats(spark, root, meta, bounds.keySet)
     val kept = bounds.toSeq.sortBy(_._1).foldLeft(entries) {
       case (es, (c, (lo, hi))) =>
         declared.get(c).map(org.apache.spark.sql.types.DataType.fromDDL)
           match {
             case Some(dt) if lo != null || hi != null =>
-              pruneByStats(spark, root, meta, es, c,
+              pruneByStats(meta, es, c,
                 Option(lo).map(canonAs(spark, _, dt, c)),
-                Option(hi).map(canonAs(spark, _, dt, c)))
+                Option(hi).map(canonAs(spark, _, dt, c)), side)
             case _ => es
           }
     }

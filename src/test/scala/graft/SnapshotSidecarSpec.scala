@@ -176,6 +176,40 @@ class SnapshotSidecarSpec extends SparkTestBase {
     }
   }
 
+  test("conjunctive multi-column bounds prune through the sidecar and " +
+      "stay exact") {
+    withThreshold(32) {
+      val root = "target/sidecar-multicol"
+      cleanup(root)
+      val sp = spark
+      import sp.implicits._
+      val df = (0L until 1000L).map(i => (i, i, (i * 37L) % 1000L))
+        .toDF("doc_id", "n", "m")
+      SnapshotStore.commit(df, root, buckets = 4,
+        meta = Seq(SnapshotStore.statsDeclaration(Seq("n", "m"))))
+      SnapshotStore.optimize(spark, root, sortByDocId = false,
+        zorderBy = Seq("n", "m"), maxRecordsPerFile = 16L)
+      assert(manifestText(root).contains("#metafile\t"))
+      val bounds = Map("n" -> ((100L: Any, 400L: Any)),
+        "m" -> ((100L: Any, 400L: Any)))
+      val (kBoth, total) = SnapshotStore.skippingReportAll(spark, root,
+        bounds)
+      val (kN, _) = SnapshotStore.skippingReport(spark, root,
+        "n", 100L, 400L)
+      assert(kBoth < kN && kN < total,
+        s"conjunction did not add pruning: both=$kBoth n=$kN/$total")
+      val got = SnapshotStore.readWhereAll(spark, root, bounds)
+        .select("doc_id", "n", "m").collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+      val want = SnapshotStore.read(spark, root)
+        .filter(col("n").between(100L, 400L) &&
+          col("m").between(100L, 400L))
+        .select("doc_id", "n", "m").collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+      assert(got === want && got.nonEmpty)
+    }
+  }
+
   test("exactly-once txn markers and the sidecar compose: watermark, " +
       "replay no-op, and skipping all survive optimize + vacuum") {
     withThreshold(16) {
