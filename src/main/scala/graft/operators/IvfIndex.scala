@@ -409,8 +409,10 @@ object IvfIndex {
     * window should route the layout through a manifest-published root
     * ([[SnapshotStore]]-style).
     *
-    * Returns the number of cells split (0 = no cell exceeded
-    * `hotFactor` × mean population — nothing rewritten). */
+    * Returns the number of cells ACTUALLY split — hot cells whose new
+    * sub-centroid received rows (0 = no cell exceeded `hotFactor` × mean
+    * population, nothing rewritten; a hot cell whose refinement moved
+    * nothing counts 0 and keeps its old centroid). */
   def rebalance(spark: SparkSession, path: String,
       hotFactor: Double = 2.0): Int = {
     require(hotFactor >= 1.0, s"hotFactor must be >= 1, got $hotFactor")
@@ -496,23 +498,43 @@ object IvfIndex {
       .select((index.columns.filterNot(_ == "cent_id").map(col) :+
         col("graft_new_cent").as("cent_id")).toIndexedSeq: _*)
       .localCheckpoint(eager = true)
-    // centroid sidecar FIRST (see the crash-order note above): kept ids
-    // re-point to sub-centroid 1, new ids append as sub-centroid 2
+    // survivors BEFORE the centroid write (merged is already
+    // materialized by the eager checkpoint, so this is one bounded
+    // distinct over it): a refinement that assigns every row of a hot
+    // cell back to one side must not publish a centroid id with no
+    // backing partition — probes would waste one nProbe ranking slot on
+    // a provably empty cell forever, because the cleanup below only
+    // deletes emptied KEPT partitions and nothing ever retracts a
+    // published centroid
+    val survivors = merged.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // centroid sidecar FIRST (see the crash-order note above). Per hot
+    // cell: both sides survived → kept id re-points to sub-centroid 1,
+    // new id appends as sub-centroid 2; nothing moved to the new side →
+    // the cell is UN-SPLIT and keeps its old centroid (no new id);
+    // everything moved → the kept id's centroid drops with its partition.
     val byId = cents.toMap
-    val newCents = cents.map { case (id, q) =>
-      (id, if (newIdOf.contains(id)) refined((id, 1)) else q)
-    } ++ hot.map(c => (newIdOf(c), refined((c, 2))))
+    val newCents = cents.flatMap { case (id, q) =>
+      if (!newIdOf.contains(id)) Some((id, q))
+      else if (!survivors.contains(newIdOf(id))) Some((id, q))
+      else if (survivors.contains(id)) Some((id, refined((id, 1))))
+      else None
+    } ++ hot.filter(c => survivors.contains(newIdOf(c)))
+      .map(c => (newIdOf(c), refined((c, 2))))
     newCents.toSeq.map { case (id, q) => (id, q.toSeq) }
       .toDF("cent_id", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    require(byId.size + hot.length == newCents.length,
-      s"rebalance centroid bookkeeping drifted") // paranoia, driver-cheap
+    // paranoia, driver-cheap: every published hot/new id has a backing
+    // partition and every survivor keeps a centroid
+    val published = newCents.map(_._1).toSet
+    require(hot.forall(c => Seq(c, newIdOf(c)).filter(survivors.contains)
+        .forall(published.contains)) &&
+        published.subsetOf(byId.keySet ++ newIdOf.valuesIterator),
+      "rebalance centroid bookkeeping drifted")
     // dynamic overwrite rewrites exactly the split cells' partitions and
     // creates the new sub-cells'; a kept id emptied by the refinement
     // (every row moved to the new side) needs the explicit removal
     // deleteFromIndex documents
-    val survivors = merged.select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).toSet
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cent_id").parquet(s"$path/index")
@@ -522,7 +544,28 @@ object IvfIndex {
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/index/cent_id=$c"), true)
     }
-    hot.length
+    hot.count(c => survivors.contains(newIdOf(c)))
+  }
+
+  /** Bounded convergence loop over [[rebalance]] — one call splits each
+    * hot cell exactly once (binary), so a severely skewed cell (≫2× mean
+    * after one split) levels only under repeated calls. Same discipline
+    * as PageRank's `ranksConverged` probe: iterate until the signal
+    * (here: `rebalance` returning 0 splits) says fixpoint, with
+    * `maxRounds` bounding the worst case. Returns the total number of
+    * splits performed across rounds. */
+  def rebalanceUntil(spark: SparkSession, path: String,
+      hotFactor: Double = 2.0, maxRounds: Int = 8): Int = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var total = 0
+    var rounds = 0
+    var last = -1
+    while (rounds < maxRounds && last != 0) {
+      last = rebalance(spark, path, hotFactor)
+      total += last
+      rounds += 1
+    }
+    total
   }
 
   /** Stored IVF-SQ8 index (the Faiss IVF-SQ idea): same cell-partitioned

@@ -1497,7 +1497,10 @@ object SnapshotStore {
     * file-level stats pruning tight per-file envelopes to skip on
     * (size it to ~128–1024 MB files at production scale). Returns the
     * new version. */
-  /** `buckets` non-empty = BUCKET-SCOPED compaction: only the named
+  /** `onlyBuckets` non-empty = BUCKET-SCOPED compaction — the named
+    * BUCKET IDS to compact, deliberately not called `buckets` (commit/
+    * upsert's `buckets: Int` is a bucket COUNT; a caller writing
+    * `Seq(8)` here means "bucket 8", never "8 buckets"): only the named
     * buckets' files are read, re-arranged, and rewritten; every other
     * manifest entry carries VERBATIM. This bounds the optimistic-
     * concurrency retry unit — a full-table OPTIMIZE under a busy writer
@@ -1513,7 +1516,7 @@ object SnapshotStore {
       zorderBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
       sortBy: Seq[String] = Nil,
-      buckets: Seq[Long] = Nil): Long = {
+      onlyBuckets: Seq[Long] = Nil): Long = {
     require(maxRecordsPerFile >= 0,
       s"maxRecordsPerFile must be >= 0: $maxRecordsPerFile")
     require(zorderBy.isEmpty || sortBy.isEmpty,
@@ -1524,7 +1527,7 @@ object SnapshotStore {
       throw new IllegalArgumentException(
         s"no published version at $root — nothing to optimize"))
     val v = cur + 1
-    val bucketScope = buckets.toSet
+    val bucketScope = onlyBuckets.toSet
     val allEntries = readManifest(spark, root, cur)
     val (scoped, carriedEntries) =
       if (bucketScope.isEmpty) (allEntries, Seq.empty[(Long, String)])

@@ -41,6 +41,36 @@ object WeightedSssp {
     "WeightedSssp: negative edge weights are not supported (a " +
       "negative cycle would make the early-exit fixpoint diverge)"
 
+  /** Is `e` (anywhere in its cause chain) the relaxation guard's
+    * raise_error? Matched two ways so presentation changes cannot hide
+    * the contract violation: by the USER_RAISED_EXCEPTION error
+    * condition + its message parameters (survives a truncated or
+    * re-templated rendered message) AND by rendered-message substring
+    * (survives a wrapper that flattened the SparkThrowable away). The
+    * walk covers the FULL cause chain with a cycle guard — a deep
+    * executor-side wrap must not let the raw SparkException escape. */
+  private def isNegWeightGuard(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    var t: Throwable = e
+    while (t != null && seen.add(t)) {
+      val byMessage =
+        Option(t.getMessage).exists(_.contains("negative edge weights"))
+      val byCondition = t match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).contains("USER_RAISED_EXCEPTION") && {
+            import scala.jdk.CollectionConverters._
+            Option(st.getMessageParameters).exists(_.asScala.values
+              .exists(v => v != null && v.contains("negative edge weights")))
+          }
+        case _ => false
+      }
+      if (byMessage || byCondition) return true
+      t = t.getCause
+    }
+    false
+  }
+
   def run(edges: DataFrame, dist0: DataFrame, maxRounds: Int,
       earlyExit: Boolean = false): (DataFrame, Int) = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
@@ -68,11 +98,7 @@ object WeightedSssp {
         catch {
           // the raise_error surfaces as a SparkException chain; rethrow
           // as the operator's own named contract violation
-          case e: Exception
-              if Iterator.iterate(e: Throwable)(_.getCause)
-                .takeWhile(_ != null).take(8)
-                .exists(t => Option(t.getMessage).exists(
-                  _.contains("negative edge weights"))) =>
+          case e: Exception if isNegWeightGuard(e) =>
             throw new IllegalArgumentException(NegMsg, e)
         }
       if (earlyExit) {

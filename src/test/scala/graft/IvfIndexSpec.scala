@@ -269,6 +269,67 @@ class IvfIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("flat"))
   }
 
+  test("rebalanceUntil levels a 10x-hot cell one binary split per round " +
+      "cannot, conserving rows and full-probe results") {
+    val dir = "target/ivf-rebalance-until-spec"
+    val f = new java.io.File(dir)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively(): Unit }
+    import spark.implicits._
+    // 10 well-separated clusters: cluster 0 holds 640 vectors (≈8× the
+    // mean), clusters 1-9 hold 20 each — a skew one binary split cannot
+    // level (640 → ~320+320, both still >2× the new mean). Jitter is
+    // deterministic so the layout reproduces bit-for-bit.
+    val rows = (0 until 10).flatMap { j =>
+      val n = if (j == 0) 640 else 20
+      (0 until n).map { i =>
+        val em = Array.tabulate(4)(d =>
+          (j * 10 + (((i * 31 + d * 17) % 101) - 50) / 100.0).toFloat)
+        (j * 1000L + i, em.toSeq)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val cents = (0 until 10).map(j =>
+      (j.toLong, Array.tabulate(4)(_ => j * 10000000L))).toArray
+    IvfIndex.writeIndexWith(emb, cents, dir)
+    def cellCounts() = spark.read.parquet(s"$dir/index")
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = cellCounts().values.sum
+    val want = IvfIndex.searchIndexed(spark, dir,
+        emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+        nProbe = 10, topK = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    def isLeveled(c: Map[Long, Long]) = {
+      val mean = c.values.sum.toDouble / c.size
+      c.values.max <= 2.0 * mean
+    }
+    val totalSplits = IvfIndex.rebalanceUntil(spark, dir,
+      hotFactor = 2.0, maxRounds = 8)
+    // one split of the 640-cell cannot reach ≤2× mean, so convergence
+    // genuinely needed >1 round
+    assert(totalSplits >= 2, s"expected a multi-round split cascade, " +
+      s"got $totalSplits total splits")
+    val after = cellCounts()
+    assert(after.values.sum === total, "rebalanceUntil lost/duped rows")
+    assert(isLeveled(after),
+      s"still a >2x-mean cell after rebalanceUntil: $after")
+    // every published centroid backs a partition and vice versa — the
+    // survivors-before-centroid-write rule means no empty ranking slots
+    val centIds = spark.read.parquet(s"$dir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(after.keySet === centIds,
+      "centroid sidecar and partition layout diverged")
+    val got = IvfIndex.searchIndexed(spark, dir,
+        emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+        nProbe = 64, topK = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("search rejects a queryFilter over rank-side columns with a named error") {
     val emb = Tables.embeddings(spark, sf0001)
     val err = intercept[IllegalArgumentException] {

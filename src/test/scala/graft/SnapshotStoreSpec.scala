@@ -172,7 +172,7 @@ class SnapshotStoreSpec extends SparkTestBase {
           buckets = 8)
       }
       SnapshotStore.optimize(spark, root, expectedVersion = Some(observed),
-        sortByDocId = false, sortBy = Seq("n"), buckets = Seq(0L, 1L, 2L))
+        sortByDocId = false, sortBy = Seq("n"), onlyBuckets = Seq(0L, 1L, 2L))
     }
     val after = SnapshotStore.read(spark, root)
     // content = pre-race content + the racer's row (nothing lost/dupped)
@@ -191,7 +191,7 @@ class SnapshotStoreSpec extends SparkTestBase {
     // a scope matching no files is a version-free no-op
     val vNow = SnapshotStore.currentVersion(spark, root).get
     assert(SnapshotStore.optimize(spark, root,
-      buckets = Seq(999L)) === vNow)
+      onlyBuckets = Seq(999L)) === vNow)
   }
 
   test("additive schema evolution: new column null-fills older files") {
