@@ -108,6 +108,7 @@ object ScaleRehearsal {
     try {
       if (mode == "pressure") pressure(spark)
       else if (mode == "manifest") manifest(spark, args)
+      else if (mode == "entries") entriesMode(spark, args)
       else full(spark, args)
     } finally spark.stop()
   }
@@ -135,9 +136,11 @@ object ScaleRehearsal {
     val df = spark.range(rows).select(col("id").as("doc_id"),
       col("id").as("n"), concat(lit("key_"), col("id")).as("k"))
     val (_, tCommit) = timed("manifest_commit") {
+      // doc_id stats + bloom are what the KEY-PRUNED upsert/readDocs
+      // paths probe (round-9: upsert cost ∝ admitting files)
       SnapshotStore.commit(df, root, buckets = 32,
-        meta = Seq(SnapshotStore.statsDeclaration(Seq("n")),
-          SnapshotStore.bloomDeclaration(Seq("k"), bits = 8192)))
+        meta = Seq(SnapshotStore.statsDeclaration(Seq("n", "doc_id")),
+          SnapshotStore.bloomDeclaration(Seq("k", "doc_id"), bits = 8192)))
     }
     report += "manifest_commit_s" -> tCommit
     // one row per file: the pathological file-count layout
@@ -154,19 +157,28 @@ object ScaleRehearsal {
       java.nio.file.Files.readAllBytes(manifestPath.toPath), "UTF-8")
     require(text.contains("#metafile\t") && !text.contains("#bloom\t"),
       "manifest rehearsal: sidecar did not engage at file-count scale")
-    val nFiles = text.linesIterator.count(l =>
-      l.nonEmpty && !l.startsWith("#"))
+    // round-9: the ENTRY LIST moved out of the text manifest too — at
+    // 10^5 files the commit root must be a pointer + deltas, never the
+    // 10 MB line list round 8 measured
+    require(text.contains("#entryfile\t"),
+      "manifest rehearsal: entryfile did not engage at file-count scale")
+    val nFiles = SnapshotStore.manifestEntries(spark, root, v).size
     require(nFiles >= rows * 9 / 10,
       s"expected ~$rows one-row files, got $nFiles")
     report += "manifest_files" -> nFiles.toDouble
     report += "manifest_text_mb" -> manifestMb
-    val sidecarMb = {
-      val md = new java.io.File(root, "meta")
-      def size(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(size).sum else f.length()
-      if (md.exists()) size(md) / 1e6 else 0.0
+    def dirMb(f: java.io.File): Double = {
+      def size(g: java.io.File): Long =
+        if (g.isDirectory) g.listFiles().map(size).sum else g.length()
+      if (f.exists()) size(f) / 1e6 else 0.0
     }
-    report += "manifest_sidecar_mb" -> sidecarMb
+    val md = new java.io.File(root, "meta")
+    val entriesMb =
+      if (!md.exists()) 0.0
+      else md.listFiles().filter(_.getName.startsWith("entries-"))
+        .map(dirMb).sum
+    report += "manifest_sidecar_mb" -> (dirMb(md) - entriesMb)
+    report += "manifest_entryfile_mb" -> entriesMb
     val (cntAll, tRead) = timed("manifest_read_full") {
       SnapshotStore.read(spark, root).count()
     }
@@ -206,13 +218,45 @@ object ScaleRehearsal {
     val fresh = spark.range(rows, rows + 10).select(
       col("id").as("doc_id"), col("id").as("n"),
       concat(lit("key_"), col("id")).as("k"))
+    val relsBefore = SnapshotStore.manifestEntries(spark, root, v)
+      .map(_._2).toSet
     val (_, tUpsert) = timed("manifest_upsert_10rows") {
       SnapshotStore.upsert(spark, fresh, fresh.select("doc_id"),
         root, buckets = 32)
     }
+    // the KEY-PRUNED upsert's whole point: 10 fresh ids against 10^5
+    // one-row files may rewrite only the files that can contain them
+    // (bloom/stats admitting), never the touched buckets wholesale
+    // (~3.1k files per bucket at 32 buckets)
+    val relsAfterUpsert = SnapshotStore.manifestEntries(spark, root,
+      SnapshotStore.currentVersion(spark, root).get).map(_._2).toSet
+    val rewritten = relsBefore.diff(relsAfterUpsert).size
+    require(rewritten <= 64,
+      s"upsert rewrote $rewritten carried files — key pruning off?")
+    report += "manifest_upsert_files_rewritten" -> rewritten.toDouble
     require(SnapshotStore.readPoint(spark, root, "k", s"key_$rows")
       .count() == 1L, "upserted key not findable")
     report += "manifest_upsert_s" -> tUpsert
+    // amortization observability: between compactions each publish
+    // carries its delta INLINE — record the post-upsert delta line
+    // counts and the thresholds that bound them (publishes per sidecar
+    // compaction ~= sidecarThreshold / inline-lines-per-publish)
+    val vU = SnapshotStore.currentVersion(spark, root).get
+    val textU = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, f"_versions/v$vU%05d.manifest").toPath),
+      "UTF-8")
+    report += "manifest_upsert_inline_meta_lines" ->
+      textU.linesIterator.count(l =>
+        l.startsWith("#stat\t") || l.startsWith("#bloom\t")).toDouble
+    report += "manifest_upsert_inline_entry_lines" ->
+      textU.linesIterator.count(l =>
+        l.nonEmpty && !l.startsWith("#")).toDouble
+    report += "manifest_upsert_dropfile_lines" ->
+      textU.linesIterator.count(_.startsWith("#dropfile\t")).toDouble
+    report += "manifest_sidecar_threshold" ->
+      SnapshotStore.sidecarThreshold.toDouble
+    report += "manifest_entry_threshold" ->
+      SnapshotStore.entryThreshold.toDouble
 
     val (swept, tVac) = timed("manifest_vacuum") {
       SnapshotStore.vacuum(spark, root, keepVersions = 1)
@@ -226,6 +270,104 @@ object ScaleRehearsal {
       .getOrElse("target/scale_rehearsal_manifest.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"MANIFEST_REHEARSAL_OK $json")
+  }
+
+  /** ENTRY-LIST scale rehearsal (round-9 verdict item 1): the manifest's
+    * file-entry layer measured at 10⁶ entries, BEFORE (inline text
+    * lines, the round-8 format) vs AFTER (parquet entryfile + delta
+    * lines). Entries are synthetic — no data files, no stat/bloom
+    * declarations — so the numbers isolate exactly the commit-root
+    * layer: full publish, manifest size, resolved-entry read, and the
+    * steady-state DELTA publish (drop 5 files, add 10 — the
+    * 10-row-upsert shape) that inline mode must pay a full text rewrite
+    * for and entryfile mode must keep delta-sized. A 20k-file delta then
+    * forces an entryfile COMPACTION (the amortized rewrite). Hard
+    * requires: delta manifests stay tiny, resolved lists stay exact,
+    * compaction re-points. Usage:
+    * `runMain graft.ScaleRehearsal entries [nEntries] [outJson]`. */
+  private def entriesMode(spark: SparkSession, args: Array[String]): Unit = {
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    def mkEntries(from: Long, until: Long, vTag: String): Seq[(Long, String)] =
+      (from until until).map(i => (i % 1024L,
+        f"data/$vTag/bucket=${i % 1024L}%d/part-$i%08d.parquet"))
+    def clean(root: String): Unit = {
+      val rf = new java.io.File(root)
+      if (rf.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(rf).deleteRecursively(): Unit
+      }
+    }
+    def run(tag: String, threshold: Int): String = {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rehearsal-entries-$tag").getPath
+      clean(root)
+      val saved = SnapshotStore.entryThreshold
+      SnapshotStore.entryThreshold = threshold
+      try {
+        val base = mkEntries(0L, n, "v00001-aaaaaaaa")
+        val (_, t1) = timed(s"entries_${tag}_publish_full") {
+          SnapshotStore.publish(spark, root, 1L, base)
+        }
+        report += s"entries_${tag}_publish_full_s" -> t1
+        report += s"entries_${tag}_manifest_mb" ->
+          new java.io.File(root, "_versions/v00001.manifest").length / 1e6
+        val (c1, tr1) = timed(s"entries_${tag}_read") {
+          SnapshotStore.manifestEntries(spark, root, 1L).size
+        }
+        require(c1 == n, s"$tag v1 resolved $c1 of $n entries")
+        report += s"entries_${tag}_read_s" -> tr1
+        // steady-state delta: the 10-row-upsert shape at 10^6 carried
+        // files — drop 5 entries, add 10
+        val delta = base.drop(5) ++
+          mkEntries(n, n + 10L, "v00002-bbbbbbbb")
+        val (_, t2) = timed(s"entries_${tag}_publish_delta") {
+          SnapshotStore.publish(spark, root, 2L, delta)
+        }
+        report += s"entries_${tag}_publish_delta_s" -> t2
+        report += s"entries_${tag}_delta_manifest_kb" ->
+          new java.io.File(root, "_versions/v00002.manifest").length / 1e3
+        val (c2, tr2) = timed(s"entries_${tag}_read_delta") {
+          SnapshotStore.manifestEntries(spark, root, 2L).size
+        }
+        require(c2 == n + 5, s"$tag v2 resolved $c2 of ${n + 5} entries")
+        report += s"entries_${tag}_read_delta_s" -> tr2
+        root
+      } finally SnapshotStore.entryThreshold = saved
+    }
+    run("inline", Int.MaxValue) // BEFORE: the round-8 text format
+    val efRoot = run("entryfile", 16384) // AFTER
+    // the delta commit root must be KBs, not the ~100 MB inline rewrite
+    require(report("entries_entryfile_delta_manifest_kb") < 64.0,
+      "entryfile delta manifest is not delta-sized")
+    // a 20k-file delta outgrows the threshold → fresh entryfile compacts
+    val efBefore = {
+      val t = new String(java.nio.file.Files.readAllBytes(new java.io.File(
+        efRoot, "_versions/v00002.manifest").toPath), "UTF-8")
+      t.linesIterator.find(_.startsWith("#entryfile\t")).get
+    }
+    val big = SnapshotStore.manifestEntries(spark, efRoot, 2L) ++
+      mkEntries(n + 10L, n + 10L + 20000L, "v00003-cccccccc")
+    val saved = SnapshotStore.entryThreshold
+    SnapshotStore.entryThreshold = 16384
+    val (_, t3) =
+      try timed("entries_entryfile_publish_compact") {
+        SnapshotStore.publish(spark, efRoot, 3L, big)
+      } finally SnapshotStore.entryThreshold = saved
+    report += "entries_entryfile_publish_compact_s" -> t3
+    val t3Text = new String(java.nio.file.Files.readAllBytes(new java.io.File(
+      efRoot, "_versions/v00003.manifest").toPath), "UTF-8")
+    val efAfter = t3Text.linesIterator.find(_.startsWith("#entryfile\t")).get
+    require(efAfter != efBefore && !t3Text.contains("#dropfile\t"),
+      "20k-file delta did not compact the entryfile")
+    require(SnapshotStore.manifestEntries(spark, efRoot, 3L).size ==
+      n + 10L + 20000L, "compacted entry list lost entries")
+    val json = report.map { case (k, vv) => f""""$k": $vv%.3f""" }
+      .mkString("{", ", ", "}")
+    val out = args.lift(2)
+      .getOrElse("target/scale_rehearsal_entries.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"ENTRIES_REHEARSAL_OK $json")
   }
 
   /** Starved-memory run: the spill-heavy subset under an execution

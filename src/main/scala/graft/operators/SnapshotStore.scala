@@ -128,14 +128,29 @@ object SnapshotStore {
   }
 
   /** (bucket, relpath) entries of a version's manifest. Lines starting
-    * with `#` are metadata (e.g. the streaming txn marker), not files. */
+    * with `#` are metadata (e.g. the streaming txn marker), not files.
+    * With an `#entryfile` pointer the full list is (entryfile −
+    * `#dropfile` lines) ∪ inline lines — a columnar read of two short
+    * columns instead of a multi-MB text parse; sorted so entry order
+    * stays deterministic across the two storage modes. */
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Seq[(Long, String)] = {
-    manifestText(spark, root, v).linesIterator
+    val text = manifestText(spark, root, v)
+    val inline = text.linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         val Array(b, p) = l.split("\t", 2)
         (b.toLong, p)
       }.toSeq
+    val meta = text.linesIterator.filter(_.startsWith("#")).toSeq
+    entryFileRelOf(meta) match {
+      case None => inline
+      case Some(ef) =>
+        val drops = dropRelsOf(meta)
+        val stored = entryFileDf(spark, root, ef).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        (stored.filterNot(e => drops.contains(e._2)) ++ inline)
+          .sortBy(identity)
+    }
   }
 
   /** Metadata (`#`-prefixed) lines of a version's manifest. */
@@ -374,6 +389,12 @@ object SnapshotStore {
         val presentB = bloomCols.filter(fields.contains)
         val isStr = presentS.filter(c => df.schema(c).dataType ==
           org.apache.spark.sql.types.StringType).toSet
+        // doc_id's PHYSICAL type may vary across version dirs (the store
+        // normalizes it to long on read) — canonicalize through the same
+        // cast on the metadata write side, so a probe hashing/bounding a
+        // Long can never miss an int-stored file
+        def srcCol(c: String) =
+          if (c == "doc_id") col(c).cast("long") else col(c)
         // key by bucket=<b>/<file>: one write job reuses part filenames
         // across its bucket dirs, so the bare filename is NOT unique
         // within an attempt dir
@@ -388,7 +409,7 @@ object SnapshotStore {
             // max(length) decides whether the envelope is exact
             val statSrc =
               if (isStr(c)) substring(col(c), 1, StringStatChars)
-              else col(c)
+              else srcCol(c)
             Seq(min(statSrc).as(s"graft_min_$c"),
               max(statSrc).as(s"graft_max_$c"),
               sum(when(col(c).isNull, 1L).otherwise(0L))
@@ -407,7 +428,7 @@ object SnapshotStore {
             // permitted 2^24 bits
             graft.plans.BloomBitsetAgg.bloom_bitset(
               when(col(c).isNotNull,
-                array(bloomPositions(col(c), bloomBits): _*)),
+                array(bloomPositions(srcCol(c), bloomBits): _*)),
               bloomBits).as(s"graft_bloom_$c")
           }
         val rows = df.groupBy(input_file_name().as("graft_file"))
@@ -527,7 +548,20 @@ object SnapshotStore {
   /** Inline stat+bloom line count above which publish compacts the
     * per-file metadata into a parquet sidecar. private[graft] var so the
     * spec can force sidecar mode on small fixtures; suites run
-    * sequentially in the forked test JVM. */
+    * sequentially in the forked test JVM.
+    *
+    * The THRESHOLD is a publish-latency vs read-parse trade: between
+    * compactions every publish appends its delta INLINE, so each read
+    * re-parses up to `sidecarThreshold` base64 lines (~11 KB per bloom
+    * line at the default width — a full 4096-line tail is ~45 MB of
+    * driver parse) while publishes stay cheap; a compaction pays one
+    * executor-side sidecar rewrite and resets the tail to zero. Rewrites
+    * amortize to one per ~threshold/delta publishes — e.g. 10-file
+    * deltas with 2 metadata kinds compact every ~200 publishes. Lower it
+    * when reads dominate (hot store, many readers), raise it when a
+    * write burst must not absorb a rewrite; the rehearsal
+    * (`ScaleRehearsal manifest`) records the post-upsert inline tail and
+    * both thresholds so the amortization is measured, not asserted. */
   @volatile private[graft] var sidecarThreshold: Int = 4096
 
   private def metaFileLine(rel: String) = s"#metafile\t$rel"
@@ -536,6 +570,89 @@ object SnapshotStore {
     meta.collectFirst {
       case l if l.startsWith("#metafile\t") => l.split("\t", 2)(1)
     }
+
+  // ---- entry-list sidecar (file-count scale for the file list) -------
+  //
+  // The stat/bloom sidecar moved per-file METADATA out of the text
+  // manifest; the file-entry lines themselves were the last
+  // driver-parsed text layer — ~10 MB at 10⁵ files, ~100 MB re-read,
+  // re-split and REWRITTEN per publish at 10⁶ (Iceberg splits the entry
+  // list out of the commit root for the same reason). Past
+  // [[entryThreshold]], publish writes the full entry list as an
+  // immutable parquet ENTRYFILE (`meta/entries-vNNNNN-<uuid8>`, columns
+  // bucket/rel) and the manifest carries:
+  //   #entryfile\t<rel>   — the carried entry list
+  //   #dropfile\t<rel>    — entryfile entries NOT in this version
+  //   plain entry lines   — files ADDED since the entryfile was written
+  // so the text commit root stays tiny and delta-sized: a 10-row upsert
+  // against a 10⁶-file store writes a manifest with the touched buckets'
+  // new files inline + their old files as drop lines, never the full
+  // list. Bookkeeping is recomputed per publish as a set diff against
+  // the parent's entryfile (drops = entryfile − current, inline =
+  // current − entryfile), which also makes rollback re-adds correct for
+  // free; when |inline| + |drops| outgrows the threshold a fresh
+  // entryfile compacts them away — one rewrite per ~threshold/delta
+  // publishes, the same amortization as the stat/bloom sidecar.
+  //
+  // Driver memory is O(live files × path length) — relpath STRINGS for
+  // the set diff and for handing scan paths to the parquet reader (the
+  // reader needs driver-side paths no matter the format) — never
+  // O(manifest text). The atomic create-exclusive publish of the text
+  // manifest is untouched: the entryfile rides the data files'
+  // immutability discipline (written before the manifest tmp, shared by
+  // later versions until a compaction, vacuum garbage if its publish
+  // lost the race).
+
+  /** Inline entry-line + drop-line count above which publish compacts
+    * the file list into a parquet entryfile. private[graft] var so the
+    * spec can force entryfile mode on small fixtures; suites run
+    * sequentially in the forked test JVM. */
+  @volatile private[graft] var entryThreshold: Int = 16384
+
+  private def entryFileLine(rel: String) = s"#entryfile\t$rel"
+
+  private def entryFileRelOf(meta: Seq[String]): Option[String] =
+    meta.collectFirst {
+      case l if l.startsWith("#entryfile\t") => l.split("\t", 2)(1)
+    }
+
+  private def dropFileLine(rel: String) = s"#dropfile\t$rel"
+
+  private def dropRelsOf(meta: Seq[String]): Set[String] =
+    meta.collect {
+      case l if l.startsWith("#dropfile\t") => l.split("\t", 2)(1)
+    }.toSet
+
+  private def entryFileSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("rel", StringType, nullable = false)))
+  }
+
+  private def entryFileDf(spark: SparkSession, root: String,
+      rel: String): DataFrame =
+    spark.read.schema(entryFileSchema).parquet(s"$root/$rel")
+
+  /** Write version `v`'s full entry list as a fresh entryfile; returns
+    * its relpath. Entries are validated here (tab/newline in a relpath
+    * would corrupt a LATER inline/dropfile text line for the same file,
+    * even though parquet itself would store it fine). */
+  private def writeEntryFile(spark: SparkSession, root: String, v: Long,
+      entries: Seq[(Long, String)]): String = {
+    entries.foreach { case (_, p) =>
+      require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"SnapshotStore: manifest entry path contains tab/newline: '$p'")
+    }
+    val rel =
+      f"meta/entries-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rows = entries.map { case (b, p) => org.apache.spark.sql.Row(b, p) }
+    val parts = math.max(1, math.min(rows.size / 262144 + 1, 32))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts),
+        entryFileSchema)
+      .write.mode("overwrite").parquet(s"$root/$rel")
+    rel
+  }
 
   private def sidecarSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -573,16 +690,19 @@ object SnapshotStore {
     stat ++ bloom
   }
 
-  /** The (path, col) pairs among `candidates` that the sidecar does NOT
-    * cover for `kind` — an executor-side anti-join that returns only the
-    * misses (delta-sized in steady state), never the sidecar's key set. */
+  /** The (path, col) pairs of `paths` × `cols` that the sidecar does
+    * NOT cover for `kind` — the cross product builds ON THE EXECUTORS
+    * (paths DF × broadcast cols DF) and the anti-join returns only the
+    * misses (delta-sized in steady state), so the driver never
+    * materializes the O(files × declared columns) candidate list OR the
+    * sidecar's key set. */
   private def sidecarMisses(spark: SparkSession, side: DataFrame,
-      kind: String, candidates: Seq[(String, String)])
+      kind: String, paths: Seq[String], cols: Seq[String])
       : Set[(String, String)] = {
-    if (candidates.isEmpty) return Set.empty
+    if (paths.isEmpty || cols.isEmpty) return Set.empty
     import spark.implicits._
-    val cand = candidates.toDF("rel", "col")
-    cand.join(side.filter(col("kind") === kind).select("rel", "col"),
+    paths.toDF("rel").crossJoin(broadcast(cols.toDF("col")))
+      .join(side.filter(col("kind") === kind).select("rel", "col"),
         Seq("rel", "col"), "left_anti")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
   }
@@ -688,21 +808,22 @@ object SnapshotStore {
       (parseBloomLines(prevMeta) ++ parseBloomLines(meta)).filter {
         case ((p, c), _) => pathSet.contains(p) && bloomCols.contains(c)
       }
-    // candidate (path, col) pairs not covered INLINE; with a sidecar the
-    // executor-side anti-join then returns only the true misses
-    // (delta-sized), never the sidecar's key set
-    val candStats = for {
-      p <- paths; c <- statCols; if !knownStats.contains((p, c))
-    } yield (p, c)
-    val candBlooms = for {
-      p <- paths; c <- bloomCols; if !knownBlooms.contains((p, c))
-    } yield (p, c)
+    // (path, col) pairs not covered inline or by the sidecar; with a
+    // sidecar the cross product + anti-join run executor-side and only
+    // the true misses (delta-sized) come back, then the small inline
+    // key set subtracts driver-side
     val (missStatPairs, missBloomPairs) = carriedSidecar match {
-      case None => (candStats.toSet, candBlooms.toSet)
+      case None =>
+        (paths.iterator.flatMap(p => statCols.collect {
+          case c if !knownStats.contains((p, c)) => (p, c) }).toSet,
+          paths.iterator.flatMap(p => bloomCols.collect {
+            case c if !knownBlooms.contains((p, c)) => (p, c) }).toSet)
       case Some(rel) =>
         val side = sidecarDf(spark, root, rel)
-        (sidecarMisses(spark, side, "stat", candStats),
-          sidecarMisses(spark, side, "bloom", candBlooms))
+        (sidecarMisses(spark, side, "stat", paths, statCols)
+            -- knownStats.keySet,
+          sidecarMisses(spark, side, "bloom", paths, bloomCols)
+            -- knownBlooms.keySet)
     }
     val missingStats = missStatPairs.map(_._1)
     val missingBlooms = missBloomPairs.map(_._1)
@@ -730,6 +851,11 @@ object SnapshotStore {
     }
   }
 
+  /** Rehearsal/spec accessor for a version's RESOLVED entry list (the
+    * inline lines, or entryfile − drops ∪ inline in entryfile mode). */
+  private[graft] def manifestEntries(spark: SparkSession, root: String,
+      v: Long): Seq[(Long, String)] = readManifest(spark, root, v)
+
   /** Columns a version keeps per-file statistics for (`#statcols`). */
   def storedStatCols(spark: SparkSession, root: String,
       v: Long): Seq[String] =
@@ -751,34 +877,77 @@ object SnapshotStore {
     * columns (rows are pruned lazily at the next compaction), and
     * dropStats' contract is that pruning STOPS, valid stale envelopes or
     * not. */
-  /** Sidecar `#stat` rows for `cols`, keyed (col, relpath) — ONE
-    * metadata scan however many columns a conjunctive read bounds, with
-    * parquet column pruning guaranteeing a stats probe never reads a
-    * single bloom byte, however many bitsets the sidecar holds. */
-  private def sidecarStats(spark: SparkSession, root: String,
-      meta: Seq[String], cols: Set[String])
-      : Map[(String, String), (Long, Long, Option[String], Option[String])] =
+  /** Envelope verdict for one file's recorded stats against canonical
+    * bounds: true = the file PROVABLY contains no matching row (all-null
+    * under a range bound, or a disjoint [min, max] envelope). Pure —
+    * runs on the driver for inline lines and INSIDE the sidecar scan on
+    * executors, so both paths can never disagree. */
+  private def statsReject(rows: Long, nulls: Long,
+      mn: Option[String], mx: Option[String],
+      lo: Option[String], hi: Option[String]): Boolean = {
+    if (rows > 0 && nulls == rows) return true
+    val aboveLo = (lo, mx) match {
+      case (Some(l), Some(m)) => cmpCanon(m, l).forall(_ >= 0)
+      case _ => true
+    }
+    val belowHi = (hi, mn) match {
+      case (Some(h), Some(m)) => cmpCanon(m, h).forall(_ <= 0)
+      case _ => true
+    }
+    !(aboveLo && belowHi)
+  }
+
+  /** Test-only observability: how many rows the last sidecar stats
+    * probe collected to the driver (= REJECTED files, never the O(files
+    * × bounded columns) stats rows the pre-round-9 prefetch pulled). */
+  @volatile private[graft] var lastStatsCollectSize: Int = -1
+
+  /** Relpaths the metadata SIDECAR's `#stat` rows REJECT for canonical
+    * `bounds` (col → (lo, hi), conjunctive) — the [[bloomKeptEntries]]
+    * discipline applied to range stats: the envelope test evaluates
+    * INSIDE the sidecar scan on executors and only the rejected
+    * relpaths reach the driver, so a bounded read's metadata probe
+    * costs O(files pruned × path length), never O(files × columns)
+    * stats rows. One scan however many columns the read bounds; parquet
+    * column pruning keeps bloom bytes out of it. A file any one
+    * column's envelope rejects is out (one false conjunct kills the
+    * whole AND). */
+  private def sidecarStatRejects(spark: SparkSession, root: String,
+      meta: Seq[String],
+      bounds: Map[String, (Option[String], Option[String])])
+      : Set[String] =
     metaFileRelOf(meta) match {
-      case Some(rel) if cols.nonEmpty =>
-        sidecarDf(spark, root, rel)
+      case Some(rel) if bounds.nonEmpty =>
+        import spark.implicits._
+        val b = bounds // local val: the closure must not capture `this`
+        val rejected = sidecarDf(spark, root, rel)
           .filter(col("kind") === "stat" &&
-            col("col").isin(cols.toSeq: _*))
+            col("col").isin(bounds.keys.toSeq: _*))
           .select("col", "rel", "rows", "nulls", "mn", "mx")
-          .collect().map { r =>
-            (r.getString(0), r.getString(1)) -> ((r.getLong(2),
-              r.getLong(3), Option(r.getString(4)),
-              Option(r.getString(5))))
-          }.toMap
-      case _ => Map.empty
+          .as[(String, String, Long, Long, Option[String], Option[String])]
+          .flatMap { case (c, p, rows, nulls, mn, mx) =>
+            val (lo, hi) = b(c)
+            if (statsReject(rows, nulls, mn, mx, lo, hi)) Some(p) else None
+          }
+          .collect().toSet
+        lastStatsCollectSize = rejected.size
+        rejected
+      case _ =>
+        lastStatsCollectSize = 0
+        Set.empty
     }
 
-  /** `side` is a [[sidecarStats]] prefetch covering at least `colName`
-    * (callers with multi-column bounds fetch all columns in one scan —
-    * never one metadata job per bound). */
+  /** INLINE `#stat`-line pruning for one column (inline lines are
+    * bounded by [[sidecarThreshold]], so this stays a small driver
+    * loop); sidecar rows were already applied via
+    * [[sidecarStatRejects]]' rejected set. Gated on the CURRENT
+    * `#statcols` declaration: a sidecar may carry rows for
+    * since-dropped columns (rows are pruned lazily at the next
+    * compaction), and dropStats' contract is that pruning STOPS, valid
+    * stale envelopes or not. */
   private def pruneByStats(meta: Seq[String], entries: Seq[(Long, String)],
-      colName: String, lo: Option[String], hi: Option[String],
-      side: Map[(String, String),
-        (Long, Long, Option[String], Option[String])]): Seq[(Long, String)] = {
+      colName: String, lo: Option[String],
+      hi: Option[String]): Seq[(Long, String)] = {
     val declared = statColsLineOf(meta).map(parseStatCols).getOrElse(Nil)
     if (!declared.contains(colName)) return entries
     val inline = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
@@ -788,29 +957,31 @@ object SnapshotStore {
           Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty))))
       else None
     }.toMap
-    val fromSidecar = side.collect {
-      case ((c, p), v) if c == colName => p -> v
-    }
-    val stats = fromSidecar ++ inline
     entries.filter { case (_, p) =>
-      stats.get(p) match {
+      inline.get(p) match {
         case None => true
         case Some((rows, nulls, mn, mx)) =>
-          if (rows > 0 && nulls == rows) false
-          else {
-            val aboveLo = (lo, mx) match {
-              case (Some(l), Some(m)) =>
-                cmpCanon(m, l).forall(_ >= 0)
-              case _ => true
-            }
-            val belowHi = (hi, mn) match {
-              case (Some(h), Some(m)) =>
-                cmpCanon(m, h).forall(_ <= 0)
-              case _ => true
-            }
-            aboveLo && belowHi
-          }
+          !statsReject(rows, nulls, mn, mx, lo, hi)
       }
+    }
+  }
+
+  /** The declared-and-bounded columns of `bounds` as canonical bound
+    * pairs — the shared [[sidecarStatRejects]] input builder, so every
+    * pruned path (readWhereAll / deleteWhere / skippingReportAll)
+    * canonicalizes through the SAME [[canonAs]] the residual uses. */
+  private def canonBounds(spark: SparkSession, meta: Seq[String],
+      bounds: Map[String, (Any, Any)],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, (Option[String], Option[String])] = {
+    val declared =
+      statColsLineOf(meta).map(parseStatCols).getOrElse(Nil).toSet
+    bounds.collect {
+      case (c, (lo, hi))
+          if declared.contains(c) && types.contains(c) &&
+            (lo != null || hi != null) =>
+        c -> ((Option(lo).map(canonAs(spark, _, types(c), c)),
+          Option(hi).map(canonAs(spark, _, types(c), c))))
     }
   }
 
@@ -912,6 +1083,21 @@ object SnapshotStore {
     * validated (payload columns are). */
   private val ManagedCols = Set("bucket", "doc_id")
 
+  /** Declared type for a probe/bound column: payload columns resolve
+    * through the `#col` declaration; `doc_id` is store-managed and
+    * normalized to long on read, so probes on it type as bigint (its
+    * stats/blooms are written through the same cast — see
+    * computeFileMeta's srcCol). */
+  private def probeType(declared: Map[String, String], colName: String,
+      root: String, op: String): org.apache.spark.sql.types.DataType =
+    if (colName == "doc_id") org.apache.spark.sql.types.LongType
+    else org.apache.spark.sql.types.DataType.fromDDL(
+      declared.getOrElse(colName,
+        throw new IllegalArgumentException(
+          s"SnapshotStore: $op column '$colName' is not a stored " +
+            s"payload column at $root — stored: " +
+            declared.keys.toSeq.sorted.mkString(", "))))
+
   /** Payload fields as (name, catalogString) declaration entries. */
   private def schemaCols(
       schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
@@ -984,6 +1170,13 @@ object SnapshotStore {
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
       "SnapshotStore: metadata lines must start with '#'")
+    // incoming meta NEVER carries entry bookkeeping — rollback/clone
+    // pass a source version's meta verbatim, and a stale #entryfile/
+    // #dropfile pair from another lineage would silently resurrect
+    // dropped files; publish re-derives the bookkeeping from the PARENT
+    // manifest below
+    val cleanMeta = meta.filterNot(l =>
+      l.startsWith("#entryfile\t") || l.startsWith("#dropfile\t"))
     // file statistics + bloom filters ride the SAME atomic manifest
     // creation as the file list (computed BEFORE the tmp write; no
     // declaration ⇒ no-op)
@@ -991,11 +1184,36 @@ object SnapshotStore {
       if (v > 1 && fs(spark, root).exists(manifestPath(root, v - 1)))
         manifestMeta(spark, root, v - 1)
       else Seq.empty[String]
-    val fullMeta = withFileIndexes(spark, root, v, entries, meta,
+    val fullMeta = withFileIndexes(spark, root, v, entries, cleanMeta,
       prevMeta)
+    // entry-list scale: past the threshold the file list lives in a
+    // parquet entryfile and only the DELTA vs it is text (see the
+    // entry-list sidecar notes above). Set diffs run on relpath strings
+    // — the driver never round-trips the full list through text.
+    val (inlineEntries, entryMeta) = entryFileRelOf(prevMeta) match {
+      case None if entries.size <= entryThreshold => (entries, Nil)
+      case None =>
+        val rel = writeEntryFile(spark, root, v,
+          entries.sortBy(e => (e._1, e._2)))
+        (Seq.empty[(Long, String)], Seq(entryFileLine(rel)))
+      case Some(ef) =>
+        val efRels = entryFileDf(spark, root, ef).select("rel")
+          .collect().map(_.getString(0)).toSet
+        val curRels = entries.map(_._2).toSet
+        val drops = efRels.diff(curRels).toSeq.sorted
+        val inline = entries.filterNot(e => efRels.contains(e._2))
+        if (inline.size + drops.size > entryThreshold) {
+          val rel = writeEntryFile(spark, root, v,
+            entries.sortBy(e => (e._1, e._2)))
+          (Seq.empty[(Long, String)], Seq(entryFileLine(rel)))
+        } else
+          (inline, entryFileLine(ef) +: drops.map(dropFileLine))
+    }
     // an embedded newline would split a logical line in two and corrupt
-    // every later read of the manifest (lines are '\n'-joined below)
-    (fullMeta ++ entries.map(_._2)).foreach { s =>
+    // every later read of the manifest (lines are '\n'-joined below);
+    // entryfile-stored entries were validated at their writeEntryFile
+    val metaOut = fullMeta ++ entryMeta
+    (metaOut ++ inlineEntries.map(_._2)).foreach { s =>
       require(!s.exists(c => c == '\n' || c == '\r'),
         s"SnapshotStore: manifest line contains a newline: '$s'")
     }
@@ -1006,7 +1224,7 @@ object SnapshotStore {
         s"SnapshotStore: version $v is already published at $root — " +
           s"a concurrent writer committed from the same parent ${v - 1}; " +
           "re-read the store and retry")
-    val text = (fullMeta ++ entries.sortBy(e => (e._1, e._2))
+    val text = (metaOut ++ inlineEntries.sortBy(e => (e._1, e._2))
       .map { case (b, p) => s"$b\t$p" }).mkString("", "\n", "\n")
     val tmp = new Path(root, f"_versions/.tmp-v$v%05d-${java.util.UUID.randomUUID()}")
     val outStream = f.create(tmp, true)
@@ -1207,8 +1425,13 @@ object SnapshotStore {
       .select("bucket").distinct().collect().map(_.getLong(0)).toSet
     val entries = readManifest(spark, root, v)
       .filter(e => target.contains(e._1))
+    // within the target buckets, doc_id stats/blooms (when declared)
+    // drop the files that provably hold none of the ids — a point
+    // lookup then opens ~1 file, not every file of its bucket
+    val (candidates, _) = docIdCandidates(spark, root,
+      manifestMeta(spark, root, v), entries, docIds)
     val base =
-      if (entries.nonEmpty) assemble(spark, root, v, entries)
+      if (candidates.nonEmpty) assemble(spark, root, v, candidates)
       else read(spark, root, v).limit(0) // schema-only empty edge
     base.filter(col("doc_id").isin(docIds: _*))
   }
@@ -1369,6 +1592,33 @@ object SnapshotStore {
     val entries = readManifest(spark, root, cur)
     val (touchedEntries, keptEntries) =
       entries.partition(e => touched.contains(e._1))
+    // KEY-PRUNED read-merge-write: with a doc_id stats/bloom declaration,
+    // only the touched buckets' files that CAN contain an upserted id are
+    // read and rewritten; provably-clean files carry verbatim — upsert
+    // cost ∝ admitting files, not whole-bucket file counts (at 10⁵+
+    // one-row files per store this is the difference between rewriting
+    // ~3k files per touched bucket and rewriting the handful that match).
+    // The id set must be driver-bounded to probe; past the cap a bulk
+    // re-ingest reverts to whole-bucket reads (it rewrites most files
+    // anyway).
+    val meta0 = manifestMeta(spark, root, cur)
+    val hasDocIdMeta =
+      statColsLineOf(meta0).map(parseStatCols).getOrElse(Nil)
+        .contains("doc_id") ||
+      bloomColsLineOf(meta0).map(parseBloomCols)
+        .exists(_._1.contains("doc_id"))
+    val idsOpt: Option[Seq[Long]] =
+      if (!hasDocIdMeta || touchedEntries.isEmpty) None
+      else {
+        val some = upserted.limit(UpsertPruneMaxIds + 1).collect()
+          .map(_.getLong(0))
+        if (some.length > UpsertPruneMaxIds) None else Some(some.toSeq)
+      }
+    val (candidateEntries, cleanEntries) = idsOpt match {
+      case Some(ids) =>
+        docIdCandidates(spark, root, meta0, touchedEntries, ids)
+      case None => (touchedEntries, Seq.empty[(Long, String)])
+    }
     val v = cur + 1
     val merged = {
       // carried survivors read through assemble — the same dir-grouped,
@@ -1376,8 +1626,8 @@ object SnapshotStore {
       // skipped the declared-vs-stored check, so a drifted touched
       // bucket could be union-coerced and rewritten, masking the drift)
       val kept =
-        if (touchedEntries.isEmpty) None
-        else Some(assemble(spark, root, cur, touchedEntries)
+        if (candidateEntries.isEmpty) None
+        else Some(assemble(spark, root, cur, candidateEntries)
           .join(upserted, Seq("doc_id"), "left_anti"))
       // allowMissingColumns: an upsert may carry new columns (schema
       // evolution) — surviving old rows null-fill them
@@ -1393,7 +1643,7 @@ object SnapshotStore {
     val newCols = curCols ++ schemaCols(fresh.schema)
       .filterNot { case (n, _) => curTypes.contains(n) }
     publish(spark, root, v,
-      keptEntries ++ listVersionFiles(spark, root, dirName),
+      keptEntries ++ cleanEntries ++ listVersionFiles(spark, root, dirName),
       carriedTxn(spark, root, meta) ++
         carriedCheckLines(spark, root) ++
         newCols.map { case (n, t) => colLine(n, t) } ++
@@ -1663,23 +1913,29 @@ object SnapshotStore {
     val declared = declaredCols(spark, root, cur).getOrElse(
       schemaCols(read(spark, root, cur).schema)).toMap
     cols.foreach { c =>
-      if (ManagedCols.contains(c))
+      if (c == "bucket")
         throw new IllegalArgumentException(
-          s"SnapshotStore: cannot declare stats on managed column '$c' " +
-            "— doc_id point reads go through readDocs (bucket pruning)")
-      val t = declared.getOrElse(c,
-        throw new IllegalArgumentException(
-          s"SnapshotStore: stats column '$c' does not exist at $root — " +
-            s"stored columns: ${declared.keys.toSeq.sorted.mkString(", ")}"))
-      import org.apache.spark.sql.types._
-      DataType.fromDDL(t) match {
-        case _: NumericType =>
-        case DateType | TimestampType | TimestampNTZType =>
-        case StringType => // truncated binary-collation envelopes
-        case dt => throw new IllegalArgumentException(
-          s"SnapshotStore: stats column '$c' has non-clusterable type " +
-            s"${dt.catalogString} — file skipping needs numeric/date/" +
-            "timestamp/string bounds")
+          "SnapshotStore: cannot declare stats on the derived partition " +
+            "column 'bucket' — the manifest already keys entries by it")
+      // doc_id IS declarable (it is absent from the payload declaration
+      // — the store manages it, normalized to long): its per-file
+      // envelopes are what lets upsert/readDocs touch only the files
+      // that can contain the incoming keys instead of whole buckets
+      if (c != "doc_id") {
+        val t = declared.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"SnapshotStore: stats column '$c' does not exist at $root — " +
+              s"stored columns: ${declared.keys.toSeq.sorted.mkString(", ")}"))
+        import org.apache.spark.sql.types._
+        DataType.fromDDL(t) match {
+          case _: NumericType =>
+          case DateType | TimestampType | TimestampNTZType =>
+          case StringType => // truncated binary-collation envelopes
+          case dt => throw new IllegalArgumentException(
+            s"SnapshotStore: stats column '$c' has non-clusterable type " +
+              s"${dt.catalogString} — file skipping needs numeric/date/" +
+              "timestamp/string bounds")
+        }
       }
     }
     val v = cur + 1
@@ -1786,22 +2042,28 @@ object SnapshotStore {
     val declared = declaredCols(spark, root, cur).getOrElse(
       schemaCols(read(spark, root, cur).schema)).toMap
     cols.foreach { c =>
-      if (ManagedCols.contains(c))
+      if (c == "bucket")
         throw new IllegalArgumentException(
-          s"SnapshotStore: cannot declare a bloom on managed column " +
-            s"'$c' — doc_id point reads go through readDocs")
-      val t = declared.getOrElse(c,
-        throw new IllegalArgumentException(
-          s"SnapshotStore: bloom column '$c' does not exist at $root — " +
-            s"stored columns: ${declared.keys.toSeq.sorted.mkString(", ")}"))
-      import org.apache.spark.sql.types._
-      DataType.fromDDL(t) match {
-        case StringType | DateType =>
-        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
-        case dt => throw new IllegalArgumentException(
-          s"SnapshotStore: bloom column '$c' has type ${dt.catalogString}" +
-            " — membership hashing needs a stable canonical form " +
-            "(string/integral/date); float and decimal renderings drift")
+          "SnapshotStore: cannot declare a bloom on the derived " +
+            "partition column 'bucket'")
+      // doc_id is declarable — hashed through cast('long') on the write
+      // side so int/long physical variance across version dirs cannot
+      // split the canonical form (see computeFileMeta); the key-pruned
+      // upsert/readDocs paths probe it as LongType
+      if (c != "doc_id") {
+        val t = declared.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"SnapshotStore: bloom column '$c' does not exist at $root — " +
+              s"stored columns: ${declared.keys.toSeq.sorted.mkString(", ")}"))
+        import org.apache.spark.sql.types._
+        DataType.fromDDL(t) match {
+          case StringType | DateType =>
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          case dt => throw new IllegalArgumentException(
+            s"SnapshotStore: bloom column '$c' has type ${dt.catalogString}" +
+              " — membership hashing needs a stable canonical form " +
+              "(string/integral/date); float and decimal renderings drift")
+        }
       }
     }
     val v = cur + 1
@@ -1899,6 +2161,112 @@ object SnapshotStore {
     }
   }
 
+  /** Does a recorded doc_id [min, max] envelope ADMIT any of `sorted`
+    * ids? (false = the file provably contains none). Pure — runs on the
+    * driver for inline lines and inside the sidecar scan on executors.
+    * Missing/unparseable bounds admit (conservative). */
+  private def statsAdmitIds(sorted: Array[Long], rows: Long, nulls: Long,
+      mn: Option[String], mx: Option[String]): Boolean = {
+    if (rows > 0 && nulls == rows) return false // all-null file: no ids
+    (mn.flatMap(parseBd), mx.flatMap(parseBd)) match {
+      case (Some(lo), Some(hi)) =>
+        // first id >= lo (ids sorted), then check it is <= hi
+        var l = 0
+        var r = sorted.length
+        while (l < r) {
+          val m = (l + r) >>> 1
+          if (java.math.BigDecimal.valueOf(sorted(m)).compareTo(lo) < 0)
+            l = m + 1
+          else r = m
+        }
+        l < sorted.length &&
+          java.math.BigDecimal.valueOf(sorted(l)).compareTo(hi) <= 0
+      case _ => true
+    }
+  }
+
+  /** Does a doc_id bloom bitset admit ANY of the probe-position sets? */
+  private def bloomAdmitsIds(bytes: Array[Byte],
+      probes: Array[Array[Int]]): Boolean = {
+    val bs = java.util.BitSet.valueOf(bytes)
+    probes.exists(_.forall(bs.get))
+  }
+
+  /** Split `entries` into (candidates, provablyClean) for an upserted/
+    * looked-up doc_id set — the [[deletePoint]] candidate trick applied
+    * to the KEY column: a file whose doc_id stats envelope contains
+    * none of the ids, or whose doc_id bloom bitset rejects all of them,
+    * PROVABLY holds no row any of the ids could replace or match
+    * (bloom false negatives impossible, stats envelopes sound), so
+    * upsert carries it verbatim and readDocs never opens it. Requires a
+    * doc_id stats/bloom declaration; without one everything is a
+    * candidate. Sidecar rows evaluate ON EXECUTORS (broadcast id/probe
+    * arrays, only rejected relpaths collected); inline lines are
+    * threshold-bounded driver work. */
+  private def docIdCandidates(spark: SparkSession, root: String,
+      meta: Seq[String], entries: Seq[(Long, String)], ids: Seq[Long])
+      : (Seq[(Long, String)], Seq[(Long, String)]) = {
+    if (entries.isEmpty || ids.isEmpty) return (entries, Nil)
+    val statDeclared = statColsLineOf(meta).map(parseStatCols)
+      .getOrElse(Nil).contains("doc_id")
+    val bloomDecl = bloomColsLineOf(meta).map(parseBloomCols)
+      .filter(_._1.contains("doc_id"))
+    if (!statDeclared && bloomDecl.isEmpty) return (entries, Nil)
+    val sorted = ids.distinct.sorted.toArray
+    val sideRel = metaFileRelOf(meta)
+    val rejected = mutable.Set.empty[String]
+    val dec = java.util.Base64.getDecoder
+    if (statDeclared) {
+      meta.filter(_.startsWith("#stat\t")).foreach { l =>
+        val a = l.split("\t", 7)
+        if (a.length == 7 && a(2) == "doc_id" &&
+            !statsAdmitIds(sorted, a(3).toLong, a(4).toLong,
+              Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty)))
+          rejected += a(1)
+      }
+      sideRel.foreach { rel =>
+        import spark.implicits._
+        val srt = sorted // local val: the closure must not capture `this`
+        rejected ++= sidecarDf(spark, root, rel)
+          .filter(col("kind") === "stat" && col("col") === "doc_id")
+          .select("rel", "rows", "nulls", "mn", "mx")
+          .as[(String, Long, Long, Option[String], Option[String])]
+          .flatMap { case (p, rows, nulls, mn, mx) =>
+            if (statsAdmitIds(srt, rows, nulls, mn, mx)) None else Some(p)
+          }.collect()
+      }
+    }
+    bloomDecl.foreach { case (_, bits) =>
+      import spark.implicits._
+      // probe positions via the SAME Spark hash expressions as the
+      // write side (which hashed cast(doc_id as long) cast to string)
+      val probes: Array[Array[Int]] = sorted.toSeq.toDF("id")
+        .select(bloomPositions(col("id").cast("long"), bits): _*)
+        .collect().map(r => Array.tabulate(BloomK)(r.getInt))
+      meta.filter(_.startsWith("#bloom\t")).foreach { l =>
+        val a = l.split("\t", 4)
+        if (a.length == 4 && a(2) == "doc_id" &&
+            !bloomAdmitsIds(dec.decode(a(3)), probes))
+          rejected += a(1)
+      }
+      sideRel.foreach { rel =>
+        val pr = probes
+        rejected ++= sidecarDf(spark, root, rel)
+          .filter(col("kind") === "bloom" && col("col") === "doc_id")
+          .select("rel", "bloom").as[(String, Array[Byte])]
+          .flatMap { case (p, bytes) =>
+            if (bloomAdmitsIds(bytes, pr)) None else Some(p)
+          }.collect()
+      }
+    }
+    entries.partition(e => !rejected.contains(e._2))
+  }
+
+  /** Ids above which [[upsert]] skips key pruning and reverts to
+    * whole-bucket reads (a bulk re-ingest touches most files anyway;
+    * collecting an unbounded id set to the driver is the wrong trade). */
+  private val UpsertPruneMaxIds = 10000
+
   /** Equality point read with BLOOM FILE SKIPPING: scan only the files
     * whose Bloom filter admits `value` (false positives re-filtered by
     * the exact residual predicate; false negatives impossible — a
@@ -1915,12 +2283,7 @@ object SnapshotStore {
     // physical schema (read() works there, so readPoint must too)
     val declared = declaredCols(spark, root, v).getOrElse(
       schemaCols(read(spark, root, v).schema)).toMap
-    val t = declared.getOrElse(colName,
-      throw new IllegalArgumentException(
-        s"SnapshotStore: readPoint column '$colName' is not a stored " +
-          s"payload column at $root — stored: " +
-          declared.keys.toSeq.sorted.mkString(", ")))
-    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val dt = probeType(declared, colName, root, "readPoint")
     val kept = bloomKeptEntries(spark, root, v, colName, value, dt)
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
@@ -1938,8 +2301,10 @@ object SnapshotStore {
       schemaCols(read(spark, root, v).schema)).toMap
     // a column with no declared type has no bloom either → report the
     // unpruned scan readPoint's error path never reaches
-    val kept = declared.get(colName)
-      .map(org.apache.spark.sql.types.DataType.fromDDL) match {
+    val kept = (if (colName == "doc_id")
+        Some(org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType)
+      else declared.get(colName)
+        .map(org.apache.spark.sql.types.DataType.fromDDL)) match {
         case Some(dt) => bloomKeptEntries(spark, root, v, colName, value, dt)
         case None => readManifest(spark, root, v)
       }
@@ -1984,22 +2349,22 @@ object SnapshotStore {
     val declared = declaredCols(spark, root, v).getOrElse(
       schemaCols(read(spark, root, v).schema)).toMap
     val types = bounds.keys.map { c =>
-      val t = declared.getOrElse(c,
-        throw new IllegalArgumentException(
-          s"SnapshotStore: readWhere column '$c' is not a stored " +
-            s"payload column at $root — stored: " +
-            declared.keys.toSeq.sorted.mkString(", ")))
-      c -> org.apache.spark.sql.types.DataType.fromDDL(t)
+      c -> probeType(declared, c, root, "readWhere")
     }.toMap
     val meta = manifestMeta(spark, root, v)
-    val side = sidecarStats(spark, root, meta, bounds.keySet)
+    // sidecar verdicts first (ONE executor-side scan for every bounded
+    // column, only rejected relpaths collected), then the small inline
+    // delta prunes driver-side
+    val rejected = sidecarStatRejects(spark, root, meta,
+      canonBounds(spark, meta, bounds, types))
     val kept = bounds.toSeq.sortBy(_._1)
-      .foldLeft(readManifest(spark, root, v)) {
+      .foldLeft(readManifest(spark, root, v)
+          .filterNot(e => rejected.contains(e._2))) {
         case (es, (c, (lo, hi))) =>
           if (lo == null && hi == null) es
           else pruneByStats(meta, es, c,
             Option(lo).map(canonAs(spark, _, types(c), c)),
-            Option(hi).map(canonAs(spark, _, types(c), c)), side)
+            Option(hi).map(canonAs(spark, _, types(c), c)))
       }
     val base =
       if (kept.nonEmpty) assemble(spark, root, v, kept)
@@ -2036,18 +2401,16 @@ object SnapshotStore {
     val declaredSeq = declaredCols(spark, root, cur).getOrElse(
       schemaCols(read(spark, root, cur).schema))
     val declared = declaredSeq.toMap
-    val t = declared.getOrElse(colName,
-      throw new IllegalArgumentException(
-        s"SnapshotStore: deleteWhere column '$colName' is not a stored " +
-          s"payload column at $root — stored: " +
-          declared.keys.toSeq.sorted.mkString(", ")))
-    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val dt = probeType(declared, colName, root, "deleteWhere")
     val meta = manifestMeta(spark, root, cur)
     val entries = readManifest(spark, root, cur)
-    val candidates = pruneByStats(meta, entries, colName,
+    val rejected = sidecarStatRejects(spark, root, meta,
+      canonBounds(spark, meta, Map(colName -> ((lo, hi))),
+        Map(colName -> dt)))
+    val candidates = pruneByStats(meta,
+      entries.filterNot(e => rejected.contains(e._2)), colName,
       Option(lo).map(canonAs(spark, _, dt, colName)),
-      Option(hi).map(canonAs(spark, _, dt, colName)),
-      sidecarStats(spark, root, meta, Set(colName)))
+      Option(hi).map(canonAs(spark, _, dt, colName)))
     if (candidates.isEmpty) return cur
     val candidateSet = candidates.toSet
     val carried = entries.filterNot(candidateSet)
@@ -2088,12 +2451,7 @@ object SnapshotStore {
     val declaredSeq = declaredCols(spark, root, cur).getOrElse(
       schemaCols(read(spark, root, cur).schema))
     val declared = declaredSeq.toMap
-    val t = declared.getOrElse(colName,
-      throw new IllegalArgumentException(
-        s"SnapshotStore: deletePoint column '$colName' is not a stored " +
-          s"payload column at $root — stored: " +
-          declared.keys.toSeq.sorted.mkString(", ")))
-    val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+    val dt = probeType(declared, colName, root, "deletePoint")
     val entries = readManifest(spark, root, cur)
     val candidates = bloomKeptEntries(spark, root, cur, colName, value, dt)
     if (candidates.isEmpty) return cur
@@ -2134,18 +2492,25 @@ object SnapshotStore {
     // declaration has no stats either, so its bound prunes nothing
     val declared = declaredCols(spark, root, v).getOrElse(
       schemaCols(read(spark, root, v).schema)).toMap
-    val side = sidecarStats(spark, root, meta, bounds.keySet)
-    val kept = bounds.toSeq.sortBy(_._1).foldLeft(entries) {
-      case (es, (c, (lo, hi))) =>
-        declared.get(c).map(org.apache.spark.sql.types.DataType.fromDDL)
-          match {
+    val types = bounds.keys.flatMap(c =>
+      if (c == "doc_id")
+        Some(c -> (org.apache.spark.sql.types.LongType:
+          org.apache.spark.sql.types.DataType))
+      else declared.get(c).map(t =>
+        c -> org.apache.spark.sql.types.DataType.fromDDL(t))).toMap
+    val rejected = sidecarStatRejects(spark, root, meta,
+      canonBounds(spark, meta, bounds, types))
+    val kept = bounds.toSeq.sortBy(_._1)
+      .foldLeft(entries.filterNot(e => rejected.contains(e._2))) {
+        case (es, (c, (lo, hi))) =>
+          types.get(c) match {
             case Some(dt) if lo != null || hi != null =>
               pruneByStats(meta, es, c,
                 Option(lo).map(canonAs(spark, _, dt, c)),
-                Option(hi).map(canonAs(spark, _, dt, c)), side)
+                Option(hi).map(canonAs(spark, _, dt, c)))
             case _ => es
           }
-    }
+      }
     (kept.size, entries.size)
   }
 
@@ -2546,10 +2911,13 @@ object SnapshotStore {
     val keep = dropCand.filter(pinned) ++ keepTail
     val referenced = keep.flatMap(v => readManifest(spark, root, v))
       .map(_._2).toSet
-    // metadata sidecars referenced by any KEPT manifest stay (time
-    // travel resolves them); the rest are compaction/lost-race garbage
-    val referencedMeta = keep.flatMap(v =>
-      metaFileRelOf(manifestMeta(spark, root, v))).toSet
+    // metadata sidecars + entryfiles referenced by any KEPT manifest
+    // stay (time travel resolves them); the rest are compaction/
+    // lost-race garbage
+    val referencedMeta = keep.flatMap { v =>
+      val m = manifestMeta(spark, root, v)
+      metaFileRelOf(m).toSeq ++ entryFileRelOf(m).toSeq
+    }.toSet
     val deleted = mutable.ArrayBuffer.empty[String]
     val StagingRe = "\\.staging-v(\\d{5})-.*".r // legacy layout leftovers
     // plain vNNNNN (legacy + clone targets) or vNNNNN-<uuid8> attempt dirs
@@ -2592,9 +2960,10 @@ object SnapshotStore {
             s.isDirectory && s.getPath.getName.startsWith("bucket=")))
         f.delete(vd.getPath, true)
     }
-    // metadata sidecar dirs: unreferenced ones are garbage, except the
-    // possibly-in-flight version's (same discipline as data dirs)
-    val MetaDirRe = "v(\\d{5})-[0-9a-f]{8}".r
+    // metadata sidecar + entryfile dirs: unreferenced ones are garbage,
+    // except the possibly-in-flight version's (same discipline as data
+    // dirs)
+    val MetaDirRe = "(?:entries-)?v(\\d{5})-[0-9a-f]{8}".r
     val metaDir = new Path(root, "meta")
     if (f.exists(metaDir)) f.listStatus(metaDir).foreach { md =>
       val name = md.getPath.getName

@@ -63,6 +63,12 @@ class SnapshotSidecarSpec extends SparkTestBase {
       val pruned = SnapshotStore.readWhere(spark, root, "n", 100L, 150L)
       assert(pruned.inputFiles.length === kept)
       assert(pruned.count() === 51L)
+      // collect-size discipline: the stats probe brought back only the
+      // REJECTED relpaths (the executor-side verdicts), never one stats
+      // row per (file, bounded column)
+      assert(SnapshotStore.lastStatsCollectSize === total - kept,
+        s"stats probe collected ${SnapshotStore.lastStatsCollectSize} " +
+          s"rows; expected only the ${total - kept} rejected relpaths")
       // bloom probes: exact + engaged, evaluated off the sidecar
       val (kb, tb) = SnapshotStore.bloomReport(spark, root, "k", "key_777")
       assert(kb < tb, s"bloom did not prune: $kb of $tb")

@@ -383,9 +383,14 @@ class SnapshotStatsSpec extends SparkTestBase {
     }
     assert(e1.getMessage.contains("does not exist"))
     val e2 = intercept[IllegalArgumentException] {
-      SnapshotStore.declareBloom(spark, root, Seq("doc_id"))
+      SnapshotStore.declareBloom(spark, root, Seq("bucket"))
     }
-    assert(e2.getMessage.contains("managed column"))
+    assert(e2.getMessage.contains("partition column"))
+    // doc_id IS declarable since round 9: its per-file bitsets power the
+    // key-pruned upsert/readDocs paths (KeyPrunedUpsertSpec)
+    SnapshotStore.declareBloom(spark, root, Seq("doc_id"), bits = 256)
+    assert(SnapshotStore.readPoint(spark, root, "doc_id", 1L)
+      .count() === 1L)
     val e3 = intercept[IllegalArgumentException] {
       SnapshotStore.declareBloom(spark, root, Seq("x"))
     }
@@ -650,9 +655,13 @@ class SnapshotStatsSpec extends SparkTestBase {
     }
     assert(e1.getMessage.contains("does not exist"))
     val e2 = intercept[IllegalArgumentException] {
-      SnapshotStore.declareStats(spark, root, Seq("doc_id"))
+      SnapshotStore.declareStats(spark, root, Seq("bucket"))
     }
-    assert(e2.getMessage.contains("managed column"))
+    assert(e2.getMessage.contains("partition column"))
+    // doc_id IS declarable since round 9 (key-pruned upsert/readDocs)
+    SnapshotStore.declareStats(spark, root, Seq("doc_id"))
+    assert(SnapshotStore.readWhere(spark, root, "doc_id", 1L, 1L)
+      .count() === 1L)
     val e3 = intercept[IllegalArgumentException] {
       SnapshotStore.declareStats(spark, root, Seq("emb"))
     }
