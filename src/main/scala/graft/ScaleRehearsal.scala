@@ -360,8 +360,10 @@ object ScaleRehearsal {
     val efAfter = t3Text.linesIterator.find(_.startsWith("#entryfile\t")).get
     require(efAfter != efBefore && !t3Text.contains("#dropfile\t"),
       "20k-file delta did not compact the entryfile")
+    // v2 resolved to n + 5 entries (n − 5 dropped + 10 added); v3 adds
+    // 20000 more
     require(SnapshotStore.manifestEntries(spark, efRoot, 3L).size ==
-      n + 10L + 20000L, "compacted entry list lost entries")
+      n + 5L + 20000L, "compacted entry list lost entries")
     val json = report.map { case (k, vv) => f""""$k": $vv%.3f""" }
       .mkString("{", ", ", "}")
     val out = args.lift(2)

@@ -640,6 +640,45 @@ object Pipeline extends QueryPack {
         .readWhere(s, root, "source", "src3", "src5")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // KEY-PRUNED upsert (round 9): with doc_id stats + blooms declared,
+    // a 3-document re-ingest reads and rewrites ONLY the files whose
+    // doc_id envelope/bitset admits one of the keys — every other file
+    // of the touched buckets carries into the new manifest VERBATIM
+    // (the require pins that). The oracle replays the merge
+    // set-theoretically over the base table; a stale row hiding in a
+    // carried file or a row lost from a rewritten one is a hash
+    // mismatch, so the bloom's no-false-negative contract is what the
+    // compare actually checks.
+    "i20_upsert_keypruned" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-i20-keyprune").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively() }
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+      graft.operators.SnapshotStore.commit(docs, root, buckets = 8,
+        meta = Seq(
+          graft.operators.SnapshotStore.statsDeclaration(Seq("doc_id")),
+          graft.operators.SnapshotStore
+            .bloomDeclaration(Seq("doc_id"), bits = 8192)))
+      // doc_id-sorted multi-file buckets: tight per-file key envelopes
+      graft.operators.SnapshotStore.optimize(s, root,
+        maxRecordsPerFile = 32L)
+      val before = graft.operators.SnapshotStore.read(s, root)
+        .inputFiles.toSet
+      val fresh = docs.filter(col("doc_id").isin(5L, 105L, 205L))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      graft.operators.SnapshotStore.upsert(s, fresh,
+        fresh.select("doc_id"), root, buckets = 8)
+      val after = graft.operators.SnapshotStore.read(s, root)
+      val carried = before.intersect(after.inputFiles.toSet).size
+      require(carried > before.size / 2,
+        s"i20: key pruning did not carry clean files " +
+          s"($carried of ${before.size})")
+      after.select("doc_id", "source", "n_chars").orderBy("doc_id")
     })
   )
 
@@ -1072,6 +1111,13 @@ object Pipeline extends QueryPack {
     "i19_string_skipping" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source >= 'src3' AND source <= 'src5'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the set-theoretic replay of the 3-document keyed upsert
+    "i20_upsert_keypruned" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id IN (5, 105, 205) THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

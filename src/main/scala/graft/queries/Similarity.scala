@@ -657,8 +657,53 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = 64, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // Iterative rebalance CONVERGENCE (IvfIndex.rebalanceUntil, round
+    // 9): one rebalance call splits each hot cell once (binary) — a
+    // severely skewed cell levels only under repeated calls, so the
+    // maintenance loop iterates until no cell exceeds hotFactor × mean
+    // (bounded by maxRounds, the ranksConverged discipline). The loop
+    // must preserve the index EXACTLY however many rounds it takes:
+    // full-probe search afterwards is still brute-force cosine top-3.
+    "s22_ivf_rebalance_until" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s22-rebal").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.writeIndex(emb, k = 16, root)
+      // hotFactor 1.0 = "split anything above the mean" — the same
+      // threshold s21 proves skewed on this corpus, so the loop always
+      // has work; 3 bounded rounds cascade the splits the single-call
+      // form cannot
+      val splits = graft.operators.IvfIndex.rebalanceUntil(s, root,
+        hotFactor = 1.0, maxRounds = 3)
+      require(splits >= 1,
+        "s22: no cell exceeded mean population — convergence loop untested")
+      graft.operators.IvfIndex.searchIndexed(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = 64, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
+
+  // Brute-force cosine top-3 over the full corpus — the layout-
+  // independent truth every stored-index maintenance verb (rebalance,
+  // rebalanceUntil) must preserve under a full probe.
+  private val fullProbeTop3Oracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < $AnnEvalQueries),
+      |sims AS (SELECT q.q_id, c.vec_id,
+      |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
+      |  FROM embeddings c JOIN q ON c.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, vec_id, sim,
+      |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+      |  FROM sims)
+      |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
 
   // Integer-exact SRP: weights are hash-derived BIGINTs, embeddings are
   // quantized to round(x*1e6) BIGINTs, so each projection is an exact
@@ -1108,17 +1153,11 @@ object Similarity extends QueryPack {
 
     // rebalance moves rows BETWEEN cells, never in or out of the index:
     // full-probe search after it is plain brute-force cosine top-3
-    "s21_ivf_rebalance" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-        |  FROM embeddings WHERE vec_id < $AnnEvalQueries),
-        |sims AS (SELECT q.q_id, c.vec_id,
-        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
-        |  FROM embeddings c JOIN q ON c.vec_id <> q.q_id),
-        |ranked AS (SELECT q_id, vec_id, sim,
-        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
-        |  FROM sims)
-        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin,
+    "s21_ivf_rebalance" -> fullProbeTop3Oracle,
+
+    // same invariant after the bounded convergence LOOP — however many
+    // rounds it took, the index content is untouched
+    "s22_ivf_rebalance_until" -> fullProbeTop3Oracle,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -8,6 +8,7 @@ every oracle SQL in DuckDB over the same tables and compares.
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -43,6 +44,15 @@ def cells(tbl: pa.Table):
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Large-fixture sweeps (10x sf0.1): the unrolled graph-replay CTEs
+    # (q75/q83) spill; without an explicit temp dir + memory budget the
+    # round-8 sweep exhausted the default temp mount mid-oracle. Both are
+    # oracle-side resource knobs, invisible to results.
+    tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{tmp}'")
+    con.execute(
+        f"PRAGMA memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '24GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
