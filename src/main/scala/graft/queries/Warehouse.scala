@@ -798,21 +798,26 @@ object Warehouse extends QueryPack {
         |FROM exact, est""".stripMargin,
 
     "q75_bfs_hops" -> {
+      // AS MATERIALIZED (DuckDB): without it each round's CTE INLINES
+      // into the next — e's join subtree re-evaluates once per later
+      // round and dN's tree grows exponentially (the round-9 sf1 sweep
+      // measured >75 GB of spill; materialized, the same replay runs in
+      // ~3 s). Pure evaluation hint, zero semantic change.
       def it(n: Int): String = {
         val p = n - 1
-        s"""nd$n AS (SELECT e.dst AS v, min(d$p.dist) + 1 AS nd
+        s"""nd$n AS MATERIALIZED (SELECT e.dst AS v, min(d$p.dist) + 1 AS nd
           |  FROM e JOIN d$p ON d$p.v = e.src WHERE d$p.dist < 1000000 GROUP BY 1),
-          |d$n AS (SELECT d$p.v, least(d$p.dist, coalesce(nd$n.nd, 1000000)) AS dist
+          |d$n AS MATERIALIZED (SELECT d$p.v, least(d$p.dist, coalesce(nd$n.nd, 1000000)) AS dist
           |  FROM d$p LEFT JOIN nd$n ON nd$n.v = d$p.v)""".stripMargin
       }
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |hp AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |hp AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM lp a JOIN lp b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT pa AS src, pb AS dst FROM hp
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM hp
         |  UNION ALL SELECT pb, pa FROM hp),
         |nodes AS (SELECT DISTINCT src AS v FROM e),
-        |d0 AS (SELECT v, CASE WHEN v = (SELECT min(v) FROM nodes)
+        |d0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT min(v) FROM nodes)
         |  THEN 0 ELSE 1000000 END AS dist FROM nodes),
         |${it(1)},
         |${it(2)},
@@ -826,23 +831,24 @@ object Warehouse extends QueryPack {
       val inf = "1000000000000"
       def it(n: Int): String = {
         val p = n - 1
-        s"""nd$n AS (SELECT e.dst AS v, min(d$p.dist + e.w) AS nd
+        // AS MATERIALIZED — same exponential-inlining guard as q75
+        s"""nd$n AS MATERIALIZED (SELECT e.dst AS v, min(d$p.dist + e.w) AS nd
           |  FROM e JOIN d$p ON d$p.v = e.src WHERE d$p.dist < $inf GROUP BY 1),
-          |d$n AS (SELECT d$p.v, least(d$p.dist, coalesce(nd$n.nd, $inf)) AS dist
+          |d$n AS MATERIALIZED (SELECT d$p.v, least(d$p.dist, coalesce(nd$n.nd, $inf)) AS dist
           |  FROM d$p LEFT JOIN nd$n ON nd$n.v = d$p.v)""".stripMargin
       }
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |hp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |hp AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
         |    count(*) AS cnt
         |  FROM lp a JOIN lp b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),
         |wp AS (SELECT pa, pb,
         |    cast(greatest(1, 4 - cnt) as bigint) AS w FROM hp),
-        |e AS (SELECT pa AS src, pb AS dst, w FROM wp
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM wp
         |  UNION ALL SELECT pb, pa, w FROM wp),
         |nodes AS (SELECT DISTINCT src AS v FROM e),
-        |d0 AS (SELECT v, cast(CASE WHEN v = (SELECT min(v) FROM nodes)
+        |d0 AS MATERIALIZED (SELECT v, cast(CASE WHEN v = (SELECT min(v) FROM nodes)
         |  THEN 0 ELSE $inf END as bigint) AS dist FROM nodes),
         |${it(1)},
         |${it(2)},

@@ -9,6 +9,7 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -42,12 +43,69 @@ def cells(tbl: pa.Table):
             for i in range(tbl.num_rows)]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+# The dedup-cluster oracles close over the match graph with a recursive
+# CTE (reach = every (node, reachable-node) pair). Correct, and fine at
+# sf0.01/sf0.1 — but reach is QUADRATIC per component, so a large-fixture
+# sweep grinds for >17 min on a graph the engine labels in seconds
+# (round-8 exempted d08+ for exactly this). When the oracle matches the
+# shared reach/lab idiom, replay the closure ITERATIVELY instead:
+# materialize the edge list once, then min-label propagation via temp
+# tables — one bounded join per round, converging in O(component
+# diameter) rounds. Same truth (component minimum per node), bounded
+# cost. Anything not matching the idiom runs verbatim.
+_REACH_LAB = re.compile(
+    r"reach AS \(SELECT s AS id, d AS r FROM e\s+"
+    r"UNION SELECT reach\.id, e\.d FROM reach JOIN e ON reach\.r = e\.s\),"
+    r"\s*lab AS \(SELECT id, min\(r\) AS m FROM reach GROUP BY id\),?\s*",
+    re.S)
+
+
+def run_oracle(con, sql: str):
+    m = _REACH_LAB.search(sql)
+    if m is None:
+        return con.sql(sql).arrow().combine_chunks()
+    prefix, suffix = sql[: m.start()].rstrip(), sql[m.end():]
+    if prefix.endswith(","):
+        prefix = prefix[:-1]
+    con.execute("DROP TABLE IF EXISTS _graft_e")
+    con.execute("DROP TABLE IF EXISTS _graft_lab")
+    con.execute(
+        f"CREATE TEMP TABLE _graft_e AS {prefix} SELECT s, d FROM e")
+    con.execute("CREATE TEMP TABLE _graft_lab AS "
+                "SELECT s AS id, min(d) AS m FROM _graft_e GROUP BY s")
+    for _ in range(64):  # >= any real component diameter here
+        con.execute("""
+          CREATE TEMP TABLE _graft_lab2 AS
+          SELECT l.id, least(l.m, coalesce(min(r.m), l.m)) AS m
+          FROM _graft_lab l
+          LEFT JOIN _graft_e e2 ON e2.s = l.id
+          LEFT JOIN _graft_lab r ON r.id = e2.d
+          GROUP BY l.id, l.m""")
+        changed = con.execute(
+            "SELECT count(*) FROM _graft_lab2 j JOIN _graft_lab o "
+            "ON j.id = o.id AND j.m <> o.m").fetchone()[0]
+        con.execute("DROP TABLE _graft_lab")
+        con.execute("ALTER TABLE _graft_lab2 RENAME TO _graft_lab")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("iterative closure did not converge")
+    out = con.sql(
+        "WITH lab AS (SELECT id, m FROM _graft_lab), " + suffix
+    ).arrow().combine_chunks()
+    con.execute("DROP TABLE IF EXISTS _graft_e")
+    con.execute("DROP TABLE IF EXISTS _graft_lab")
+    return out
+
+
+def fresh_con(sf_dir: str):
+    """One connection per query: DuckDB's spill files live for the
+    CONNECTION, so a long sweep accumulates every prior query's temp
+    blocks — round-9's sf1 sweep hit 53 GB of residual spill by q75 and
+    the graph replays ran out of disk. A per-query connection resets the
+    pool; view creation costs microseconds. Explicit temp dir + memory
+    budget stay (oracle-side resource knobs, invisible to results)."""
     con = duckdb.connect()
-    # Large-fixture sweeps (10x sf0.1): the unrolled graph-replay CTEs
-    # (q75/q83) spill; without an explicit temp dir + memory budget the
-    # round-8 sweep exhausted the default temp mount mid-oracle. Both are
-    # oracle-side resource knobs, invisible to results.
     tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"PRAGMA temp_directory='{tmp}'")
@@ -56,11 +114,16 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            duck = canon(con.sql(sql).arrow().combine_chunks())
+            con = fresh_con(sf_dir)
+            duck = canon(run_oracle(con, sql))
             spark = canon(pq.read_table(f"{out_dir}/{name}"))
             problems = []
             if duck.column_names != spark.column_names:
@@ -90,6 +153,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+        finally:
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
     print(f"\n{n_ok} ok, {n_fail} fail")
     return 1 if n_fail else 0
 

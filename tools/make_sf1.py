@@ -92,7 +92,7 @@ def main():
     con.execute(f"""
       CREATE TABLE orders_gen AS
       SELECT i AS o_orderkey,
-             hash(i * 43 + 17) % {N_CUST} AS o_custkey,
+             (hash(i * 43 + 17) % {N_CUST})::BIGINT AS o_custkey,
              s.o_orderstatus, s.o_totalprice, s.o_orderdate,
              s.o_orderpriority, s.o_orderkey AS src_orderkey
       FROM range({N_ORDERS}) t(i)
@@ -103,10 +103,10 @@ def main():
     # dates/flags), re-keyed to the new order with fresh part/supp FKs
     copy(f"""
       SELECT o.o_orderkey AS l_orderkey,
-             hash(o.o_orderkey * 53 + sl.l_linenumber * 59 + 23)
-               % {N_PART} AS l_partkey,
-             hash(o.o_orderkey * 61 + sl.l_linenumber * 67 + 29)
-               % {N_SUPP} AS l_suppkey,
+             (hash(o.o_orderkey * 53 + sl.l_linenumber * 59 + 23)
+               % {N_PART})::BIGINT AS l_partkey,
+             (hash(o.o_orderkey * 61 + sl.l_linenumber * 67 + 29)
+               % {N_SUPP})::BIGINT AS l_suppkey,
              sl.l_linenumber, sl.l_quantity, sl.l_extendedprice,
              sl.l_discount, sl.l_tax, sl.l_returnflag, sl.l_linestatus,
              sl.l_shipdate
@@ -120,7 +120,7 @@ def main():
              TIMESTAMP '2024-01-01 00:00:00'
                + to_microseconds((hash(i * 71 + 31)
                  % 2592000000000::BIGINT)::BIGINT) AS ts,
-             hash(i * 73 + 37) % 15000 AS user_id,
+             (hash(i * 73 + 37) % 15000)::BIGINT AS user_id,
              s.event_type, s.value,
              '{{"k": ' || (hash(i * 79 + 41) % 100)::VARCHAR || '}}'
                AS props
@@ -128,12 +128,19 @@ def main():
       JOIN src_events s ON s.rn = hash(i * 83 + 43) % {n_src['events']}
     """, "events")
 
-    # documents: same 31-word vocabulary as sf0.1, hash-drawn 10-100
-    # words per doc; docs with id % 500 == 1 duplicate their predecessor
-    # (sparse planted truth — ~100 pairs, closure oracles stay tractable)
+    # documents: sf0.1's 31-word vocabulary EXTENDED to 64 words so the
+    # trigram-shingle document frequency stays at sf0.1's density (~10
+    # docs/shingle) at 10x the corpus — with the original 31 words the
+    # uniform draw packed ~90 docs onto every shingle and the
+    # near-dup-candidate space exploded 78x (99.7M pairs vs the natural
+    # 10x scale of ~13M; measured). Real literal-keyword queries still
+    # hit: all 31 source words remain. Docs are 10-100 hash-drawn words;
+    # id % 500 == 1 duplicates its predecessor (sparse planted truth —
+    # ~100 pairs, closure oracles stay tractable).
     vocab = [r[0] for r in con.execute(f"""
       SELECT DISTINCT unnest(string_split(text, ' ')) w
       FROM '{SRC}/documents.parquet' ORDER BY 1""").fetchall()]
+    vocab = vocab + [f"term{i}" for i in range(64 - len(vocab))]
     vocab_lit = "[" + ",".join(f"'{w}'" for w in vocab) + "]"
     copy(f"""
       WITH seeded AS (
