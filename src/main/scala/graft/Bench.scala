@@ -54,10 +54,17 @@ object Bench {
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=d05,s03 restricts the run for local iteration; the
     // driver never sets it, so round artifacts always cover every query.
+    // SPARK_GRAFT_SKIP excludes named queries (same contract as Verify —
+    // used by the sf1 scaling-curve run, where the verdict-exempt
+    // all-pairs-ER queries q63/q66 are quadratic by construction).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(f => f.exists(n.startsWith)) &&
+          !skip.exists(n.startsWith) }
     // Noise re-time reference: the per-query MINIMUM over the last 3
     // runs (target/bench_hist.jsonl, one per-query map per line). A
     // single-run baseline is itself load-noise-prone — BENCH_r08

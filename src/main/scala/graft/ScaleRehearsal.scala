@@ -318,13 +318,21 @@ object ScaleRehearsal {
         require(c1 == n, s"$tag v1 resolved $c1 of $n entries")
         report += s"entries_${tag}_read_s" -> tr1
         // steady-state delta: the 10-row-upsert shape at 10^6 carried
-        // files — drop 5 entries, add 10
-        val delta = base.drop(5) ++
-          mkEntries(n, n + 10L, "v00002-bbbbbbbb")
+        // files — drop 5 entries, add 10. Entryfile mode goes through
+        // publishDelta (the round-10 O(delta) path: the parent's list is
+        // never resolved, one executor probe classifies the drops);
+        // inline mode measures the full-rewrite BEFORE shape.
+        val adds2 = mkEntries(n, n + 10L, "v00002-bbbbbbbb")
         val (_, t2) = timed(s"entries_${tag}_publish_delta") {
-          SnapshotStore.publish(spark, root, 2L, delta)
+          if (tag == "entryfile")
+            SnapshotStore.publishDelta(spark, root, 2L, adds2,
+              base.take(5).map(_._2).toSet)
+          else
+            SnapshotStore.publish(spark, root, 2L, base.drop(5) ++ adds2)
         }
         report += s"entries_${tag}_publish_delta_s" -> t2
+        report += s"entries_${tag}_delta_collect" ->
+          SnapshotStore.lastEntryDiffCollectSize.toDouble
         report += s"entries_${tag}_delta_manifest_kb" ->
           new java.io.File(root, "_versions/v00002.manifest").length / 1e3
         val (c2, tr2) = timed(s"entries_${tag}_read_delta") {
@@ -340,21 +348,31 @@ object ScaleRehearsal {
     // the delta commit root must be KBs, not the ~100 MB inline rewrite
     require(report("entries_entryfile_delta_manifest_kb") < 64.0,
       "entryfile delta manifest is not delta-sized")
-    // a 20k-file delta outgrows the threshold → fresh entryfile compacts
+    // the delta publish must collect only the DELTA (5 drop probes +
+    // nothing else), never the 10⁶-entry resolved list
+    require(report("entries_entryfile_delta_collect") <= 15.0,
+      s"delta publish collected " +
+        s"${report("entries_entryfile_delta_collect")} entry strings — " +
+        "not O(delta)")
+    // a 20k-file delta outgrows the threshold → fresh entryfile
+    // compaction, written FROM FRAMES through publishDelta (the driver
+    // never resolves the carried 10⁶ entries)
     val efBefore = {
       val t = new String(java.nio.file.Files.readAllBytes(new java.io.File(
         efRoot, "_versions/v00002.manifest").toPath), "UTF-8")
       t.linesIterator.find(_.startsWith("#entryfile\t")).get
     }
-    val big = SnapshotStore.manifestEntries(spark, efRoot, 2L) ++
-      mkEntries(n + 10L, n + 10L + 20000L, "v00003-cccccccc")
     val saved = SnapshotStore.entryThreshold
     SnapshotStore.entryThreshold = 16384
     val (_, t3) =
       try timed("entries_entryfile_publish_compact") {
-        SnapshotStore.publish(spark, efRoot, 3L, big)
+        SnapshotStore.publishDelta(spark, efRoot, 3L,
+          mkEntries(n + 10L, n + 10L + 20000L, "v00003-cccccccc"),
+          Set.empty)
       } finally SnapshotStore.entryThreshold = saved
     report += "entries_entryfile_publish_compact_s" -> t3
+    report += "entries_entryfile_compact_collect" ->
+      SnapshotStore.lastEntryDiffCollectSize.toDouble
     val t3Text = new String(java.nio.file.Files.readAllBytes(new java.io.File(
       efRoot, "_versions/v00003.manifest").toPath), "UTF-8")
     val efAfter = t3Text.linesIterator.find(_.startsWith("#entryfile\t")).get

@@ -60,3 +60,58 @@ object StoreRace {
     spark.stop()
   }
 }
+
+/** Cross-process MAINTENANCE race (round-10 verdict item 6): one
+  * process runs the maintenance loop (optimize → vacuum) while another
+  * keeps upserting, on a store whose sidecar AND entryfile thresholds
+  * are forced low so every few publishes compact the metadata sidecar
+  * or the entry list — the layout where a vacuum bug would sweep a
+  * referenced entryfile, or a reader would see a torn entry list. The
+  * spec ([[graft.StoreRaceSpec]]) plays the concurrent READER from its
+  * own JVM and asserts every read is a consistent snapshot.
+  *
+  * `main(root, role, rounds)`: role `write` upserts one new doc per
+  * round; role `maint` alternates optimize (tiny files — keeps the file
+  * count high) and vacuum. Both roles go through
+  * [[SnapshotStore.withConflictRetry]]; vacuum needs no retry (it never
+  * publishes). Prints `MAINT_DONE <role>` on success. */
+object StoreMaintRace {
+  def main(args: Array[String]): Unit = {
+    val Array(root, role, roundsS) = args
+    val rounds = roundsS.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"store-maint-$role")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // force both sidecars to engage within a handful of publishes
+    SnapshotStore.sidecarThreshold = 8
+    SnapshotStore.entryThreshold = 8
+    for (i <- 1 to rounds) {
+      if (role == "write") {
+        val id = 9000L + i
+        val rows = Seq((id, s"w-$i", id)).toDF("doc_id", "payload", "n")
+        SnapshotStore.withConflictRetry(spark, root, maxAttempts = 80) {
+          expected =>
+            SnapshotStore.upsert(spark, rows, rows.select("doc_id"),
+              root, 4, expectedVersion = Some(expected))
+        }
+      } else {
+        SnapshotStore.withConflictRetry(spark, root, maxAttempts = 80) {
+          expected =>
+            SnapshotStore.optimize(spark, root,
+              expectedVersion = Some(expected), maxRecordsPerFile = 4L)
+        }
+        // generous retention: a concurrent reader resolves head and then
+        // scans — keepVersions must outlast that window (the production
+        // time-based-retention discipline, version-counted here)
+        SnapshotStore.vacuum(spark, root, keepVersions = 8): Unit
+      }
+    }
+    println(s"MAINT_DONE $role")
+    spark.stop()
+  }
+}

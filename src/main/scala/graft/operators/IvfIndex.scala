@@ -258,7 +258,7 @@ object IvfIndex {
     * trusted-parameter corruption class as a wrong bucket modulus. One
     * tiny min/max-size aggregate over the delta/query frame (never the
     * corpus). */
-  private def requireDim(emb: DataFrame,
+  private[operators] def requireDim(emb: DataFrame,
       cents: Array[(Long, Array[Long])], what: String): Unit = {
     val dim = cents.head._2.length
     val r = emb.agg(min(size(col("embedding"))).as("lo"),
@@ -420,16 +420,45 @@ object IvfIndex {
     require(index.columns.contains("embedding"),
       "IvfIndex.rebalance needs the flat (writeIndex) layout — an SQ8 " +
         "index stores codes, not geometry; re-train and rewrite instead")
+    splitPlan(spark, index, () => readCentroids(spark, path),
+        hotFactor) match {
+      case None => 0
+      case Some(p) =>
+        applySplitBare(spark, path, p)
+        p.splitCount
+    }
+  }
+
+  /** The outcome of one deterministic hot-cell split pass, layout-
+    * agnostic: [[rebalance]] applies it to the bare parquet layout
+    * (centroid sidecar + dynamic partition overwrite, two writes with
+    * the documented crash window); [[VersionedIvf.rebalance]] applies it
+    * as ONE atomic SnapshotStore publish. `merged` holds the hot cells'
+    * rows with their NEW cent_id (all original columns, eagerly
+    * checkpointed); `newCents` is the complete new centroid table. */
+  private[operators] final case class SplitPlan(
+      hot: Array[Long], newIdOf: Map[Long, Long], merged: DataFrame,
+      survivors: Set[Long], newCents: Array[(Long, Array[Long])],
+      splitCount: Int)
+
+  /** Compute the split: hot cells (population > hotFactor × mean, ≥ 2
+    * rows), two sub-centroids seeded from each cell's two lowest
+    * vec_ids, one integer-Lloyd refinement, rows reassigned. `centsOf`
+    * is deferred so the (cheap) no-hot-cell exit never reads the
+    * centroid table. None = nothing to split. */
+  private[operators] def splitPlan(spark: SparkSession, index: DataFrame,
+      centsOf: () => Array[(Long, Array[Long])],
+      hotFactor: Double): Option[SplitPlan] = {
     val counts = index
       .groupBy(col("cent_id").cast("long").as("cent_id"))
       .agg(count(lit(1)).as("n")).collect()
-    if (counts.isEmpty) return 0
+    if (counts.isEmpty) return None
     val mean = counts.map(_.getLong(1)).sum.toDouble / counts.length
     val hot = counts.filter(r =>
       r.getLong(1) > hotFactor * mean && r.getLong(1) >= 2)
       .map(_.getLong(0)).sorted
-    if (hot.isEmpty) return 0
-    val cents = readCentroids(spark, path)
+    if (hot.isEmpty) return None
+    val cents = centsOf()
     val maxId = cents.map(_._1).max
     val newIdOf = hot.zipWithIndex
       .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
@@ -521,30 +550,39 @@ object IvfIndex {
       else None
     } ++ hot.filter(c => survivors.contains(newIdOf(c)))
       .map(c => (newIdOf(c), refined((c, 2))))
-    newCents.toSeq.map { case (id, q) => (id, q.toSeq) }
-      .toDF("cent_id", "qc")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // paranoia, driver-cheap: every published hot/new id has a backing
-    // partition and every survivor keeps a centroid
+    // paranoia, driver-cheap: every published hot/new id has backing
+    // rows and every survivor keeps a centroid
     val published = newCents.map(_._1).toSet
     require(hot.forall(c => Seq(c, newIdOf(c)).filter(survivors.contains)
         .forall(published.contains)) &&
         published.subsetOf(byId.keySet ++ newIdOf.valuesIterator),
       "rebalance centroid bookkeeping drifted")
-    // dynamic overwrite rewrites exactly the split cells' partitions and
-    // creates the new sub-cells'; a kept id emptied by the refinement
-    // (every row moved to the new side) needs the explicit removal
-    // deleteFromIndex documents
-    merged.write.mode("overwrite")
+    Some(SplitPlan(hot, newIdOf, merged, survivors, newCents,
+      hot.count(c => survivors.contains(newIdOf(c)))))
+  }
+
+  /** Apply a [[SplitPlan]] to the bare parquet layout. Centroid sidecar
+    * FIRST (see the crash-order note above); then dynamic overwrite
+    * rewrites exactly the split cells' partitions and creates the new
+    * sub-cells'; a kept id emptied by the refinement (every row moved
+    * to the new side) needs the explicit removal [[deleteFromIndex]]
+    * documents. */
+  private def applySplitBare(spark: SparkSession, path: String,
+      p: SplitPlan): Unit = {
+    val sp = spark
+    import sp.implicits._
+    p.newCents.toSeq.map { case (id, q) => (id, q.toSeq) }
+      .toDF("cent_id", "qc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    p.merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cent_id").parquet(s"$path/index")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hot.filterNot(survivors.contains).foreach { c =>
+    p.hot.filterNot(p.survivors.contains).foreach { c =>
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/index/cent_id=$c"), true)
     }
-    hot.count(c => survivors.contains(newIdOf(c)))
   }
 
   /** Bounded convergence loop over [[rebalance]] — one call splits each
@@ -644,7 +682,7 @@ object IvfIndex {
     rankCandidates(assigned.join(broadcast(probes), Seq("cent_id")), topK)
   }
 
-  private def rankCandidates(cand: DataFrame, topK: Int): DataFrame = {
+  private[operators] def rankCandidates(cand: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     cand
       .filter(col("vec_id") =!= col("q_id"))

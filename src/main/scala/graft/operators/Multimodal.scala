@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * parser_pinecone_storage.py:106-117, generalised per the north star).
   *
   * The Spark-side plumbing — schema, batch shape, partition-local decode —
-  * is real; the codec itself is STUBBED (this container has no image/audio
-  * libraries) behind [[FakeCodec]], a deterministic stand-in with the same
-  * signature a real decoder (e.g. javax.imageio / ffmpeg via
-  * mapPartitions, or a Pandas UDF in PySpark) would have.
+  * is real. IMAGE decode is real too (round 10): [[PngCodec]] encodes and
+  * decodes genuine PNGs through JDK `javax.imageio` inside the
+  * mapPartitions boundary. Audio/video stay STUBBED (the JDK ships no
+  * such codecs) behind [[FakeCodec]], a deterministic stand-in with the
+  * same signature a real decoder (ffmpeg via mapPartitions, or a Pandas
+  * UDF in PySpark) would have.
   *
   * Scale shape: decode runs inside `mapPartitions`, one codec
   * initialisation per partition (not per row), map-only, no shuffle; the
@@ -143,6 +145,101 @@ object Multimodal {
           val hist = new Array[Long](8)
           payload.foreach { b => hist((b & 0xff) >> 5) += 1L }
           Row(r.getLong(0), r.getInt(1), payload.length, hist)
+        }
+      }(enc)
+  }
+
+  /** REAL image codec (round 10 — the image half of the m-family is no
+    * longer a stub): JDK `javax.imageio` PNG encode/decode, run inside
+    * the same mapPartitions boundary the stub documented for a real
+    * codec. Headless-safe (BufferedImage + ImageIO never touch a
+    * display). Audio/video decode stays stubbed — the JDK ships no
+    * codecs for those — with [[FakeCodec]] documenting the boundary. */
+  object PngCodec {
+    def encode(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** (width, height, sum_r, sum_g, sum_b) from REAL decoded pixels —
+      * integer channel sums, so the derived feature is exact and
+      * oracle-checkable. */
+    def decodeSums(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "PngCodec.decodeSums: not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y)
+          sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sr, sg, sb)
+    }
+  }
+
+  /** Deterministic synthetic PNG corpus from the documents fixture: one
+    * REAL (ImageIO-encoded) tiny image per doc, each pixel's channels a
+    * closed-form function of (doc_id, x, y) — so decoded features are
+    * DuckDB-reproducible without the oracle decoding anything. Encoding
+    * runs on the executors, one row per doc, partition-local. */
+  val pngSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  def syntheticPngs(spark: SparkSession, dir: String): DataFrame = {
+    val enc = ExpressionEncoder(pngSchema)
+    graft.Tables.documents(spark, dir).select("doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          Row(id, PngCodec.encode(w, h, (x, y) => {
+            val red = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val green = ((id * 17 + x * 11 + y * 5) % 256).toInt
+            val blue = ((id * 13 + x * 3 + y * 19) % 256).toInt
+            (red << 16) | (green << 8) | blue
+          }))
+        }
+      }(enc)
+  }
+
+  /** Output schema of [[decodePngSums]]. */
+  val pngSumSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** REAL partition-local PNG decode → exact per-channel pixel sums.
+    * Same mapPartitions shape as [[decodeFeatures]], but the bytes
+    * genuinely round-trip through the PNG container. */
+  def decodePngSums(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(pngSumSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, sr, sg, sb) =
+            PngCodec.decodeSums(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), w, h, sr, sg, sb)
         }
       }(enc)
   }

@@ -136,11 +136,7 @@ object SnapshotStore {
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Seq[(Long, String)] = {
     val text = manifestText(spark, root, v)
-    val inline = text.linesIterator
-      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-        val Array(b, p) = l.split("\t", 2)
-        (b.toLong, p)
-      }.toSeq
+    val inline = inlineEntriesOf(text)
     val meta = text.linesIterator.filter(_.startsWith("#")).toSeq
     entryFileRelOf(meta) match {
       case None => inline
@@ -148,6 +144,65 @@ object SnapshotStore {
         val drops = dropRelsOf(meta)
         val stored = entryFileDf(spark, root, ef).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSeq
+        (stored.filterNot(e => drops.contains(e._2)) ++ inline)
+          .sortBy(identity)
+    }
+  }
+
+  /** The INLINE (non-`#`) entry lines of a manifest text — in entryfile
+    * mode these are the files ADDED since the entryfile was written
+    * (delta-bounded by [[entryThreshold]]), never the full list. */
+  private def inlineEntriesOf(text: String): Seq[(Long, String)] =
+    text.linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+        val Array(b, p) = l.split("\t", 2)
+        (b.toLong, p)
+      }.toSeq
+
+  /** A version's live entry list AS A FRAME — the executor-side form of
+    * [[readManifest]] for set algebra (anti-joins against metadata
+    * verdicts, live-filtering a sidecar compaction): with an entryfile
+    * the driver never touches the list at all; inline mode parallelizes
+    * the (threshold-bounded) parsed lines. */
+  private def liveEntriesDf(spark: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val text = manifestText(spark, root, v)
+    val meta = text.linesIterator.filter(_.startsWith("#")).toSeq
+    val inline = entriesDf(spark, inlineEntriesOf(text))
+    entryFileRelOf(meta) match {
+      case None => inline
+      case Some(ef) =>
+        import spark.implicits._
+        val drops = dropRelsOf(meta)
+        val stored =
+          if (drops.isEmpty) entryFileDf(spark, root, ef)
+          else entryFileDf(spark, root, ef)
+            .join(broadcast(drops.toSeq.toDF("rel")), Seq("rel"),
+              "left_anti")
+            .select("bucket", "rel")
+        stored.unionByName(inline)
+    }
+  }
+
+  /** Resolve ONLY the entries of the given `buckets` for version `v` —
+    * the delta-verb companion of [[readManifest]]: with an entryfile
+    * the bucket filter runs on the EXECUTORS and only the target
+    * buckets' entries collect, so a point upsert/lookup against a
+    * B-bucket store holds ~live/B entries on the driver, never the full
+    * list. */
+  private def entriesInBuckets(spark: SparkSession, root: String,
+      v: Long, buckets: Set[Long]): Seq[(Long, String)] = {
+    if (buckets.isEmpty) return Nil
+    val text = manifestText(spark, root, v)
+    val inline = inlineEntriesOf(text).filter(e => buckets.contains(e._1))
+    val meta = text.linesIterator.filter(_.startsWith("#")).toSeq
+    entryFileRelOf(meta) match {
+      case None => inline
+      case Some(ef) =>
+        val drops = dropRelsOf(meta)
+        val stored = entryFileDf(spark, root, ef)
+          .filter(col("bucket").isin(buckets.toSeq: _*))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
         (stored.filterNot(e => drops.contains(e._2)) ++ inline)
           .sortBy(identity)
     }
@@ -175,6 +230,22 @@ object SnapshotStore {
 
   private def checkLine(name: String, sqlExpr: String) =
     s"#check\t$name\t$sqlExpr"
+
+  /** Custom `#`-metadata lines of a version by prefix — the supported
+    * way for a layout routed through the store (e.g.
+    * [[VersionedIvf]]'s centroid geometry) to keep its own state INSIDE
+    * the atomic commit root: the lines ride the same CREATE-EXCLUSIVE
+    * manifest as the file list, so layout state and data can never
+    * disagree. Custom lines are NOT auto-carried across versions — each
+    * maintenance verb that owns them re-passes them (or their
+    * replacement) in its `meta`. */
+  private[operators] def storedMetaLines(spark: SparkSession,
+      root: String, prefix: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    manifestMeta(spark, root, v).filter(_.startsWith(prefix))
+  }
 
   /** CHECK constraints a version's manifest declares (`#check` lines),
     * as (name, sql expression) pairs in declaration order. */
@@ -644,13 +715,40 @@ object SnapshotStore {
       require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"SnapshotStore: manifest entry path contains tab/newline: '$p'")
     }
-    val rel =
-      f"meta/entries-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rel = entryFileRelName(v)
+    entriesDf(spark, entries).write.mode("overwrite")
+      .parquet(s"$root/$rel")
+    rel
+  }
+
+  private def entryFileRelName(v: Long): String =
+    f"meta/entries-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** A (bucket, rel) driver list as an entry-schema frame — the bridge
+    * from a caller-held list to executor-side set algebra. */
+  private def entriesDf(spark: SparkSession,
+      entries: Seq[(Long, String)]): DataFrame = {
     val rows = entries.map { case (b, p) => org.apache.spark.sql.Row(b, p) }
     val parts = math.max(1, math.min(rows.size / 262144 + 1, 32))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, parts),
-        entryFileSchema)
-      .write.mode("overwrite").parquet(s"$root/$rel")
+      entryFileSchema)
+  }
+
+  /** Entryfile COMPACTION from a frame ([[publishDelta]]'s path): the
+    * new entry list is written directly from executor-side set algebra
+    * over the parent entryfile — the driver never materializes it. Only
+    * the delta-sized `freshEntries` (the inline adds being folded in)
+    * need the tab/newline validation; carried entries were validated
+    * when their entryfile was written. */
+  private def writeEntryFileFrame(spark: SparkSession, root: String,
+      v: Long, entries: DataFrame,
+      freshEntries: Seq[(Long, String)]): String = {
+    freshEntries.foreach { case (_, p) =>
+      require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"SnapshotStore: manifest entry path contains tab/newline: '$p'")
+    }
+    val rel = entryFileRelName(v)
+    entries.write.mode("overwrite").parquet(s"$root/$rel")
     rel
   }
 
@@ -710,11 +808,13 @@ object SnapshotStore {
   /** Write the compacted sidecar for version `v`: carried rows from
     * `oldRel` (filtered to live files + declared columns, minus keys the
     * inline delta re-states) unioned with the inline delta — all
-    * executor-side; the driver holds only the delta. Returns the new
-    * sidecar's relpath. */
+    * executor-side; the driver holds only the delta. `liveRels` is the
+    * live file set AS A FRAME (single `rel` column) so a delta-publish
+    * caller can derive it from the entryfile without ever materializing
+    * it. Returns the new sidecar's relpath. */
   private def writeSidecar(spark: SparkSession, root: String, v: Long,
       oldRel: Option[String], statLines: Iterable[String],
-      bloomLines: Iterable[String], pathSet: Set[String],
+      bloomLines: Iterable[String], liveRels: DataFrame,
       statCols: Seq[String], bloomCols: Seq[String]): String = {
     import spark.implicits._
     val rel =
@@ -727,7 +827,7 @@ object SnapshotStore {
     val merged = oldRel match {
       case None => inline
       case Some(o) =>
-        val live = pathSet.toSeq.toDF("rel")
+        val live = liveRels
         val declared = (statCols.map(("stat", _)) ++
           bloomCols.map(("bloom", _))).toDF("kind", "col")
         val inlineKeys = inlineRows.map(r =>
@@ -843,9 +943,10 @@ object SnapshotStore {
         statDecl.toSeq ++ inlineStats.values.toSeq.sorted ++
         bloomDecl.toSeq ++ inlineBlooms.values.toSeq.sorted
     else {
+      import spark.implicits._
       val newRel = writeSidecar(spark, root, v, carriedSidecar,
-        inlineStats.values, inlineBlooms.values, pathSet, statCols,
-        bloomCols)
+        inlineStats.values, inlineBlooms.values, paths.toDF("rel"),
+        statCols, bloomCols)
       base ++ Seq(metaFileLine(newRel)) ++
         statDecl.toSeq ++ bloomDecl.toSeq
     }
@@ -897,30 +998,30 @@ object SnapshotStore {
     !(aboveLo && belowHi)
   }
 
-  /** Test-only observability: how many rows the last sidecar stats
-    * probe collected to the driver (= REJECTED files, never the O(files
-    * × bounded columns) stats rows the pre-round-9 prefetch pulled). */
+  /** Test-only observability: how many entries the last sidecar stats
+    * probe collected to the driver (round 10: = ADMITTED files — the
+    * files the bounded read will actually scan; the round-9 form
+    * collected the REJECTED set, which for an effective prune is nearly
+    * the whole live list). */
   @volatile private[graft] var lastStatsCollectSize: Int = -1
 
-  /** Relpaths the metadata SIDECAR's `#stat` rows REJECT for canonical
-    * `bounds` (col → (lo, hi), conjunctive) — the [[bloomKeptEntries]]
-    * discipline applied to range stats: the envelope test evaluates
-    * INSIDE the sidecar scan on executors and only the rejected
-    * relpaths reach the driver, so a bounded read's metadata probe
-    * costs O(files pruned × path length), never O(files × columns)
-    * stats rows. One scan however many columns the read bounds; parquet
-    * column pruning keeps bloom bytes out of it. A file any one
+  /** Rejected-relpath FRAME of the metadata sidecar's `#stat` verdicts
+    * for canonical `bounds` (col → (lo, hi), conjunctive) — the
+    * envelope test evaluates INSIDE the sidecar scan on executors;
+    * NOTHING collects here (the caller anti-joins the live entry frame
+    * against it). One scan however many columns the read bounds;
+    * parquet column pruning keeps bloom bytes out of it. A file any one
     * column's envelope rejects is out (one false conjunct kills the
-    * whole AND). */
-  private def sidecarStatRejects(spark: SparkSession, root: String,
+    * whole AND). None = no sidecar or no bounds. */
+  private def sidecarStatRejectsDf(spark: SparkSession, root: String,
       meta: Seq[String],
       bounds: Map[String, (Option[String], Option[String])])
-      : Set[String] =
+      : Option[DataFrame] =
     metaFileRelOf(meta) match {
       case Some(rel) if bounds.nonEmpty =>
         import spark.implicits._
         val b = bounds // local val: the closure must not capture `this`
-        val rejected = sidecarDf(spark, root, rel)
+        Some(sidecarDf(spark, root, rel)
           .filter(col("kind") === "stat" &&
             col("col").isin(bounds.keys.toSeq: _*))
           .select("col", "rel", "rows", "nulls", "mn", "mx")
@@ -928,14 +1029,48 @@ object SnapshotStore {
           .flatMap { case (c, p, rows, nulls, mn, mx) =>
             val (lo, hi) = b(c)
             if (statsReject(rows, nulls, mn, mx, lo, hi)) Some(p) else None
-          }
-          .collect().toSet
-        lastStatsCollectSize = rejected.size
-        rejected
-      case _ =>
-        lastStatsCollectSize = 0
-        Set.empty
+          }.toDF("rel"))
+      case _ => None
     }
+
+  /** Entries of version `v` that SURVIVE the sidecar's stat verdicts
+    * for canonical `bounds` — live frame ANTI-JOIN rejected frame, all
+    * on the executors, so the driver collects only the files the
+    * bounded read will actually scan: O(files admitted), never the live
+    * list (pre-round-9: O(files × columns) stats rows; round 9:
+    * O(files rejected), which an EFFECTIVE prune makes nearly O(live)).
+    * Inline `#stat` lines prune the collected list driver-side
+    * (threshold-bounded) via [[pruneByStats]] at the caller. */
+  private def statKeptEntries(spark: SparkSession, root: String,
+      v: Long, meta: Seq[String],
+      bounds: Map[String, (Option[String], Option[String])])
+      : Seq[(Long, String)] = {
+    val live = liveEntriesDf(spark, root, v)
+    val keptDf = sidecarStatRejectsDf(spark, root, meta, bounds) match {
+      case None => live
+      case Some(rej) =>
+        live.join(rej, Seq("rel"), "left_anti").select("bucket", "rel")
+    }
+    val kept = keptDf.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(identity)
+    lastStatsCollectSize = kept.size
+    kept
+  }
+
+  /** Live file count of a version — text arithmetic + one entryfile
+    * count, never a resolved list. */
+  private def liveEntryCount(spark: SparkSession, root: String,
+      v: Long): Int = {
+    val text = manifestText(spark, root, v)
+    val meta = text.linesIterator.filter(_.startsWith("#")).toSeq
+    val inline = inlineEntriesOf(text).size
+    entryFileRelOf(meta) match {
+      case None => inline
+      case Some(ef) =>
+        inline + entryFileDf(spark, root, ef).count().toInt -
+          dropRelsOf(meta).size
+    }
+  }
 
   /** INLINE `#stat`-line pruning for one column (inline lines are
     * bounded by [[sidecarThreshold]], so this stays a small driver
@@ -1191,17 +1326,31 @@ object SnapshotStore {
     // entry-list sidecar notes above). Set diffs run on relpath strings
     // — the driver never round-trips the full list through text.
     val (inlineEntries, entryMeta) = entryFileRelOf(prevMeta) match {
-      case None if entries.size <= entryThreshold => (entries, Nil)
+      case None if entries.size <= entryThreshold =>
+        lastEntryDiffCollectSize = 0
+        (entries, Nil)
       case None =>
+        lastEntryDiffCollectSize = 0
         val rel = writeEntryFile(spark, root, v,
           entries.sortBy(e => (e._1, e._2)))
         (Seq.empty[(Long, String)], Seq(entryFileLine(rel)))
       case Some(ef) =>
-        val efRels = entryFileDf(spark, root, ef).select("rel")
-          .collect().map(_.getString(0)).toSet
-        val curRels = entries.map(_._2).toSet
-        val drops = efRels.diff(curRels).toSeq.sorted
-        val inline = entries.filterNot(e => efRels.contains(e._2))
+        // set diff via two EXECUTOR-side anti-joins against the parent
+        // entryfile: only the DELTAS (dropped rels, new inline entries)
+        // ever collect — the full-publish path matches publishDelta's
+        // O(delta) driver-collect contract even though its caller
+        // already holds the full list
+        val curDf = entriesDf(spark, entries)
+        val efDf = entryFileDf(spark, root, ef)
+        val drops = efDf.select("rel")
+          .join(curDf.select("rel"), Seq("rel"), "left_anti")
+          .collect().map(_.getString(0)).toSeq.sorted
+        val inline = curDf
+          .join(efDf.select("rel"), Seq("rel"), "left_anti")
+          .select("bucket", "rel").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+          .sortBy(identity)
+        lastEntryDiffCollectSize = drops.size + inline.size
         if (inline.size + drops.size > entryThreshold) {
           val rel = writeEntryFile(spark, root, v,
             entries.sortBy(e => (e._1, e._2)))
@@ -1209,10 +1358,27 @@ object SnapshotStore {
         } else
           (inline, entryFileLine(ef) +: drops.map(dropFileLine))
     }
+    writeManifestAtomic(spark, root, v, fullMeta ++ entryMeta,
+      inlineEntries)
+  }
+
+  /** Test-only observability: how many entry strings the last
+    * [[publish]]/[[publishDelta]] collected to the driver for entry-list
+    * bookkeeping (set-diff results / delta probes — never the full
+    * resolved list). -1 until a publish in entry-bookkeeping scope
+    * runs. */
+  @volatile private[graft] var lastEntryDiffCollectSize: Int = -1
+
+  /** Shared atomic tail of [[publish]]/[[publishDelta]]: validate the
+    * lines, build the manifest text, and CREATE-EXCLUSIVE it as version
+    * `v` (see [[publish]]'s scaladoc for the per-filesystem atomicity
+    * story). */
+  private def writeManifestAtomic(spark: SparkSession, root: String,
+      v: Long, metaOut: Seq[String],
+      inlineEntries: Seq[(Long, String)]): Unit = {
     // an embedded newline would split a logical line in two and corrupt
     // every later read of the manifest (lines are '\n'-joined below);
     // entryfile-stored entries were validated at their writeEntryFile
-    val metaOut = fullMeta ++ entryMeta
     (metaOut ++ inlineEntries.map(_._2)).foreach { s =>
       require(!s.exists(c => c == '\n' || c == '\r'),
         s"SnapshotStore: manifest line contains a newline: '$s'")
@@ -1260,6 +1426,157 @@ object SnapshotStore {
       throw new SnapshotConflictException(
         s"SnapshotStore: lost the publish race for version $v at $root — " +
           "another writer's manifest landed; re-read the store and retry")
+  }
+
+  /** O(delta) publish for a DELTA-SHAPED maintenance verb (upsert,
+    * keyed/ranged delete): version `v`'s content is the parent's minus
+    * `dropRels` plus `adds`. The parent's entry list is NEVER resolved
+    * to the driver: with an entryfile parent the dropped rels are
+    * verified and classified by ONE executor-side join against the
+    * entryfile (only the delta-sized matches collect), file statistics
+    * and Bloom bitsets are computed for the ADDS only (carried files
+    * keep their sidecar/inline rows — publish coverage is an invariant
+    * every prior version already holds), and compactions — entry list
+    * or metadata sidecar — write FROM FRAMES. A 10-row upsert against a
+    * 10⁶-file store therefore does O(10) driver entry work, not O(10⁶).
+    *
+    * Falls back to the full [[publish]] path when the parent stores its
+    * entries inline (small store — the full list is already
+    * threshold-bounded text) or when `meta` REDECLARES stat/bloom
+    * columns (a declaration change must recompute coverage over every
+    * file, which is O(files) by nature). Resurrecting a dropped
+    * entryfile path is rollback territory and rejected here — rollback
+    * re-derives its bookkeeping through the full path. */
+  private[graft] def publishDelta(spark: SparkSession, root: String,
+      v: Long, adds: Seq[(Long, String)], dropRels: Set[String],
+      meta: Seq[String] = Nil): Unit = {
+    require(meta.forall(_.startsWith("#")),
+      "SnapshotStore: metadata lines must start with '#'")
+    require(v >= 2, "publishDelta needs a published parent version")
+    val prevMeta = manifestMeta(spark, root, v - 1)
+    val redeclares =
+      statColsLineOf(meta).exists(l =>
+        !statColsLineOf(prevMeta).contains(l)) ||
+      bloomColsLineOf(meta).exists(l =>
+        !bloomColsLineOf(prevMeta).contains(l))
+    val efOpt = entryFileRelOf(prevMeta)
+    if (efOpt.isEmpty || redeclares) {
+      val parent = readManifest(spark, root, v - 1)
+      val dropped = parent.count(e => dropRels.contains(e._2))
+      require(dropped == dropRels.size,
+        s"publishDelta: ${dropRels.size - dropped} dropped path(s) are " +
+          s"not live in version ${v - 1} at $root")
+      return publish(spark, root, v,
+        parent.filterNot(e => dropRels.contains(e._2)) ++ adds, meta)
+    }
+    val ef = efOpt.get
+    // bookkeeping/decl lines are re-derived below, never taken from the
+    // caller (same hygiene as publish)
+    val cleanMeta = meta.filterNot(l =>
+      l.startsWith("#entryfile\t") || l.startsWith("#dropfile\t") ||
+      l.startsWith("#stat\t") || l.startsWith("#bloom\t") ||
+      l.startsWith("#metafile\t") || l.startsWith("#statcols\t") ||
+      l.startsWith("#bloomcols\t"))
+    import spark.implicits._
+    val dPrev = dropRelsOf(prevMeta)
+    val inlinePrev = inlineEntriesOf(manifestText(spark, root, v - 1))
+    val inlineRels = inlinePrev.map(_._2).toSet
+    val addRels = adds.map(_._2).toSet
+    require(addRels.size == adds.size,
+      s"publishDelta: duplicate add paths at $root")
+    require(addRels.intersect(dropRels).isEmpty,
+      s"publishDelta: a path is both added and dropped at $root")
+    require(addRels.intersect(inlineRels).isEmpty,
+      s"publishDelta: an add collides with a live inline path at $root")
+    require(dPrev.intersect(dropRels).isEmpty,
+      s"publishDelta: dropping an already-dropped path at $root")
+    // classify the delta against the entryfile in ONE executor scan:
+    // dropped paths not inline MUST be entryfile-live; added paths must
+    // NOT be entryfile paths (no resurrection on this path)
+    val needLookup = dropRels -- inlineRels
+    val efDf = entryFileDf(spark, root, ef)
+    val probes = needLookup.toSeq.map((_, "d")) ++
+      addRels.toSeq.map((_, "a"))
+    val hits =
+      if (probes.isEmpty) Array.empty[(String, String)]
+      else efDf.select("rel")
+        .join(broadcast(probes.toDF("rel", "k")), Seq("rel"), "inner")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    lastEntryDiffCollectSize = hits.length
+    val resurrected = hits.collect { case (p, "a") => p }
+    require(resurrected.isEmpty,
+      s"publishDelta: add resurrects entryfile path(s) " +
+        s"${resurrected.take(3).mkString(", ")} at $root — go through " +
+        "the full publish path")
+    val dropsInEf = hits.collect { case (p, "d") => p }.toSet
+    require(dropsInEf.size == needLookup.size,
+      s"publishDelta: ${needLookup.size - dropsInEf.size} dropped " +
+        s"path(s) are not live in version ${v - 1} at $root")
+    val newDrops = dPrev ++ dropsInEf
+    val newInline =
+      inlinePrev.filterNot(e => dropRels.contains(e._2)) ++ adds
+    // file statistics / blooms: declarations carry from the parent;
+    // inline lines carry minus the dropped files' rows; only the ADDS
+    // compute. The sidecar pointer carries verbatim (rows for dropped
+    // files prune lazily at the next compaction — the documented
+    // discipline).
+    val statDecl = statColsLineOf(prevMeta)
+    val bloomDecl = bloomColsLineOf(prevMeta)
+    val carriedSidecar = metaFileRelOf(prevMeta)
+    val statCols = statDecl.map(parseStatCols).getOrElse(Nil)
+    val (bloomCols, bloomBits) =
+      bloomDecl.map(parseBloomCols).getOrElse((Seq.empty[String], 64))
+    val carriedStats = parseStatLines(prevMeta).filter {
+      case ((p, _), _) => !dropRels.contains(p)
+    }
+    val carriedBlooms = parseBloomLines(prevMeta).filter {
+      case ((p, _), _) => !dropRels.contains(p)
+    }
+    val (computedStats, computedBlooms) =
+      if (statCols.isEmpty && bloomCols.isEmpty)
+        (Seq.empty[((String, String), String)],
+          Seq.empty[((String, String), String)])
+      else computeFileMeta(spark, root,
+        if (statCols.isEmpty) Set.empty else addRels, statCols,
+        if (bloomCols.isEmpty) Set.empty else addRels, bloomCols,
+        bloomBits)
+    val inlineStats = carriedStats ++ computedStats
+    val inlineBlooms = carriedBlooms ++ computedBlooms
+    val inlineCount = inlineStats.size + inlineBlooms.size
+    lazy val liveRelsDf = efDf.select("rel")
+      .join(broadcast(newDrops.toSeq.toDF("rel")), Seq("rel"),
+        "left_anti")
+      .union(entriesDf(spark, newInline).select("rel"))
+    val metaLines =
+      if (statDecl.isEmpty && bloomDecl.isEmpty) cleanMeta
+      else if (inlineCount <= sidecarThreshold)
+        cleanMeta ++ carriedSidecar.map(metaFileLine).toSeq ++
+          statDecl.toSeq ++ inlineStats.values.toSeq.sorted ++
+          bloomDecl.toSeq ++ inlineBlooms.values.toSeq.sorted
+      else {
+        val newRel = writeSidecar(spark, root, v, carriedSidecar,
+          inlineStats.values, inlineBlooms.values, liveRelsDf,
+          statCols, bloomCols)
+        cleanMeta ++ Seq(metaFileLine(newRel)) ++ statDecl.toSeq ++
+          bloomDecl.toSeq
+      }
+    val (inlineOut, entryMeta) =
+      if (newInline.size + newDrops.size > entryThreshold) {
+        // entry-list compaction from frames: (entryfile − drops) ∪
+        // inline, written without a driver round-trip
+        val compacted = efDf
+          .join(broadcast(newDrops.toSeq.toDF("rel")), Seq("rel"),
+            "left_anti")
+          .select("bucket", "rel")
+          .unionByName(entriesDf(spark, newInline))
+        val rel = writeEntryFileFrame(spark, root, v, compacted,
+          newInline)
+        (Seq.empty[(Long, String)], Seq(entryFileLine(rel)))
+      } else
+        (newInline,
+          entryFileLine(ef) +: newDrops.toSeq.sorted.map(dropFileLine))
+    writeManifestAtomic(spark, root, v, metaLines ++ entryMeta,
+      inlineOut)
   }
 
   /** Write a version's data files into a fresh ATTEMPT-UNIQUE dir
@@ -1423,13 +1740,16 @@ object SnapshotStore {
     // (a driver-side reimplementation could drift from Spark's xxhash64)
     val target = withBucket(docIds.toDF("doc_id"), buckets)
       .select("bucket").distinct().collect().map(_.getLong(0)).toSet
-    val entries = readManifest(spark, root, v)
-      .filter(e => target.contains(e._1))
+    // only the TARGET buckets' entries resolve to the driver (entryfile
+    // stores filter on the executors)
+    val entries = entriesInBuckets(spark, root, v, target)
     // within the target buckets, doc_id stats/blooms (when declared)
     // drop the files that provably hold none of the ids — a point
     // lookup then opens ~1 file, not every file of its bucket
-    val (candidates, _) = docIdCandidates(spark, root,
-      manifestMeta(spark, root, v), entries, docIds)
+    val (candidates, _) =
+      if (entries.isEmpty) (entries, Seq.empty[(Long, String)])
+      else docIdCandidates(spark, root,
+        manifestMeta(spark, root, v), entries, docIds.toDF("doc_id"))
     val base =
       if (candidates.nonEmpty) assemble(spark, root, v, candidates)
       else read(spark, root, v).limit(0) // schema-only empty edge
@@ -1589,36 +1909,30 @@ object SnapshotStore {
     // withBucket expression
     val touched = withBucket(upserted, buckets).select("bucket")
       .distinct().collect().map(_.getLong(0)).toSet
-    val entries = readManifest(spark, root, cur)
-    val (touchedEntries, keptEntries) =
-      entries.partition(e => touched.contains(e._1))
+    // only the TOUCHED buckets' entries ever reach the driver (the
+    // untouched rest of the store carries through publishDelta without
+    // being resolved): upsert driver work is ∝ touched-bucket files,
+    // never ∝ live files
+    val touchedEntries = entriesInBuckets(spark, root, cur, touched)
     // KEY-PRUNED read-merge-write: with a doc_id stats/bloom declaration,
     // only the touched buckets' files that CAN contain an upserted id are
     // read and rewritten; provably-clean files carry verbatim — upsert
     // cost ∝ admitting files, not whole-bucket file counts (at 10⁵+
     // one-row files per store this is the difference between rewriting
     // ~3k files per touched bucket and rewriting the handful that match).
-    // The id set must be driver-bounded to probe; past the cap a bulk
-    // re-ingest reverts to whole-bucket reads (it rewrites most files
-    // anyway).
+    // The id set stays a FRAME end-to-end (docIdCandidates broadcasts a
+    // Spark-aggregated id row) — no driver id collect, no size cap.
     val meta0 = manifestMeta(spark, root, cur)
     val hasDocIdMeta =
       statColsLineOf(meta0).map(parseStatCols).getOrElse(Nil)
         .contains("doc_id") ||
       bloomColsLineOf(meta0).map(parseBloomCols)
         .exists(_._1.contains("doc_id"))
-    val idsOpt: Option[Seq[Long]] =
-      if (!hasDocIdMeta || touchedEntries.isEmpty) None
-      else {
-        val some = upserted.limit(UpsertPruneMaxIds + 1).collect()
-          .map(_.getLong(0))
-        if (some.length > UpsertPruneMaxIds) None else Some(some.toSeq)
-      }
-    val (candidateEntries, cleanEntries) = idsOpt match {
-      case Some(ids) =>
-        docIdCandidates(spark, root, meta0, touchedEntries, ids)
-      case None => (touchedEntries, Seq.empty[(Long, String)])
-    }
+    val (candidateEntries, cleanEntries) =
+      if (!hasDocIdMeta || touchedEntries.isEmpty)
+        (touchedEntries, Seq.empty[(Long, String)])
+      else docIdCandidates(spark, root, meta0, touchedEntries,
+        upserted.select(col("doc_id")))
     val v = cur + 1
     val merged = {
       // carried survivors read through assemble — the same dir-grouped,
@@ -1642,8 +1956,12 @@ object SnapshotStore {
     // carried files retain every stored column)
     val newCols = curCols ++ schemaCols(fresh.schema)
       .filterNot { case (n, _) => curTypes.contains(n) }
-    publish(spark, root, v,
-      keptEntries ++ cleanEntries ++ listVersionFiles(spark, root, dirName),
+    // delta publish: carried files (untouched buckets + provably-clean
+    // candidates) are never enumerated — only the rewritten files drop
+    // and the fresh files add
+    publishDelta(spark, root, v,
+      listVersionFiles(spark, root, dirName),
+      candidateEntries.map(_._2).toSet,
       carriedTxn(spark, root, meta) ++
         carriedCheckLines(spark, root) ++
         newCols.map { case (n, t) => colLine(n, t) } ++
@@ -2114,7 +2432,6 @@ object SnapshotStore {
       v: Long, colName: String, value: Any,
       dt: org.apache.spark.sql.types.DataType): Seq[(Long, String)] = {
     val meta = manifestMeta(spark, root, v)
-    val entries = readManifest(spark, root, v)
     val decl = bloomColsLineOf(meta).map(parseBloomCols)
     decl match {
       case Some((cols, bits)) if cols.contains(colName) =>
@@ -2131,33 +2448,40 @@ object SnapshotStore {
             Some(a(1) -> java.util.BitSet.valueOf(dec.decode(a(3))))
           else None
         }.toMap
-        // sidecar bitsets test ON THE EXECUTORS; only the REJECTED
-        // relpaths come back (a file absent from the sidecar is not
-        // rejected and scans, same as a missing inline line) — the
-        // driver never holds the bitset bytes, so probe memory is
-        // O(files pruned × path length), not O(files × bits)
-        val sideRejected: Set[String] = metaFileRelOf(meta) match {
-          case None => Set.empty
+        // sidecar bitsets test ON THE EXECUTORS and the live entry
+        // frame anti-joins the rejected frame there too, so the driver
+        // collects only the ADMITTED entries — the files the point read
+        // will actually open (round 10; the round-9 form collected the
+        // rejected set, nearly the live list when pruning works). A
+        // file absent from the sidecar is not rejected and scans, same
+        // as a missing inline line; the driver never holds bitset
+        // bytes.
+        val live = liveEntriesDf(spark, root, v)
+        val keptDf = metaFileRelOf(meta) match {
+          case None => live
           case Some(rel) =>
             val pr = probes.toArray
             import spark.implicits._
-            sidecarDf(spark, root, rel)
+            val rejected = sidecarDf(spark, root, rel)
               .filter(col("kind") === "bloom" && col("col") === colName)
               .select("rel", "bloom")
               .as[(String, Array[Byte])]
               .flatMap { case (p, bytes) =>
                 val bs = java.util.BitSet.valueOf(bytes)
                 if (pr.forall(bs.get)) None else Some(p)
-              }
-              .collect().toSet
+              }.toDF("rel")
+            live.join(rejected, Seq("rel"), "left_anti")
+              .select("bucket", "rel")
         }
-        entries.filter { case (_, p) =>
-          bitsets.get(p) match {
-            case None => !sideRejected.contains(p)
-            case Some(bs) => probes.forall(bs.get)
-          }
+        val kept = keptDf.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(identity)
+        // inline lines (threshold-bounded) re-filter the collected
+        // admits driver-side; files are immutable, so an inline and a
+        // stale sidecar row for the same (file, col) can never disagree
+        kept.filter { case (_, p) =>
+          bitsets.get(p).forall(bs => probes.forall(bs.get))
         }
-      case _ => entries
+      case _ => readManifest(spark, root, v)
     }
   }
 
@@ -2200,72 +2524,91 @@ object SnapshotStore {
     * (bloom false negatives impossible, stats envelopes sound), so
     * upsert carries it verbatim and readDocs never opens it. Requires a
     * doc_id stats/bloom declaration; without one everything is a
-    * candidate. Sidecar rows evaluate ON EXECUTORS (broadcast id/probe
-    * arrays, only rejected relpaths collected); inline lines are
-    * threshold-bounded driver work. */
+    * candidate.
+    *
+    * `ids` is a FRAME (one `doc_id` column, non-empty): the id set is
+    * sorted/probe-expanded by Spark aggregates into a single row that
+    * broadcast-joins against the metadata rows, so candidate selection
+    * never pulls the ids to user driver code — the round-9 ≤10k driver
+    * cap (and the silent whole-bucket fallback past it) is gone. Both
+    * sidecar rows AND inline `#stat`/`#bloom` lines (threshold-bounded,
+    * parallelized into the same frames) evaluate ON EXECUTORS with the
+    * id array materialized once per partition; only the REJECTED
+    * relpaths collect. */
   private def docIdCandidates(spark: SparkSession, root: String,
-      meta: Seq[String], entries: Seq[(Long, String)], ids: Seq[Long])
+      meta: Seq[String], entries: Seq[(Long, String)], ids: DataFrame)
       : (Seq[(Long, String)], Seq[(Long, String)]) = {
-    if (entries.isEmpty || ids.isEmpty) return (entries, Nil)
+    if (entries.isEmpty) return (entries, Nil)
     val statDeclared = statColsLineOf(meta).map(parseStatCols)
       .getOrElse(Nil).contains("doc_id")
     val bloomDecl = bloomColsLineOf(meta).map(parseBloomCols)
       .filter(_._1.contains("doc_id"))
     if (!statDeclared && bloomDecl.isEmpty) return (entries, Nil)
-    val sorted = ids.distinct.sorted.toArray
+    import spark.implicits._
     val sideRel = metaFileRelOf(meta)
+    val idsL = ids.select(col("doc_id").cast("long").as("id")).distinct()
     val rejected = mutable.Set.empty[String]
     val dec = java.util.Base64.getDecoder
     if (statDeclared) {
-      meta.filter(_.startsWith("#stat\t")).foreach { l =>
+      // inline lines parse to the sidecar row shape and ride the same
+      // executor-side evaluation as sidecar rows
+      val inlineRows = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
         val a = l.split("\t", 7)
-        if (a.length == 7 && a(2) == "doc_id" &&
-            !statsAdmitIds(sorted, a(3).toLong, a(4).toLong,
-              Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty)))
-          rejected += a(1)
+        if (a.length == 7 && a(2) == "doc_id")
+          Some((a(1), a(3).toLong, a(4).toLong,
+            Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty)))
+        else None
       }
-      sideRel.foreach { rel =>
-        import spark.implicits._
-        val srt = sorted // local val: the closure must not capture `this`
-        rejected ++= sidecarDf(spark, root, rel)
-          .filter(col("kind") === "stat" && col("col") === "doc_id")
-          .select("rel", "rows", "nulls", "mn", "mx")
-          .as[(String, Long, Long, Option[String], Option[String])]
-          .flatMap { case (p, rows, nulls, mn, mx) =>
-            if (statsAdmitIds(srt, rows, nulls, mn, mx)) None else Some(p)
-          }.collect()
-      }
+      val inlineDf = inlineRows
+        .toDF("rel", "rows", "nulls", "mn", "mx")
+      val sideDf = sideRel.map(rel => sidecarDf(spark, root, rel)
+        .filter(col("kind") === "stat" && col("col") === "doc_id")
+        .select("rel", "rows", "nulls", "mn", "mx"))
+      val statRows = sideDf.map(_.unionByName(inlineDf))
+        .getOrElse(inlineDf)
+      val idArr = idsL.agg(sort_array(collect_list($"id")).as("ids"))
+      rejected ++= statRows.crossJoin(broadcast(idArr))
+        .as[(String, Long, Long, Option[String], Option[String],
+          Seq[Long])]
+        .mapPartitions { it =>
+          var sorted: Array[Long] = null
+          it.flatMap { case (p, rows, nulls, mn, mx, idSeq) =>
+            if (sorted == null) sorted = idSeq.toArray
+            if (statsAdmitIds(sorted, rows, nulls, mn, mx)) None
+            else Some(p)
+          }
+        }.collect()
     }
     bloomDecl.foreach { case (_, bits) =>
-      import spark.implicits._
+      val inlineRows = meta.filter(_.startsWith("#bloom\t")).flatMap { l =>
+        val a = l.split("\t", 4)
+        if (a.length == 4 && a(2) == "doc_id")
+          Some((a(1), dec.decode(a(3))))
+        else None
+      }
+      val inlineDf = inlineRows.toDF("rel", "bloom")
+      val sideDf = sideRel.map(rel => sidecarDf(spark, root, rel)
+        .filter(col("kind") === "bloom" && col("col") === "doc_id")
+        .select("rel", "bloom"))
+      val bloomRows = sideDf.map(_.unionByName(inlineDf))
+        .getOrElse(inlineDf)
       // probe positions via the SAME Spark hash expressions as the
       // write side (which hashed cast(doc_id as long) cast to string)
-      val probes: Array[Array[Int]] = sorted.toSeq.toDF("id")
-        .select(bloomPositions(col("id").cast("long"), bits): _*)
-        .collect().map(r => Array.tabulate(BloomK)(r.getInt))
-      meta.filter(_.startsWith("#bloom\t")).foreach { l =>
-        val a = l.split("\t", 4)
-        if (a.length == 4 && a(2) == "doc_id" &&
-            !bloomAdmitsIds(dec.decode(a(3)), probes))
-          rejected += a(1)
-      }
-      sideRel.foreach { rel =>
-        val pr = probes
-        rejected ++= sidecarDf(spark, root, rel)
-          .filter(col("kind") === "bloom" && col("col") === "doc_id")
-          .select("rel", "bloom").as[(String, Array[Byte])]
-          .flatMap { case (p, bytes) =>
-            if (bloomAdmitsIds(bytes, pr)) None else Some(p)
-          }.collect()
-      }
+      val probesRow = idsL
+        .select(array(bloomPositions($"id", bits): _*).as("ps"))
+        .agg(collect_list($"ps").as("pss"))
+      rejected ++= bloomRows.crossJoin(broadcast(probesRow))
+        .as[(String, Array[Byte], Seq[Seq[Int]])]
+        .mapPartitions { it =>
+          var probes: Array[Array[Int]] = null
+          it.flatMap { case (p, bytes, pss) =>
+            if (probes == null) probes = pss.map(_.toArray).toArray
+            if (bloomAdmitsIds(bytes, probes)) None else Some(p)
+          }
+        }.collect()
     }
     entries.partition(e => !rejected.contains(e._2))
   }
-
-  /** Ids above which [[upsert]] skips key pruning and reverts to
-    * whole-bucket reads (a bulk re-ingest touches most files anyway;
-    * collecting an unbounded id set to the driver is the wrong trade). */
-  private val UpsertPruneMaxIds = 10000
 
   /** Equality point read with BLOOM FILE SKIPPING: scan only the files
     * whose Bloom filter admits `value` (false positives re-filtered by
@@ -2308,7 +2651,7 @@ object SnapshotStore {
         case Some(dt) => bloomKeptEntries(spark, root, v, colName, value, dt)
         case None => readManifest(spark, root, v)
       }
-    (kept.size, readManifest(spark, root, v).size)
+    (kept.size, liveEntryCount(spark, root, v))
   }
 
   /** Range read with FILE-LEVEL DATA SKIPPING — the stats-pruned scan
@@ -2353,13 +2696,12 @@ object SnapshotStore {
     }.toMap
     val meta = manifestMeta(spark, root, v)
     // sidecar verdicts first (ONE executor-side scan for every bounded
-    // column, only rejected relpaths collected), then the small inline
-    // delta prunes driver-side
-    val rejected = sidecarStatRejects(spark, root, meta,
-      canonBounds(spark, meta, bounds, types))
+    // column; the live frame anti-joins the rejected frame there, so
+    // only the ADMITTED entries collect), then the small inline delta
+    // prunes driver-side
     val kept = bounds.toSeq.sortBy(_._1)
-      .foldLeft(readManifest(spark, root, v)
-          .filterNot(e => rejected.contains(e._2))) {
+      .foldLeft(statKeptEntries(spark, root, v, meta,
+          canonBounds(spark, meta, bounds, types))) {
         case (es, (c, (lo, hi))) =>
           if (lo == null && hi == null) es
           else pruneByStats(meta, es, c,
@@ -2403,17 +2745,16 @@ object SnapshotStore {
     val declared = declaredSeq.toMap
     val dt = probeType(declared, colName, root, "deleteWhere")
     val meta = manifestMeta(spark, root, cur)
-    val entries = readManifest(spark, root, cur)
-    val rejected = sidecarStatRejects(spark, root, meta,
-      canonBounds(spark, meta, Map(colName -> ((lo, hi))),
-        Map(colName -> dt)))
+    // only the ADMITTED candidates ever collect (executor-side
+    // anti-join against the stat verdicts); untouched files carry
+    // through publishDelta without being enumerated
     val candidates = pruneByStats(meta,
-      entries.filterNot(e => rejected.contains(e._2)), colName,
+      statKeptEntries(spark, root, cur, meta,
+        canonBounds(spark, meta, Map(colName -> ((lo, hi))),
+          Map(colName -> dt))), colName,
       Option(lo).map(canonAs(spark, _, dt, colName)),
       Option(hi).map(canonAs(spark, _, dt, colName)))
     if (candidates.isEmpty) return cur
-    val candidateSet = candidates.toSet
-    val carried = entries.filterNot(candidateSet)
     val c = col(colName)
     val hit = (Option(lo).map(x => c >= lit(x).cast(dt)) ++
       Option(hi).map(x => c <= lit(x).cast(dt))).reduce(_ && _)
@@ -2421,8 +2762,9 @@ object SnapshotStore {
       .filter(!hit || c.isNull)
     val v = cur + 1
     val dirName = writeVersionDir(survivors, spark, root, v)
-    publish(spark, root, v,
-      carried ++ listVersionFiles(spark, root, dirName),
+    publishDelta(spark, root, v,
+      listVersionFiles(spark, root, dirName),
+      candidates.map(_._2).toSet,
       carriedTxn(spark, root, Nil) ++
         carriedCheckLines(spark, root) ++
         declaredSeq.map { case (n, ty) => colLine(n, ty) } ++
@@ -2452,18 +2794,18 @@ object SnapshotStore {
       schemaCols(read(spark, root, cur).schema))
     val declared = declaredSeq.toMap
     val dt = probeType(declared, colName, root, "deletePoint")
-    val entries = readManifest(spark, root, cur)
+    // only the bloom-ADMITTING candidates ever collect; carried files
+    // pass through publishDelta unenumerated
     val candidates = bloomKeptEntries(spark, root, cur, colName, value, dt)
     if (candidates.isEmpty) return cur
-    val candidateSet = candidates.toSet
-    val carried = entries.filterNot(candidateSet)
     val c = col(colName)
     val survivors = assemble(spark, root, cur, candidates)
       .filter(c =!= lit(value).cast(dt) || c.isNull)
     val v = cur + 1
     val dirName = writeVersionDir(survivors, spark, root, v)
-    publish(spark, root, v,
-      carried ++ listVersionFiles(spark, root, dirName),
+    publishDelta(spark, root, v,
+      listVersionFiles(spark, root, dirName),
+      candidates.map(_._2).toSet,
       carriedTxn(spark, root, Nil) ++
         carriedCheckLines(spark, root) ++
         declaredSeq.map { case (n, ty) => colLine(n, ty) } ++
@@ -2485,7 +2827,6 @@ object SnapshotStore {
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))
-    val entries = readManifest(spark, root, v)
     val meta = manifestMeta(spark, root, v)
     // same type normalization as readWhereAll, so the report predicts
     // exactly the scan readWhere would run; a column absent from the
@@ -2498,10 +2839,9 @@ object SnapshotStore {
           org.apache.spark.sql.types.DataType))
       else declared.get(c).map(t =>
         c -> org.apache.spark.sql.types.DataType.fromDDL(t))).toMap
-    val rejected = sidecarStatRejects(spark, root, meta,
-      canonBounds(spark, meta, bounds, types))
     val kept = bounds.toSeq.sortBy(_._1)
-      .foldLeft(entries.filterNot(e => rejected.contains(e._2))) {
+      .foldLeft(statKeptEntries(spark, root, v, meta,
+          canonBounds(spark, meta, bounds, types))) {
         case (es, (c, (lo, hi))) =>
           types.get(c) match {
             case Some(dt) if lo != null || hi != null =>
@@ -2511,7 +2851,7 @@ object SnapshotStore {
             case _ => es
           }
       }
-    (kept.size, entries.size)
+    (kept.size, liveEntryCount(spark, root, v))
   }
 
   /** Restore: publish a NEW head version whose content is exactly
@@ -2930,8 +3270,12 @@ object SnapshotStore {
         case DataDirRe(n) => Some(n.toLong)
         case _ => None
       }
-      if (vdVersion.contains(inFlight)) {
-        // possibly being written right now — never touch it
+      if (vdVersion.exists(_ >= inFlight)) {
+        // possibly being written right now — or published by a
+        // concurrent writer AFTER this vacuum listed the manifests
+        // (nothing newer than the listing snapshot is ever touched, so
+        // a writer racing a slow vacuum can never lose a fresh commit's
+        // files) — never touch it
       } else if (vdName.startsWith(".staging-")) {
         // a staging dir for any OTHER version is a crashed attempt
         f.delete(vd.getPath, true)
@@ -2954,7 +3298,7 @@ object SnapshotStore {
       }
       // a version dir reduced to _SUCCESS/checksum remnants goes whole
       // (the in-flight version was skipped above and stays untouched)
-      if (!vdVersion.contains(inFlight) && !vdName.startsWith(".staging-") &&
+      if (!vdVersion.exists(_ >= inFlight) && !vdName.startsWith(".staging-") &&
           f.exists(vd.getPath) &&
           !f.listStatus(vd.getPath).exists(s =>
             s.isDirectory && s.getPath.getName.startsWith("bucket=")))
@@ -2972,7 +3316,7 @@ object SnapshotStore {
         case MetaDirRe(n) => Some(n.toLong)
         case _ => None
       }
-      if (!mdVersion.contains(inFlight) && !referencedMeta.contains(rel)) {
+      if (!mdVersion.exists(_ >= inFlight) && !referencedMeta.contains(rel)) {
         f.delete(md.getPath, true)
         deleted += rel
       }

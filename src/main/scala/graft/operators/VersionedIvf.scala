@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF index routed THROUGH [[SnapshotStore]] — closing the crash
+  * window [[IvfIndex.deleteFromIndex]]/[[IvfIndex.rebalance]] document:
+  * the bare-parquet layout writes its centroid sidecar and its cell
+  * partitions as two separate filesystem operations, so a crash between
+  * them leaves geometry and rows disagreeing (complete-but-degraded at
+  * best). Here the WHOLE index state publishes as one store version:
+  *
+  *  - vector rows are store rows (`doc_id` = vec_id, `embedding`,
+  *    `cent_id`), written range-clustered by cent_id so the per-file
+  *    cent_id stats envelopes are tight;
+  *  - the centroid table rides the SAME manifest as `#ivfcent` metadata
+  *    lines (k × dim longs, base64 — a few KB; the commit root is the
+  *    right home for geometry this small), via the CREATE-EXCLUSIVE
+  *    publish — so no interleaving of a maintenance verb and a crash
+  *    can ever tear centroids from cells;
+  *  - every maintenance verb (delete, rebalance) is ONE
+  *    [[SnapshotStore.upsert]] — atomic, optimistic-concurrency-safe,
+  *    and TIME-TRAVELABLE: `search(version = n)` serves the index
+  *    exactly as version n published it, which the bare layout cannot.
+  *
+  * Search pruning: the store declares doc_id + cent_id statistics, so a
+  * probe reads each probed cell through [[SnapshotStore.readWhere]]'s
+  * file skipping — the versioned layout's equivalent of the bare
+  * layout's `cent_id=` partition pruning. A probe set covering most
+  * cells (full-probe verification) reads the snapshot once and filters,
+  * since per-cell skipping would open the same files repeatedly.
+  *
+  * Reference anchor: the reference's Pinecone index is mutated by
+  * independent per-vector `index.upsert` service calls with no
+  * transactional story at all
+  * (`airflow/dags/parser_pinecone_storage.py:154,172,183`); this is
+  * the lakehouse-grade version of that maintenance surface.
+  */
+object VersionedIvf {
+
+  private val CentPrefix = "#ivfcent\t"
+
+  private def centLine(id: Long, qc: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(8 * qc.length)
+    qc.foreach(bb.putLong)
+    CentPrefix + id + "\t" +
+      java.util.Base64.getEncoder.encodeToString(bb.array)
+  }
+
+  private def parseCentLine(l: String): (Long, Array[Long]) = {
+    val a = l.split("\t", 3)
+    val bytes = java.util.Base64.getDecoder.decode(a(2))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    (a(1).toLong, Array.fill(bytes.length / 8)(bb.getLong()))
+  }
+
+  /** The centroid table of a published version (head by default) —
+    * parsed from the version's own manifest, so geometry always matches
+    * the rows the same manifest lists. */
+  def storedCentroids(spark: SparkSession, root: String,
+      version: Long = -1L): Array[(Long, Array[Long])] = {
+    val lines =
+      SnapshotStore.storedMetaLines(spark, root, CentPrefix, version)
+    require(lines.nonEmpty,
+      s"no #ivfcent geometry at $root — not a VersionedIvf store " +
+        "(or a non-VersionedIvf verb dropped the lines)")
+    lines.map(parseCentLine).sortBy(_._1).toArray
+  }
+
+  private def centLines(cents: Array[(Long, Array[Long])]): Seq[String] =
+    cents.sortBy(_._1).map { case (i, q) => centLine(i, q) }.toSeq
+
+  private def storedBucketCount(spark: SparkSession,
+      root: String): Int = {
+    val v = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $root"))
+    SnapshotStore.storedBuckets(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"store at $root records no bucket modulus"))
+  }
+
+  /** Build and publish version 1: assign every vector to its nearest
+    * centroid cell (the [[IvfIndex.centroids]] deterministic seeds) and
+    * commit rows + geometry in one manifest. Rows repartition by
+    * cent_id RANGE before the commit so each written file covers a
+    * narrow cent_id band — that is what makes the stats-skipping probe
+    * path open ~1/k of the files per probed cell. */
+  def write(emb: DataFrame, k: Int, root: String,
+      buckets: Int = 4): Long = {
+    val cents = IvfIndex.centroids(emb, k)
+    val rows = IvfIndex.cellRanksWith(emb, cents)
+      .filter(col("rk") === 1)
+      .select(col("vec_id").cast("long").as("doc_id"), col("embedding"),
+        col("cent_id"))
+      .repartitionByRange(math.max(4, k / 2), col("cent_id"))
+    SnapshotStore.commit(rows, root, buckets,
+      meta = centLines(cents) :+
+        SnapshotStore.statsDeclaration(Seq("doc_id", "cent_id")))
+  }
+
+  /** Delete vectors by id — ONE atomic publish (an empty-re-ingest
+    * upsert keyed on doc_id: the store's own doc_id stats prune the
+    * read to admitting files). Geometry is unchanged and re-rides the
+    * new manifest. Returns the new version. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Long = {
+    val cents = storedCentroids(spark, root)
+    val empty = SnapshotStore.read(spark, root).drop("bucket").limit(0)
+    SnapshotStore.upsert(spark, empty,
+      ids.select(col("vec_id").cast("long").as("doc_id")),
+      root, storedBucketCount(spark, root), meta = centLines(cents))
+  }
+
+  /** Hot-cell split ([[IvfIndex.rebalance]]'s deterministic
+    * [[IvfIndex.splitPlan]]) applied as ONE atomic publish: the
+    * reassigned rows AND the new centroid table land in the same
+    * manifest, so the crash window between "centroids updated" and
+    * "cells rewritten" that the bare layout documents cannot exist —
+    * any reader either sees the old version (old geometry, old rows) or
+    * the new one, never a mix. Returns the number of cells split. */
+  def rebalance(spark: SparkSession, root: String,
+      hotFactor: Double = 2.0): Int = {
+    require(hotFactor >= 1.0, s"hotFactor must be >= 1, got $hotFactor")
+    val cents = storedCentroids(spark, root)
+    val index = SnapshotStore.read(spark, root)
+      .select(col("doc_id").as("vec_id"), col("embedding"),
+        col("cent_id"))
+    IvfIndex.splitPlan(spark, index, () => cents, hotFactor) match {
+      case None => 0
+      case Some(p) =>
+        val rows = p.merged
+          .select(col("vec_id").as("doc_id"), col("embedding"),
+            col("cent_id"))
+        SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+          storedBucketCount(spark, root),
+          meta = centLines(p.newCents))
+        p.splitCount
+    }
+  }
+
+  /** Bounded convergence loop over [[rebalance]] — the
+    * [[IvfIndex.rebalanceUntil]] discipline on the versioned layout.
+    * Each round is one atomic version; a crash between rounds leaves a
+    * fully consistent, merely less-balanced index. */
+  def rebalanceUntil(spark: SparkSession, root: String,
+      hotFactor: Double = 2.0, maxRounds: Int = 8): Int = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var total = 0
+    var rounds = 0
+    var last = -1
+    while (rounds < maxRounds && last != 0) {
+      last = rebalance(spark, root, hotFactor)
+      total += last
+      rounds += 1
+    }
+    total
+  }
+
+  /** Probe search over the versioned layout, optionally AT a historical
+    * version — geometry and rows both come from that version's
+    * manifest. Narrow probes (the steady state) read each probed cell
+    * through [[SnapshotStore.readWhere]]'s stats skipping; a probe set
+    * covering ≥ half the cells (full-probe verification) reads the
+    * snapshot once and filters, since per-cell skipping would open the
+    * same files repeatedly. */
+  def search(spark: SparkSession, root: String, queries: DataFrame,
+      nProbe: Int, topK: Int, version: Long = -1L): DataFrame = {
+    val cents = storedCentroids(spark, root, version)
+    IvfIndex.requireDim(queries, cents, "VersionedIvf.search")
+    val probes = IvfIndex.cellRanksWith(queries, cents)
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id"))
+    val probeCells = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned =
+      if (probeCells.length * 2 >= cents.length)
+        SnapshotStore.read(spark, root, version)
+          .filter(col("cent_id").isin(probeCells.toIndexedSeq: _*))
+      else
+        probeCells.toSeq.map(c =>
+          SnapshotStore.readWhere(spark, root, "cent_id", c, c, version))
+          .reduce(_ unionByName _)
+    IvfIndex.rankCandidates(
+      assigned.select(col("doc_id").as("vec_id"), col("embedding"),
+          col("cent_id"))
+        .join(broadcast(probes), Seq("cent_id")), topK)
+  }
+}

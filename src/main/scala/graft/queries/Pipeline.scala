@@ -434,6 +434,20 @@ object Pipeline extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // REAL image decode (round 10 — javax.imageio): each doc gets a
+    // genuine tiny PNG whose pixels are a closed-form function of
+    // (doc_id, x, y), encoded AND decoded through the JDK's ImageIO on
+    // the executors (partition-local, no shuffle); decoded geometry and
+    // exact per-channel pixel sums must match the closed form the
+    // oracle computes WITHOUT decoding — so the bytes provably
+    // round-trip through a real PNG container (header, zlib, filter
+    // reconstruction), not a stub.
+    "m06_png_decode" -> ((s, d) => {
+      graft.operators.Multimodal.decodePngSums(
+          graft.operators.Multimodal.syntheticPngs(s, d))
+        .orderBy("media_id")
+    }),
+
     // Cross-modal retrieval (the CLIP-shaped join): text queries and
     // decoded media features scored in one shared space, top-3 media per
     // query. The 5-query side broadcasts (the r02 direction rule — the
@@ -1077,6 +1091,25 @@ object Pipeline extends QueryPack {
         |  cast(octet_length(encode(text)) as int) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS header_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the closed pixel form of m06's REAL PNG round-trip: the oracle
+    // never decodes an image — if the engine's ImageIO decode returns
+    // these exact geometry/channel sums, the container round-trip is
+    // bit-faithful
+    "m06_png_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height
+        |  FROM documents),
+        |xs AS (SELECT unnest(range(0, 8)) AS x),
+        |ys AS (SELECT unnest(range(0, 6)) AS y),
+        |px AS (SELECT media_id, width, height, x, y
+        |  FROM d, xs, ys WHERE x < width AND y < height)
+        |SELECT media_id, cast(width as int) AS width,
+        |  cast(height as int) AS height,
+        |  cast(sum((media_id * 31 + x * 7 + y * 13) % 256) as bigint) AS sum_r,
+        |  cast(sum((media_id * 17 + x * 11 + y * 5) % 256) as bigint) AS sum_g,
+        |  cast(sum((media_id * 13 + x * 3 + y * 19) % 256) as bigint) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     "i15_stats_skipping" ->
       """SELECT doc_id, source, n_chars FROM documents

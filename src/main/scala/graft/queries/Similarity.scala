@@ -687,6 +687,39 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = 64, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // TRANSACTIONAL stored-index maintenance (VersionedIvf — the
+    // SnapshotStore-routed layout, round 10): delete and rebalance are
+    // each ONE atomic manifest publish carrying the vector rows AND the
+    // `#ivfcent` centroid geometry, so the bare layout's documented
+    // crash window (centroid sidecar vs cell partitions, two separate
+    // writes) cannot exist and the index time-travels with the store's
+    // history. Full-probe search after delete + rebalance must be
+    // EXACTLY survivors-only brute-force cosine top-3 — a row lost in
+    // the upsert merge, a stale row surviving the keyed delete, or
+    // geometry torn from rows would hash-mismatch.
+    "s23_ivf_versioned" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s23-vivf").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.VersionedIvf.write(emb, k = 16, root)
+      graft.operators.VersionedIvf.delete(s, root,
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      val split = graft.operators.VersionedIvf.rebalance(s, root,
+        hotFactor = 1.0)
+      require(split >= 1,
+        "s23: no cell exceeded mean population — rebalance untested")
+      val nCells = graft.operators.VersionedIvf
+        .storedCentroids(s, root).length
+      graft.operators.VersionedIvf.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = nCells, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1154,6 +1187,22 @@ object Similarity extends QueryPack {
     // rebalance moves rows BETWEEN cells, never in or out of the index:
     // full-probe search after it is plain brute-force cosine top-3
     "s21_ivf_rebalance" -> fullProbeTop3Oracle,
+
+    // the versioned layout preserves content exactly like the bare one:
+    // full-probe after delete + rebalance = survivors-only brute force
+    "s23_ivf_versioned" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < $AnnEvalQueries),
+        |cand AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 <> 3),
+        |sims AS (SELECT q.q_id, c.vec_id,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]), cast(q.q_emb as double[])), 6) AS sim
+        |  FROM cand c JOIN q ON c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, sim,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) as int) AS rank
+        |  FROM sims)
+        |SELECT q_id, rank, vec_id, sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     // same invariant after the bounded convergence LOOP — however many
     // rounds it took, the index content is untouched

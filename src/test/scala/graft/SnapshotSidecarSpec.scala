@@ -63,12 +63,14 @@ class SnapshotSidecarSpec extends SparkTestBase {
       val pruned = SnapshotStore.readWhere(spark, root, "n", 100L, 150L)
       assert(pruned.inputFiles.length === kept)
       assert(pruned.count() === 51L)
-      // collect-size discipline: the stats probe brought back only the
-      // REJECTED relpaths (the executor-side verdicts), never one stats
-      // row per (file, bounded column)
-      assert(SnapshotStore.lastStatsCollectSize === total - kept,
+      // collect-size discipline (round 10): the stats probe brings back
+      // only the ADMITTED entries — the files the bounded read will
+      // actually scan — never the live list, the rejected set, or one
+      // stats row per (file, bounded column). No inline #stat lines
+      // exist in sidecar mode, so admitted == kept exactly.
+      assert(SnapshotStore.lastStatsCollectSize === kept,
         s"stats probe collected ${SnapshotStore.lastStatsCollectSize} " +
-          s"rows; expected only the ${total - kept} rejected relpaths")
+          s"entries; expected only the $kept admitted files")
       // bloom probes: exact + engaged, evaluated off the sidecar
       val (kb, tb) = SnapshotStore.bloomReport(spark, root, "k", "key_777")
       assert(kb < tb, s"bloom did not prune: $kb of $tb")

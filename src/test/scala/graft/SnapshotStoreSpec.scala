@@ -89,14 +89,18 @@ class SnapshotStoreSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf0001)
     SnapshotStore.commit(index(docs), root, buckets = 4)
     val wanted = rows(SnapshotStore.read(spark, root))
-    // simulate a writer that crashed after data files, before the rename
+    // simulate a SAME-VERSION race loser: data files written into an
+    // attempt-unique v00001 dir whose manifest never published (the only
+    // version a real writer ever attempts is head+1, so crashed/lost
+    // artifacts always sit AT or BELOW a later head — reapable as soon
+    // as the version counter passes them)
     index(docs).limit(5)
       .withColumn("bucket", lit(0L))
-      .write.partitionBy("bucket").parquet(s"$root/data/v00099")
+      .write.partitionBy("bucket").parquet(s"$root/data/v00001-deadbeef")
     assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
     assert(rows(SnapshotStore.read(spark, root)) === wanted)
     val deleted = SnapshotStore.vacuum(spark, root, keepVersions = 2)
-    assert(deleted.exists(_.startsWith("data/v00099/")),
+    assert(deleted.exists(_.startsWith("data/v00001-deadbeef/")),
       s"orphaned files must be reaped, got $deleted")
     assert(rows(SnapshotStore.read(spark, root)) === wanted)
   }
@@ -411,16 +415,26 @@ class SnapshotStoreSpec extends SparkTestBase {
     val probe = index(docs).limit(2).withColumn("bucket", lit(0L))
     probe.write.parquet(s"$root/data/.staging-v00002-deadbeef")
     probe.write.partitionBy("bucket").parquet(s"$root/data/v00002")
-    // plus an OLD crashed attempt at version 9 — clearly stale
+    // a FUTURE-versioned dir is indistinguishable from a writer that
+    // published past this vacuum's manifest listing and is already
+    // writing the next version — never touched (round-10 hardening:
+    // everything >= the listing snapshot's in-flight version is
+    // protected, not just == )
     probe.write.parquet(s"$root/data/.staging-v00009-cafe")
+    // a crashed/lost attempt AT OR BELOW the head is provably stale
+    // (writers only ever attempt head+1): reaped
+    probe.write.parquet(s"$root/data/.staging-v00001-cafe")
     val deleted = SnapshotStore.vacuum(spark, root, keepVersions = 2)
     assert(new java.io.File(s"$root/data/.staging-v00002-deadbeef").exists,
       "vacuum deleted a possibly-in-flight staging dir")
     assert(new java.io.File(s"$root/data/v00002").exists,
       "vacuum deleted a possibly-in-flight version dir")
-    assert(!new java.io.File(s"$root/data/.staging-v00009-cafe").exists,
-      "vacuum left a stale crashed staging dir")
-    assert(deleted.exists(_.startsWith("data/.staging-v00009")))
+    assert(new java.io.File(s"$root/data/.staging-v00009-cafe").exists,
+      "vacuum deleted a future-versioned dir a concurrent writer " +
+        "could own")
+    assert(!new java.io.File(s"$root/data/.staging-v00001-cafe").exists,
+      "vacuum left a provably-stale crashed staging dir")
+    assert(deleted.exists(_.startsWith("data/.staging-v00001")))
     // the store itself is untouched
     assert(rows(SnapshotStore.read(spark, root)) === rows(index(docs)))
   }

@@ -95,4 +95,92 @@ class StoreRaceSpec extends SparkTestBase {
     assert(SnapshotStore.readWhere(spark, root, "n",
       2001L, 2000L + Rounds).count() === Rounds.toLong)
   }
+
+  test("optimize + vacuum racing a writer with BOTH sidecars engaged: " +
+      "a concurrent reader never sees a torn entry list and vacuum " +
+      "never sweeps a referenced entryfile") {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_maint_race").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root))
+    val sp = spark
+    import sp.implicits._
+    // seed: enough docs that optimize(maxRecordsPerFile=4) keeps tens of
+    // files; thresholds forced low IN THIS JVM for the seed commits
+    // (each racing process forces its own copy)
+    val savedSide = SnapshotStore.sidecarThreshold
+    val savedEntry = SnapshotStore.entryThreshold
+    SnapshotStore.sidecarThreshold = 8
+    SnapshotStore.entryThreshold = 8
+    try {
+      val seed = (0L until 120L).map(i => (i, s"seed-$i", i))
+        .toDF("doc_id", "payload", "n")
+      SnapshotStore.commit(seed, root, buckets = 4,
+        meta = Seq(SnapshotStore.statsDeclaration(Seq("n", "doc_id"))))
+      SnapshotStore.optimize(spark, root, maxRecordsPerFile = 4L)
+      // both sidecars must actually be engaged for the race to mean
+      // anything
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$root/_versions/v00002.manifest")),
+        "UTF-8")
+      assert(meta.contains("#entryfile\t") && meta.contains("#metafile\t"),
+        "forced thresholds did not engage the sidecars — race inert")
+
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      def launch(role: String): Process = {
+        val cmd = (List(javaBin) ++ jvmOpens ++ List("-Xmx3g", "-cp", cp,
+          "graft.StoreMaintRace", root, role, "4"))
+        new ProcessBuilder(cmd.asJava)
+          .redirectErrorStream(true)
+          .redirectOutput(new java.io.File(s"target/store-maint-$role.log"))
+          .start()
+      }
+      val pm = launch("maint")
+      val pw = launch("write")
+      // concurrent reader: every head read must be a CONSISTENT snapshot
+      // — seed docs all present with intact payloads, writer docs a
+      // subset of its id range, no duplicates. A swept-but-referenced
+      // entryfile or data file, or a half-visible version, fails here.
+      var reads = 0
+      while (pm.isAlive || pw.isAlive) {
+        val rows = SnapshotStore.read(spark, root)
+          .select("doc_id", "payload").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val ids = rows.map(_._1)
+        assert(ids.length === ids.distinct.length,
+          s"duplicate doc_ids in a concurrent read: ${ids.length}")
+        val (seedRows, writerRows) = rows.partition(_._1 < 9000L)
+        assert(seedRows.length === 120 &&
+          seedRows.forall { case (i, p) => p == s"seed-$i" },
+          "a concurrent read lost or corrupted seed rows")
+        assert(writerRows.forall { case (i, p) =>
+          i > 9000L && i <= 9004L && p == s"w-${i - 9000L}" },
+          s"unexpected writer rows: ${writerRows.take(3).mkString(",")}")
+        reads += 1
+      }
+      assert(pm.waitFor(600, TimeUnit.SECONDS) && pw.waitFor(600,
+        TimeUnit.SECONDS), "maintenance race timed out")
+      def log(role: String): String = scala.util.Try(
+        scala.io.Source.fromFile(s"target/store-maint-$role.log")
+          .mkString).getOrElse("<no log>")
+      assert(pm.exitValue() === 0, s"maint failed:\n${log("maint")}")
+      assert(pw.exitValue() === 0, s"write failed:\n${log("write")}")
+      assert(reads > 0, "reader never overlapped the race")
+
+      // final state: all writer docs landed, vacuum left every file the
+      // retained manifests reference (read + stats probes fully work)
+      val fin = SnapshotStore.read(spark, root)
+      assert(fin.count() === 124L)
+      assert(SnapshotStore.readWhere(spark, root, "n", 9001L, 9004L)
+        .count() === 4L)
+      // time travel across the retained window still resolves (vacuum
+      // kept every entryfile/sidecar those manifests point at)
+      val cur = SnapshotStore.currentVersion(spark, root).get
+      val back = math.max(1L, cur - 3L)
+      assert(SnapshotStore.read(spark, root, back).count() >= 120L)
+    } finally {
+      SnapshotStore.sidecarThreshold = savedSide
+      SnapshotStore.entryThreshold = savedEntry
+    }
+  }
 }
