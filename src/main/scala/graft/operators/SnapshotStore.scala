@@ -680,6 +680,15 @@ object SnapshotStore {
     * sequentially in the forked test JVM. */
   @volatile private[graft] var entryThreshold: Int = 16384
 
+  /** Distinct-doc_id count above which the keyed upsert SKIPS key
+    * pruning ([[docIdCandidates]]) and treats every touched-bucket file
+    * as a candidate. The pruning path broadcasts the sorted id set (and
+    * its bloom probe positions) as ONE aggregate row; past this many
+    * keys that row is an OOM/broadcast risk and the prune admits nearly
+    * everything anyway. private[graft] var so the spec can force the
+    * fallback on small fixtures. */
+  @volatile private[graft] var docIdPruneCap: Int = 200000
+
   private def entryFileLine(rel: String) = s"#entryfile\t$rel"
 
   private def entryFileRelOf(meta: Seq[String]): Option[String] =
@@ -2547,6 +2556,17 @@ object SnapshotStore {
     import spark.implicits._
     val sideRel = metaFileRelOf(meta)
     val idsL = ids.select(col("doc_id").cast("long").as("id")).distinct()
+    // Cardinality guard: the pruning machinery below funnels the WHOLE
+    // distinct id set through one collect_list row (and one probe-array
+    // row for bloom) that is broadcast and materialized per partition.
+    // Past ~hundreds of thousands of keys that single aggregate row is
+    // an executor-OOM / broadcast-size risk — and in that regime the
+    // stats envelopes admit nearly every file anyway, so pruning buys
+    // nothing. A cheap bounded probe (limit(cap+1).count stops counting
+    // at cap+1) restores the graceful whole-bucket fallback: every
+    // entry stays a candidate, nothing is carried by key pruning.
+    if (idsL.limit(docIdPruneCap + 1).count() > docIdPruneCap)
+      return (entries, Nil)
     val rejected = mutable.Set.empty[String]
     val dec = java.util.Base64.getDecoder
     if (statDeclared) {
@@ -3329,12 +3349,16 @@ object SnapshotStore {
         deleted += s"_tags/${st.getPath.getName}"
       }
     }
-    // crashed publishes leave .tmp-vNNNNN-uuid manifests; sweep all but
-    // the possibly-in-flight version's
+    // crashed publishes leave .tmp-vNNNNN-uuid manifests; sweep only
+    // versions BELOW the in-flight one — a writer that published
+    // `inFlight` during a slow vacuum may already be staging
+    // `inFlight + 1`, and deleting its tmp would turn the retryable
+    // publish CAS into a NoSuchFileException (same >= discipline the
+    // data/meta dir sweeps use)
     val TmpRe = "\\.tmp-v(\\d{5})-.*".r
     f.listStatus(dir).foreach { st =>
       st.getPath.getName match {
-        case TmpRe(n) if n.toLong != inFlight =>
+        case TmpRe(n) if n.toLong < inFlight =>
           f.delete(st.getPath, false)
           deleted += s"_versions/${st.getPath.getName}"
         case _ =>

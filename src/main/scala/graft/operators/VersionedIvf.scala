@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   *    right home for geometry this small), via the CREATE-EXCLUSIVE
   *    publish — so no interleaving of a maintenance verb and a crash
   *    can ever tear centroids from cells;
-  *  - every maintenance verb (delete, rebalance) is ONE
+  *  - every maintenance verb (upsert, delete, rebalance) is ONE
   *    [[SnapshotStore.upsert]] — atomic, optimistic-concurrency-safe,
   *    and TIME-TRAVELABLE: `search(version = n)` serves the index
   *    exactly as version n published it, which the bare layout cannot.
+  *    Concurrency safety is end-to-end, not just per-publish: each
+  *    verb reads geometry AT the observed version and publishes with
+  *    `expectedVersion = observed` inside
+  *    [[SnapshotStore.withConflictRetry]], so two racing verbs
+  *    serialize — the loser re-reads the winner's geometry and
+  *    re-derives its rows, and a manifest can never carry stale
+  *    `#ivfcent` lines against newer rows' cent_ids.
   *
   * Search pruning: the store declares doc_id + cent_id statistics, so a
   * probe reads each probed cell through [[SnapshotStore.readWhere]]'s
@@ -70,15 +77,17 @@ object VersionedIvf {
   private def centLines(cents: Array[(Long, Array[Long])]): Seq[String] =
     cents.sortBy(_._1).map { case (i, q) => centLine(i, q) }.toSeq
 
-  private def storedBucketCount(spark: SparkSession,
-      root: String): Int = {
-    val v = SnapshotStore.currentVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"no published version at $root"))
-    SnapshotStore.storedBuckets(spark, root, v).getOrElse(
+  private def bucketsAt(spark: SparkSession, root: String,
+      version: Long): Int =
+    SnapshotStore.storedBuckets(spark, root, version).getOrElse(
       throw new IllegalArgumentException(
         s"store at $root records no bucket modulus"))
-  }
+
+  private def requirePublished(observed: Long, root: String,
+      verb: String): Unit =
+    require(observed > 0,
+      s"VersionedIvf.$verb: no published version at $root — write() " +
+        "an initial index first")
 
   /** Build and publish version 1: assign every vector to its nearest
     * centroid cell (the [[IvfIndex.centroids]] deterministic seeds) and
@@ -99,17 +108,55 @@ object VersionedIvf {
         SnapshotStore.statsDeclaration(Seq("doc_id", "cent_id")))
   }
 
+  /** Upsert vectors — the reference's most common write (Pinecone's
+    * per-vector `index.upsert` is an insert-or-replace append,
+    * `parser_pinecone_storage.py:154`) on the versioned layout: new
+    * vectors assign against the STORED `#ivfcent` geometry (the
+    * [[IvfIndex.appendToIndex]] discipline — appending never moves
+    * centroids; a later [[rebalance]] restores balance if cells run
+    * hot), existing ids are replaced, and rows + carried geometry
+    * publish as ONE atomic, time-travelable version.
+    *
+    * Concurrent-writer safety: the geometry is read at the OBSERVED
+    * version and the publish carries `expectedVersion = observed`
+    * inside [[SnapshotStore.withConflictRetry]], so a racing verb
+    * can never make this manifest carry stale centroid lines against
+    * the winner's rows — the retry re-reads geometry and re-assigns.
+    * Returns the new version. */
+  def upsert(spark: SparkSession, root: String, emb: DataFrame): Long =
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      requirePublished(observed, root, "upsert")
+      val cents = storedCentroids(spark, root, observed)
+      IvfIndex.requireDim(emb, cents, "VersionedIvf.upsert")
+      val rows = IvfIndex.cellRanksWith(emb, cents)
+        .filter(col("rk") === 1)
+        .select(col("vec_id").cast("long").as("doc_id"),
+          col("embedding"), col("cent_id"))
+        .repartitionByRange(math.max(4, cents.length / 2),
+          col("cent_id"))
+      SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+        bucketsAt(spark, root, observed), meta = centLines(cents),
+        expectedVersion = Some(observed))
+    }
+
   /** Delete vectors by id — ONE atomic publish (an empty-re-ingest
     * upsert keyed on doc_id: the store's own doc_id stats prune the
     * read to admitting files). Geometry is unchanged and re-rides the
-    * new manifest. Returns the new version. */
-  def delete(spark: SparkSession, root: String, ids: DataFrame): Long = {
-    val cents = storedCentroids(spark, root)
-    val empty = SnapshotStore.read(spark, root).drop("bucket").limit(0)
-    SnapshotStore.upsert(spark, empty,
-      ids.select(col("vec_id").cast("long").as("doc_id")),
-      root, storedBucketCount(spark, root), meta = centLines(cents))
-  }
+    * new manifest, read at the observed version and published with
+    * `expectedVersion` under [[SnapshotStore.withConflictRetry]] so a
+    * concurrent rebalance cannot be overwritten with its pre-split
+    * centroids. Returns the new version. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Long =
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      requirePublished(observed, root, "delete")
+      val cents = storedCentroids(spark, root, observed)
+      val empty = SnapshotStore.read(spark, root, observed)
+        .drop("bucket").limit(0)
+      SnapshotStore.upsert(spark, empty,
+        ids.select(col("vec_id").cast("long").as("doc_id")),
+        root, bucketsAt(spark, root, observed), meta = centLines(cents),
+        expectedVersion = Some(observed))
+    }
 
   /** Hot-cell split ([[IvfIndex.rebalance]]'s deterministic
     * [[IvfIndex.splitPlan]]) applied as ONE atomic publish: the
@@ -121,20 +168,24 @@ object VersionedIvf {
   def rebalance(spark: SparkSession, root: String,
       hotFactor: Double = 2.0): Int = {
     require(hotFactor >= 1.0, s"hotFactor must be >= 1, got $hotFactor")
-    val cents = storedCentroids(spark, root)
-    val index = SnapshotStore.read(spark, root)
-      .select(col("doc_id").as("vec_id"), col("embedding"),
-        col("cent_id"))
-    IvfIndex.splitPlan(spark, index, () => cents, hotFactor) match {
-      case None => 0
-      case Some(p) =>
-        val rows = p.merged
-          .select(col("vec_id").as("doc_id"), col("embedding"),
-            col("cent_id"))
-        SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
-          storedBucketCount(spark, root),
-          meta = centLines(p.newCents))
-        p.splitCount
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      requirePublished(observed, root, "rebalance")
+      val cents = storedCentroids(spark, root, observed)
+      val index = SnapshotStore.read(spark, root, observed)
+        .select(col("doc_id").as("vec_id"), col("embedding"),
+          col("cent_id"))
+      IvfIndex.splitPlan(spark, index, () => cents, hotFactor) match {
+        case None => 0
+        case Some(p) =>
+          val rows = p.merged
+            .select(col("vec_id").as("doc_id"), col("embedding"),
+              col("cent_id"))
+          SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+            bucketsAt(spark, root, observed),
+            meta = centLines(p.newCents),
+            expectedVersion = Some(observed))
+          p.splitCount
+      }
     }
   }
 

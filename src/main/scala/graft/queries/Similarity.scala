@@ -720,6 +720,49 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = nCells, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // Versioned-index UPSERT (VersionedIvf.upsert, round 11) — the
+    // reference's most common write (Pinecone index.upsert is an
+    // insert-or-replace append, parser_pinecone_storage.py:154) on the
+    // transactional layout: build the index on 2/3 of the corpus, then
+    // upsert a batch that mixes NEW ids (vec_id % 3 == 0) with ids
+    // ALREADY PRESENT (vec_id % 7 == 0, % 3 != 0) — the new rows must
+    // assign against the STORED geometry (appending never moves
+    // centroids), the present ones must be REPLACED not duplicated, and
+    // rows + carried `#ivfcent` lines publish as ONE atomic version.
+    // Full-probe search afterwards must be EXACTLY full-corpus brute
+    // force: a duplicated id shifts ranks, a dropped or mis-assigned
+    // row loses a neighbour, moved geometry breaks the carried-lines
+    // contract the requires pin.
+    "s24_ivf_upsert" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s24-vup").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.VersionedIvf.write(
+        emb.filter(col("vec_id") % 3 =!= 0), k = 16, root)
+      val before = graft.operators.VersionedIvf.storedCentroids(s, root)
+      graft.operators.VersionedIvf.upsert(s, root,
+        emb.filter(col("vec_id") % 3 === 0 || col("vec_id") % 7 === 0)
+          .select("vec_id", "embedding"))
+      val after = graft.operators.VersionedIvf.storedCentroids(s, root)
+      require(before.length == after.length &&
+        before.zip(after).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) },
+        "s24: upsert moved the stored geometry — append must carry " +
+          "centroids unchanged")
+      require(graft.operators.SnapshotStore.read(s, root)
+        .groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+        "s24: upsert duplicated already-present ids — replace semantics " +
+          "broken")
+      graft.operators.VersionedIvf.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = after.length, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1207,6 +1250,12 @@ object Similarity extends QueryPack {
     // same invariant after the bounded convergence LOOP — however many
     // rounds it took, the index content is untouched
     "s22_ivf_rebalance_until" -> fullProbeTop3Oracle,
+
+    // after upserting the missing third (plus replacements of present
+    // ids), the index holds the FULL corpus exactly once — full-probe
+    // search is plain full-corpus brute force; centroid choice (trained
+    // on the 2/3 subset) cannot matter under a full probe
+    "s24_ivf_upsert" -> fullProbeTop3Oracle,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -107,4 +107,51 @@ class KeyPrunedUpsertSpec extends SparkTestBase {
     assert(SnapshotStore.read(spark, root).count() === 1999L)
     assert(SnapshotStore.readDocs(spark, root, Seq(1500L)).count() === 0L)
   }
+
+  test("past docIdPruneCap the upsert skips key pruning (the sorted-id " +
+      "broadcast row would be an OOM risk) and falls back to the " +
+      "whole-bucket rewrite — content stays exact") {
+    val root = "target/keypruned-cap"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 2000L).map(i => (i, i * 3)).toDF("doc_id", "n")
+    SnapshotStore.commit(df, root, buckets = 2,
+      meta = Seq(SnapshotStore.statsDeclaration(Seq("doc_id")),
+        SnapshotStore.bloomDeclaration(Seq("doc_id"), bits = 4096)))
+    SnapshotStore.optimize(spark, root, maxRecordsPerFile = 16L)
+    val before = SnapshotStore.read(spark, root).inputFiles.toSet
+    assert(before.size >= 100, s"expected many files, got ${before.size}")
+
+    // 5 distinct incoming ids, cap forced to 3 → pruning must NOT run
+    val fresh = Seq(10L, 20L, 30L, 40L, 50L).map(i => (i, -i))
+      .toDF("doc_id", "n")
+    val savedCap = SnapshotStore.docIdPruneCap
+    SnapshotStore.docIdPruneCap = 3
+    try SnapshotStore.upsert(spark, fresh, fresh.select("doc_id"),
+      root, buckets = 2)
+    finally SnapshotStore.docIdPruneCap = savedCap
+
+    val snap = SnapshotStore.read(spark, root)
+    val after = snap.inputFiles.toSet
+    // fallback engaged: each touched bucket (≥1 of 2) rewrote wholesale
+    // (~half the files) instead of carrying all-but-the-admitting files
+    // (pruning would carry ≥ size-4, as the first test pins)
+    assert(before.intersect(after).size <= before.size - 20,
+      "key pruning ran past the cardinality cap")
+    // exactness is untouched by the fallback
+    assert(snap.count() === 2000L)
+    assert(snap.filter(col("doc_id").isin(10L, 20L, 30L, 40L, 50L))
+      .select("n").collect().map(_.getLong(0)).toSet ===
+      Set(-10L, -20L, -30L, -40L, -50L))
+
+    // under the default cap the SAME shape carries files again
+    val fresh2 = Seq((10L, 100L)).toDF("doc_id", "n")
+    val b2 = after
+    SnapshotStore.upsert(spark, fresh2, fresh2.select("doc_id"),
+      root, buckets = 2)
+    val a2 = SnapshotStore.read(spark, root).inputFiles.toSet
+    assert(b2.intersect(a2).size >= b2.size - 4,
+      "key pruning did not resume under the cap")
+  }
 }

@@ -948,4 +948,34 @@ class SnapshotStoreSpec extends SparkTestBase {
       .select("n_files").as[Long].head()
     assert(nf >= 1L && nf <= 4L)
   }
+
+  test("vacuum's tmp-manifest sweep never touches versions AT or ABOVE " +
+      "in-flight: a writer that published during a slow vacuum keeps " +
+      "the tmp of its NEXT publish") {
+    val root = "target/snap-vacuum-tmp"
+    cleanup(root)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "t")
+    SnapshotStore.commit(df, root, buckets = 2)
+    SnapshotStore.upsert(spark, df, df.select("doc_id"), root, buckets = 2)
+    // head = 2, so vacuum's in-flight = 3. Simulate: a crashed publish
+    // of v2 (below in-flight → garbage), this vacuum's possibly-live
+    // v3, and a racing writer that published v3 during the vacuum and
+    // is already staging v4 — its tmp must survive or its publish CAS
+    // turns into NoSuchFileException instead of a retryable conflict.
+    val vdir = new java.io.File(root, "_versions")
+    val stale = new java.io.File(vdir, ".tmp-v00002-deadbeef")
+    val live = new java.io.File(vdir, ".tmp-v00003-cafebabe")
+    val next = new java.io.File(vdir, ".tmp-v00004-12345678")
+    Seq(stale, live, next).foreach { f =>
+      val w = new java.io.FileWriter(f); w.write("x\n"); w.close()
+    }
+    SnapshotStore.vacuum(spark, root, keepVersions = 2)
+    assert(!stale.exists(), "crashed below-in-flight tmp not swept")
+    assert(live.exists(), "in-flight version's tmp was deleted")
+    assert(next.exists(),
+      "racing writer's above-in-flight tmp was deleted — its publish " +
+        "would crash instead of retrying")
+  }
 }

@@ -134,4 +134,104 @@ class VersionedIvfSpec extends SparkTestBase {
     assert(after.filter(col("vec_id") === 10L).count() === 0L)
     assert(after.count() === queries.count() * 3)
   }
+
+  test("upsert ≡ bare upsertIndexed: stored geometry unmoved, present " +
+      "ids replaced, new ids assigned to nearest stored cell, one " +
+      "atomic time-travelable version") {
+    val root = "target/vivf-upsert"
+    val bare = "target/vivf-upsert-bare"
+    cleanup(root); cleanup(bare)
+    val emb = corpus
+    val queries = emb.filter(col("vec_id") < 5)
+    val base = emb.filter(col("vec_id") < 45)
+    // batch mixes NEW ids (45-59) with REPLACEMENTS of present ids
+    // (40-44, re-embedded so their home cell can change)
+    val sp = spark
+    import sp.implicits._
+    val batch = emb.filter(col("vec_id") >= 45)
+      .unionByName((40L until 45L).map { i =>
+        (i, Array(9f, 9f, 9f, i.toFloat / 1e3f))
+      }.toDF("vec_id", "embedding"))
+
+    VersionedIvf.write(base, k = 4, root)
+    IvfIndex.writeIndex(base, k = 4, bare)
+    val centsBefore = VersionedIvf.storedCentroids(spark, root)
+    val v1 = SnapshotStore.currentVersion(spark, root).get
+    val preUpsert = results(VersionedIvf.search(spark, root, queries,
+      nProbe = 4, topK = 3))
+
+    VersionedIvf.upsert(spark, root, batch)
+    IvfIndex.upsertIndexed(spark, bare, batch)
+
+    // geometry carried verbatim; exactly one new version published
+    val centsAfter = VersionedIvf.storedCentroids(spark, root)
+    assert(centsAfter.map { case (i, q) => (i, q.toSeq) }.toSeq ===
+      centsBefore.map { case (i, q) => (i, q.toSeq) }.toSeq)
+    assert(SnapshotStore.currentVersion(spark, root).get === v1 + 1)
+    // content ≡ the bare layout's keyed upsert, full AND narrow probe
+    assert(results(VersionedIvf.search(spark, root, queries,
+      nProbe = 4, topK = 3)) ===
+      results(IvfIndex.searchIndexed(spark, bare, queries,
+        nProbe = 4, topK = 3)))
+    assert(results(VersionedIvf.search(spark, root, queries,
+      nProbe = 1, topK = 3)) ===
+      results(IvfIndex.searchIndexed(spark, bare, queries,
+        nProbe = 1, topK = 3)))
+    // replaced ids exist exactly once, with the NEW embedding's cell
+    val rows = SnapshotStore.read(spark, root)
+      .filter(col("doc_id") >= 40 && col("doc_id") < 45)
+    assert(rows.count() === 5L)
+    assert(rows.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // the pre-upsert version still serves the pre-upsert index
+    assert(results(VersionedIvf.search(spark, root, queries,
+      nProbe = 4, topK = 3, version = v1)) === preUpsert)
+  }
+
+  test("concurrent verbs serialize via OCC: a rebalance that wins the " +
+      "race forces the delete to retry against the NEW geometry — no " +
+      "manifest ever carries stale #ivfcent lines") {
+    val root = "target/vivf-race"
+    val serial = "target/vivf-race-serial"
+    cleanup(root); cleanup(serial)
+    val emb = corpus
+    val queries = emb.filter(col("vec_id") < 5)
+    val sp = spark
+    import sp.implicits._
+
+    VersionedIvf.write(emb, k = 4, root)
+    // the racing writer: after the delete's first attempt has read
+    // geometry at v1 and written its data dir, a rebalance publishes v2
+    // (splitting cells and reassigning rows) — the delete's publish
+    // must lose the v2 CAS, retry, and re-read the POST-SPLIT geometry
+    var fired = false
+    SnapshotStore.FaultInjection.arm { p =>
+      if (p == "data-dir-written" && !fired) {
+        fired = true
+        SnapshotStore.FaultInjection.disarm()
+        assert(VersionedIvf.rebalance(spark, root, hotFactor = 1.0) >= 1)
+      }
+    }
+    try VersionedIvf.delete(spark, root, Seq(10L).toDF("vec_id"))
+    finally SnapshotStore.FaultInjection.disarm()
+    assert(fired, "race never fired — spec inert")
+    // three versions: write, rebalance (winner), delete (retried)
+    assert(SnapshotStore.currentVersion(spark, root).get === 3L)
+
+    // the outcome must be EXACTLY the serialized rebalance-then-delete
+    VersionedIvf.write(emb, k = 4, serial)
+    assert(VersionedIvf.rebalance(spark, serial, hotFactor = 1.0) >= 1)
+    VersionedIvf.delete(spark, serial, Seq(10L).toDF("vec_id"))
+    val centsRaced = VersionedIvf.storedCentroids(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq
+    val centsSerial = VersionedIvf.storedCentroids(spark, serial)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq
+    assert(centsRaced === centsSerial,
+      "raced delete republished stale pre-split geometry")
+    val n = centsSerial.size
+    assert(results(VersionedIvf.search(spark, root, queries,
+      nProbe = n, topK = 3)) ===
+      results(VersionedIvf.search(spark, serial, queries,
+        nProbe = n, topK = 3)))
+  }
 }
