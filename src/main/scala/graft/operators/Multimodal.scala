@@ -244,6 +244,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** Output schema of [[decodePngHistogram]]. */
+  val pngHistSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("counts", ArrayType(LongType), nullable = false)))
+
+  /** REAL-pixel feature extraction (round 11 — m02/m04 moved off the
+    * byte-histogram stub): decode the PNG through [[PngCodec]] and
+    * bucket the RED channel of every decoded pixel (bucket = r >> 5,
+    * 8 buckets) — raw integer counts, so the derived ratio features
+    * are exact IEEE divisions both engines replay identically, and on
+    * the [[syntheticPngs]] corpus the closed-form pixels make the
+    * whole REAL decode oracle-checkable without the oracle touching an
+    * image. Same partition-local mapPartitions shape as every decode
+    * here: one codec scope per partition, no shuffle. */
+  def decodePngHistogram(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(pngHistSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null,
+            "decodePngHistogram: not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              hist(((img.getRGB(x, y) >> 16) & 0xff) >> 5) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), w, h, w.toLong * h, hist)
+        }
+      }(enc)
+  }
+
   /** Frame-sampling stub: treats the payload as `nFrames` equal segments
     * and emits every `stride`-th — the flatMap row-explosion shape of a
     * real video frame sampler (one row in, many typed rows out, still

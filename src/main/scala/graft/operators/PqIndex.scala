@@ -37,7 +37,7 @@ object PqIndex {
 
   /** (vec_id, j=subspace, i=offset, v=quantized component) rows of an
     * embeddings frame. */
-  private def components(emb: DataFrame, subDim: Int): DataFrame =
+  private[operators] def components(emb: DataFrame, subDim: Int): DataFrame =
     emb.select(col("vec_id"),
         posexplode(VectorFunctions.quantize1e6(col("embedding")))
           .as(Seq("pos", "v")))
@@ -53,7 +53,7 @@ object PqIndex {
       .select(col("vec_id").as("cent_id"), col("j"), col("i"),
         col("v").as("cv"))
 
-  private def distsAgainst(sub: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def distsAgainst(sub: DataFrame, cent: DataFrame): DataFrame =
     sub.join(broadcast(cent), Seq("j", "i"))
       .groupBy(col("vec_id"), col("j"), col("cent_id"))
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
@@ -102,7 +102,18 @@ object PqIndex {
     * posexplode to rows. No join, no shuffle, no corpus-scale
     * aggregation — the encode cost is exactly one scan. */
   def encodeFused(emb: DataFrame, cents: Array[(Long, Array[Long])],
-      dim: Int, m: Int): DataFrame = {
+      dim: Int, m: Int): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(codesColumn(cents, dim, m)).as(Seq("j", "code")))
+      .select(col("vec_id"), col("j").cast("int").as("j"), col("code"))
+
+  /** The m codes of the `embedding` column as ONE array-typed fused
+    * projection (index = subspace j) — [[encodeFused]] without the
+    * posexplode, for layouts that store a vector's codes as a single
+    * array cell ([[VersionedIvfAdc]]). Same codegen loop, same
+    * deterministic lowest-cent_id tie-break, zero shuffle. */
+  private[operators] def codesColumn(cents: Array[(Long, Array[Long])],
+      dim: Int, m: Int): Column = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
     val subDim = dim / m
     val centIds = array(cents.map(c => lit(c._1)): _*)
@@ -114,9 +125,7 @@ object PqIndex {
       element_at(centIds, array_position(dists, array_min(dists))
         .cast("int"))
     }
-    emb.select(col("vec_id"),
-        posexplode(array(codeCols: _*)).as(Seq("j", "code")))
-      .select(col("vec_id"), col("j").cast("int").as("j"), col("code"))
+    array(codeCols: _*)
   }
 
   /** Query lookup table: subspace distances computed for the query

@@ -47,35 +47,49 @@ object VersionedIvf {
 
   private val CentPrefix = "#ivfcent\t"
 
-  private def centLine(id: Long, qc: Array[Long]): String = {
+  /** One `<prefix><id>\t<base64 longs>` manifest line per vector —
+    * the shared codec for quantized-vector tables small enough to ride
+    * the commit root (IVF coarse centroids here, the PQ codebook in
+    * [[VersionedIvfAdc]]). */
+  private[operators] def vecLine(prefix: String, id: Long,
+      qc: Array[Long]): String = {
     val bb = java.nio.ByteBuffer.allocate(8 * qc.length)
     qc.foreach(bb.putLong)
-    CentPrefix + id + "\t" +
+    prefix + id + "\t" +
       java.util.Base64.getEncoder.encodeToString(bb.array)
   }
 
-  private def parseCentLine(l: String): (Long, Array[Long]) = {
+  private[operators] def parseVecLine(l: String): (Long, Array[Long]) = {
     val a = l.split("\t", 3)
     val bytes = java.util.Base64.getDecoder.decode(a(2))
     val bb = java.nio.ByteBuffer.wrap(bytes)
     (a(1).toLong, Array.fill(bytes.length / 8)(bb.getLong()))
   }
 
+  private[operators] def storedVecLines(spark: SparkSession, root: String,
+      prefix: String, version: Long, what: String)
+      : Array[(Long, Array[Long])] = {
+    val lines =
+      SnapshotStore.storedMetaLines(spark, root, prefix, version)
+    require(lines.nonEmpty,
+      s"no ${prefix.trim} geometry at $root — not a $what store " +
+        s"(or a foreign verb dropped the lines)")
+    lines.map(parseVecLine).sortBy(_._1).toArray
+  }
+
+  private[operators] def vecLines(prefix: String,
+      cents: Array[(Long, Array[Long])]): Seq[String] =
+    cents.sortBy(_._1).map { case (i, q) => vecLine(prefix, i, q) }.toSeq
+
   /** The centroid table of a published version (head by default) —
     * parsed from the version's own manifest, so geometry always matches
     * the rows the same manifest lists. */
   def storedCentroids(spark: SparkSession, root: String,
-      version: Long = -1L): Array[(Long, Array[Long])] = {
-    val lines =
-      SnapshotStore.storedMetaLines(spark, root, CentPrefix, version)
-    require(lines.nonEmpty,
-      s"no #ivfcent geometry at $root — not a VersionedIvf store " +
-        "(or a non-VersionedIvf verb dropped the lines)")
-    lines.map(parseCentLine).sortBy(_._1).toArray
-  }
+      version: Long = -1L): Array[(Long, Array[Long])] =
+    storedVecLines(spark, root, CentPrefix, version, "VersionedIvf")
 
   private def centLines(cents: Array[(Long, Array[Long])]): Seq[String] =
-    cents.sortBy(_._1).map { case (i, q) => centLine(i, q) }.toSeq
+    vecLines(CentPrefix, cents)
 
   private def bucketsAt(spark: SparkSession, root: String,
       version: Long): Int =

@@ -377,20 +377,23 @@ object Pipeline extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // The decode path itself, value-checked: the stub codec's feature
-    // vector is a normalized byte histogram (bucket = byte >> 5), which
-    // the oracle recomputes from the same payload bytes — so the
-    // mapPartitions plumbing (schema, encoder, partition-local codec) is
-    // verified end-to-end, not just exercised. A real model embedding
-    // would not be oracle-checkable; the byte histogram deliberately is.
-    // (width/height come from a JVM hash — asserted in MultimodalSpec,
-    // excluded here.)
+    // The decode path itself on REAL pixels (round 11 — migrated off
+    // the byte-histogram stub, closing m06's gap to the feature
+    // queries): each doc's genuine PNG decodes through javax.imageio on
+    // the executors and the feature vector is the 8-bucket histogram of
+    // the DECODED red channel — integer counts over closed-form pixels,
+    // so the oracle recomputes every count (and the exact-division
+    // ratios) without decoding an image. A wrong filter reconstruction,
+    // a channel swap, or a geometry drift in the decode would shift the
+    // counts and hash-mismatch.
     "m02_media_features" -> ((s, d) => {
-      graft.operators.Multimodal.decodeFeatures(
-          graft.operators.Multimodal.mediaFromDocuments(s, d))
-        .select(col("media_id") +: col("n_bytes") +:
+      graft.operators.Multimodal.decodePngHistogram(
+          graft.operators.Multimodal.syntheticPngs(s, d))
+        .select(col("media_id") +: col("width") +: col("height") +:
+          col("n_px") +:
           (0 until 8).map(i =>
-            round(element_at(col("feature"), i + 1), 6).as(s"f$i")): _*)
+            round(element_at(col("counts"), i + 1).cast("double") /
+              col("n_px").cast("double"), 6).as(s"f$i")): _*)
         .orderBy("media_id")
     }),
 
@@ -449,19 +452,24 @@ object Pipeline extends QueryPack {
     }),
 
     // Cross-modal retrieval (the CLIP-shaped join): text queries and
-    // decoded media features scored in one shared space, top-3 media per
-    // query. The 5-query side broadcasts (the r02 direction rule — the
-    // corpus side streams), scoring is the codegen'd cosine over the
+    // REAL-decoded media features scored in one shared space, top-3
+    // media per query (round 11: features are decoded-red-channel
+    // histogram ratios from genuine PNGs, not the byte stub). The
+    // 5-query side broadcasts (the r02 direction rule — the corpus side
+    // streams), scoring is the codegen'd cosine over the
     // mapPartitions-decoded features, and the per-query top-k goes
     // through the row_number form RowNumberLimitRule rewrites into the
-    // two-phase TopKPerKey operator. Feature determinism: raw byte
-    // histogram ratios (exact IEEE divisions of integer counts), NOT the
-    // rounded m02 presentation — the oracle replays them bit-exactly.
+    // two-phase TopKPerKey operator. Feature determinism: raw pixel
+    // bucket counts over closed-form pixels, exact IEEE divisions —
+    // the oracle replays them bit-exactly without decoding.
     "m04_crossmodal" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val feats = graft.operators.Multimodal.decodeFeatures(
-          graft.operators.Multimodal.mediaFromDocuments(s, d))
-        .select(col("media_id"), col("feature"))
+      val feats = graft.operators.Multimodal.decodePngHistogram(
+          graft.operators.Multimodal.syntheticPngs(s, d))
+        .select(col("media_id"),
+          array((0 until 8).map(i =>
+            element_at(col("counts"), i + 1).cast("double") /
+              col("n_px").cast("double")): _*).as("feature"))
       val queries = Tables.documents(s, d).filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"),
           graft.functions.Embedder.embed(col("text"), 8).as("q_emb"))
@@ -745,19 +753,27 @@ object Pipeline extends QueryPack {
       |fb AS (SELECT doc_id, fi, text, fi * sl AS off,
       |    least(n, (fi + 1) * sl) - fi * sl AS flen FROM fr)""".stripMargin
 
-  /** Oracle CTEs replaying [[graft.operators.Multimodal.FakeCodec]]'s
-    * byte histogram (ASCII fixture: ord(char) == byte — documented at
-    * m02). Shared by m02 (rounded presentation) and m04 (raw feature
-    * vectors for cosine), which must stay bit-identical to the codec.
-    * Final CTEs: `cnt` (doc_id, bucket, c) and `tot` (doc_id, n). */
-  private val duckFeatureCtes: String =
-    """pos AS (SELECT doc_id, text,
-      |    unnest(range(1, length(text) + 1)) AS i FROM documents),
-      |bk AS (SELECT doc_id,
-      |    ord(substring(text, cast(i as int), 1)) // 32 AS bucket FROM pos),
-      |cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
-      |tot AS (SELECT doc_id, cast(octet_length(encode(text)) as int) AS n
-      |  FROM documents)""".stripMargin
+  /** Oracle CTEs replaying the REAL-pixel red-channel histogram of
+    * [[graft.operators.Multimodal.decodePngHistogram]] over the
+    * [[graft.operators.Multimodal.syntheticPngs]] corpus — the oracle
+    * never decodes an image: the pixels are a closed form of
+    * (doc_id, x, y), so red = (id*31 + x*7 + y*13) % 256 and the bucket
+    * counts are pure arithmetic (the m06 discipline extended to the
+    * feature queries). Shared by m02 (rounded presentation) and m04
+    * (raw ratio vectors for cosine), which must stay bit-identical to
+    * the decode. Final CTEs: `cnt` (media_id, bucket, c) and `tot`
+    * (media_id, width, height, n_px). */
+  private val duckPixelCtes: String =
+    """dm AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS width,
+      |    3 + doc_id % 4 AS height FROM documents),
+      |xs AS (SELECT unnest(range(0, 8)) AS x),
+      |ys AS (SELECT unnest(range(0, 6)) AS y),
+      |px AS (SELECT media_id,
+      |    ((media_id * 31 + x * 7 + y * 13) % 256) // 32 AS bucket
+      |  FROM dm, xs, ys WHERE x < width AND y < height),
+      |cnt AS (SELECT media_id, bucket, count(*) AS c FROM px GROUP BY 1, 2),
+      |tot AS (SELECT media_id, width, height, width * height AS n_px
+      |  FROM dm)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "i13_incremental_join" ->
@@ -1032,13 +1048,13 @@ object Pipeline extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
 
     "m04_crossmodal" ->
-      s"""WITH $duckFeatureCtes,
-         |feats AS (SELECT t.doc_id AS media_id,
+      s"""WITH $duckPixelCtes,
+         |feats AS (SELECT t.media_id,
          |  [${(0 until 8).map(b =>
-             s"cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / greatest(1.0, cast(t.n as double))")
+             s"cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / cast(t.n_px as double)")
              .mkString(",\n   ")}] AS feature
-         |  FROM tot t LEFT JOIN cnt c ON c.doc_id = t.doc_id
-         |  GROUP BY t.doc_id, t.n),
+         |  FROM tot t LEFT JOIN cnt c ON c.media_id = t.media_id
+         |  GROUP BY t.media_id, t.n_px),
          |q AS (SELECT doc_id AS q_id,
          |    list_transform(range(0, 8), d ->
          |      (${graft.functions.CrossHash.duckHash60("text || '#emb#' || cast(d as varchar)")} % 2000001) / 1000000.0 - 1.0) AS q_emb
@@ -1053,14 +1069,15 @@ object Pipeline extends QueryPack {
          |ORDER BY q_id, rank""".stripMargin,
 
     "m02_media_features" ->
-      s"""WITH $duckFeatureCtes
-         |SELECT t.doc_id AS media_id, t.n AS n_bytes,
+      s"""WITH $duckPixelCtes
+         |SELECT t.media_id, cast(t.width as int) AS width,
+         |  cast(t.height as int) AS height, cast(t.n_px as bigint) AS n_px,
          |${(0 until 8).map(b =>
-             s"  round(cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / greatest(1.0, cast(t.n as double)), 6) AS f$b")
+             s"  round(cast(coalesce(sum(CASE WHEN bucket = $b THEN c END), 0) as double) / cast(t.n_px as double), 6) AS f$b")
              .mkString(",\n")}
-         |FROM tot t LEFT JOIN cnt c ON c.doc_id = t.doc_id
-         |GROUP BY t.doc_id, t.n
-         |ORDER BY media_id""".stripMargin,
+         |FROM tot t LEFT JOIN cnt c ON c.media_id = t.media_id
+         |GROUP BY t.media_id, t.width, t.height, t.n_px
+         |ORDER BY t.media_id""".stripMargin,
 
     "m05_frame_pool" ->
       s"""WITH $duckFrameCtes,

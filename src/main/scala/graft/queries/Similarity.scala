@@ -763,6 +763,52 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = after.length, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // TRANSACTIONAL IVFADC (VersionedIvfAdc, round 11) — s14's
+    // compressed cascade (coarse IVF probe → PQ asymmetric distance)
+    // with the WHOLE index state in ONE SnapshotStore manifest: rows =
+    // (doc_id, cent_id, codes[m]), coarse centroids + PQ codebook +
+    // (dim,m,k) geometry as manifest lines — where the bare layout
+    // persists four artifacts with no transactional tie. The round trip
+    // write → delete 10% → upsert the SAME vectors back (re-encoded
+    // against the STORED quantizers) must land EXACTLY on the bare
+    // cascade's result: a row not restored, a code drifting from the
+    // carried codebook, or a duplicate surviving the keyed replace
+    // would shift the integer distances the oracle replays.
+    "s25_ivfadc_versioned" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s25-vadc").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.VersionedIvfAdc.write(emb, root, dim = Dim,
+        m = 8, k = 16, nCells = 16)
+      val g1 = (graft.operators.VersionedIvfAdc.storedCoarse(s, root),
+        graft.operators.VersionedIvfAdc.storedBook(s, root))
+      val churn = emb.filter(col("vec_id") % 10 === 3)
+      graft.operators.VersionedIvfAdc.delete(s, root,
+        churn.select("vec_id"))
+      graft.operators.VersionedIvfAdc.upsert(s, root,
+        churn.select("vec_id", "embedding"))
+      val g2 = (graft.operators.VersionedIvfAdc.storedCoarse(s, root),
+        graft.operators.VersionedIvfAdc.storedBook(s, root))
+      require(g1._1.length == g2._1.length && g1._2.length == g2._2.length
+        && g1._1.zip(g2._1).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) }
+        && g1._2.zip(g2._2).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) },
+        "s25: delete/upsert moved the stored quantizers — maintenance " +
+          "must carry geometry verbatim")
+      require(graft.operators.SnapshotStore.currentVersion(s, root)
+        .contains(3L),
+        "s25: expected exactly 3 versions (write, delete, upsert)")
+      graft.operators.VersionedIvfAdc.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1210,6 +1256,12 @@ object Similarity extends QueryPack {
     // the stored cascade computes the identical quantity (same corpus,
     // same parameters, quantizers persisted instead of in-memory)
     "s14_pq_ivf_stored" -> PqIvfOracleSql,
+
+    // the versioned compressed layout computes the identical cascade —
+    // after a delete + same-vectors upsert round trip, re-encoding
+    // against the carried quantizers restores the exact integer
+    // distances of a fresh build
+    "s25_ivfadc_versioned" -> PqIvfOracleSql,
 
     // survivors-only brute force: full-probe stored search after the
     // delete must equal exact cosine top-3 with the deleted set gone
