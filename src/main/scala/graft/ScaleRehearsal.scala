@@ -109,6 +109,7 @@ object ScaleRehearsal {
       if (mode == "pressure") pressure(spark)
       else if (mode == "manifest") manifest(spark, args)
       else if (mode == "entries") entriesMode(spark, args)
+      else if (mode == "ivf") ivfMode(spark, args)
       else full(spark, args)
     } finally spark.stop()
   }
@@ -270,6 +271,159 @@ object ScaleRehearsal {
       .getOrElse("target/scale_rehearsal_manifest.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"MANIFEST_REHEARSAL_OK $json")
+  }
+
+  /** VERSIONED-ANN scale rehearsal (rounds 10-11's transactional index
+    * layer at a volume the sf fixtures never reach): a 10⁶-vector
+    * corpus through every [[VersionedIvf]] / [[VersionedIvfAdc]]
+    * maintenance verb, with MEASURED seconds and the invariants the
+    * transactional claims rest on checked at that volume:
+    *
+    *  - write publishes exactly version 1 with every vector present;
+    *  - probe search stays narrow (16 queries × nProbe 4 over k = 64
+    *    cells must return exactly 16 × topK ranked rows);
+    *  - a 10⁴-id INSERT upsert is append-shaped: the store's doc_id
+    *    key pruning (the cardinality-guarded path — 10⁴ ids is under
+    *    the 2×10⁵ cap, so pruning is ACTIVE) must carry every
+    *    pre-existing file verbatim, rewriting ZERO of them;
+    *  - a 10⁴-id REPLACE upsert keeps the corpus cardinality and never
+    *    duplicates an id (max per-id multiplicity 1 across cells);
+    *  - delete removes exactly its ids; rebalanceUntil conserves rows;
+    *  - the initial version stays time-travelable after every verb.
+    *
+    * Usage: `runMain graft.ScaleRehearsal ivf [nVectors] [outJson]`. */
+  private def ivfMode(spark: SparkSession, args: Array[String]): Unit = {
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val dim = 64
+    val emb = synthEmbeddings(spark, n, dim)
+      .localCheckpoint(eager = true) // synth once; verbs time the verb
+    def freshRoot(tag: String): String = {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-rehearsal-$tag").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      root
+    }
+    val root = freshRoot("ivf")
+
+    val (v1, tWrite) = timed("ivf_write") {
+      VersionedIvf.write(emb, k = 64, root, buckets = 8)
+    }
+    require(v1 == 1L, s"write published version $v1, expected 1")
+    report += "ivf_write_s" -> tWrite
+    require(SnapshotStore.read(spark, root).count() == n,
+      "write lost vectors")
+
+    // 4 queries x nProbe 4 = <=16 distinct cells over k = 64: under the
+    // half-the-cells heuristic, so this measures the stats-skipping
+    // per-cell readWhere path; the 16-query batch crosses it and
+    // measures the one-snapshot-read-and-filter path.
+    val queries4 = emb.filter(col("vec_id") < 4)
+    val (probeRows, tSearch) = timed("ivf_search_probe4") {
+      VersionedIvf.search(spark, root, queries4,
+        nProbe = 4, topK = 5).count()
+    }
+    require(probeRows == 4L * 5,
+      s"probe search returned $probeRows rows, expected 20")
+    report += "ivf_search_probe4_s" -> tSearch
+    val queries16 = emb.filter(col("vec_id") < 16)
+    val (batchRows, tBatch) = timed("ivf_search_batch16") {
+      VersionedIvf.search(spark, root, queries16,
+        nProbe = 4, topK = 5).count()
+    }
+    require(batchRows == 16L * 5,
+      s"batch search returned $batchRows rows, expected 80")
+    report += "ivf_search_batch16_s" -> tBatch
+
+    // INSERT upsert: 10^4 ids the corpus has never seen. doc_id key
+    // pruning must prove every existing file clean of these ids and
+    // carry it verbatim — the O(delta) maintenance claim at 10^6 rows.
+    val freshVecs = synthEmbeddings(spark, n + 10000L, dim)
+      .filter(col("vec_id") >= n)
+    val relsBefore = SnapshotStore
+      .manifestEntries(spark, root, v1).map(_._2).toSet
+    val (v2, tIns) = timed("ivf_upsert_insert") {
+      VersionedIvf.upsert(spark, root, freshVecs)
+    }
+    val relsAfter = SnapshotStore
+      .manifestEntries(spark, root, v2).map(_._2).toSet
+    val rewritten = relsBefore.diff(relsAfter).size
+    require(rewritten == 0,
+      s"insert-only upsert rewrote $rewritten carried files")
+    report += "ivf_upsert_insert_s" -> tIns
+    report += "ivf_upsert_insert_rewritten" -> rewritten.toDouble
+    require(SnapshotStore.read(spark, root).count() == n + 10000L,
+      "insert upsert lost rows")
+
+    // REPLACE upsert: the same 10^4 ids again — cardinality must hold
+    // and no id may appear in two cells (replace, never duplicate).
+    val (_, tRep) = timed("ivf_upsert_replace") {
+      VersionedIvf.upsert(spark, root, freshVecs)
+    }
+    report += "ivf_upsert_replace_s" -> tRep
+    val dup = SnapshotStore.read(spark, root)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    require(dup == 0, s"$dup ids duplicated after replace upsert")
+    require(SnapshotStore.read(spark, root).count() == n + 10000L,
+      "replace upsert changed cardinality")
+
+    val (_, tDel) = timed("ivf_delete") {
+      VersionedIvf.delete(spark, root,
+        spark.range(n, n + 10000L).select(col("id").as("vec_id")))
+    }
+    report += "ivf_delete_s" -> tDel
+    require(SnapshotStore.read(spark, root).count() == n,
+      "delete removed the wrong row count")
+
+    val (splits, tRebal) = timed("ivf_rebalance_until") {
+      VersionedIvf.rebalanceUntil(spark, root,
+        hotFactor = 2.0, maxRounds = 3)
+    }
+    report += "ivf_rebalance_until_s" -> tRebal
+    report += "ivf_rebalance_splits" -> splits.toDouble
+    require(SnapshotStore.read(spark, root).count() == n,
+      "rebalance lost rows")
+    require(SnapshotStore.read(spark, root, 1L).count() == n,
+      "version 1 no longer time-travelable")
+
+    val adcRoot = freshRoot("ivfadc")
+    val (av1, tAdcWrite) = timed("ivfadc_write") {
+      VersionedIvfAdc.write(emb, adcRoot, dim = dim, m = 8, k = 16,
+        nCells = 64, buckets = 8)
+    }
+    require(av1 == 1L, s"adc write published version $av1, expected 1")
+    report += "ivfadc_write_s" -> tAdcWrite
+    require(SnapshotStore.read(spark, adcRoot).count() == n,
+      "adc write lost vectors")
+    val (adcRows, tAdcSearch) = timed("ivfadc_search_probe") {
+      VersionedIvfAdc.search(spark, adcRoot, queries16,
+        nProbe = 4, topK = 5).count()
+    }
+    require(adcRows == 16L * 5,
+      s"adc probe search returned $adcRows rows, expected 80")
+    report += "ivfadc_search_probe_s" -> tAdcSearch
+    val (_, tAdcUp) = timed("ivfadc_upsert_insert") {
+      VersionedIvfAdc.upsert(spark, adcRoot, freshVecs)
+    }
+    report += "ivfadc_upsert_insert_s" -> tAdcUp
+    require(SnapshotStore.read(spark, adcRoot).count() == n + 10000L,
+      "adc insert upsert lost rows")
+    val (_, tAdcDel) = timed("ivfadc_delete") {
+      VersionedIvfAdc.delete(spark, adcRoot,
+        spark.range(n, n + 10000L).select(col("id").as("vec_id")))
+    }
+    report += "ivfadc_delete_s" -> tAdcDel
+    require(SnapshotStore.read(spark, adcRoot).count() == n,
+      "adc delete removed the wrong row count")
+
+    val json = report.map { case (k, vv) => f""""$k": $vv%.3f""" }
+      .mkString("{", ", ", "}")
+    val out = args.lift(2)
+      .getOrElse("target/scale_rehearsal_ivf.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"IVF_REHEARSAL_OK $json")
   }
 
   /** ENTRY-LIST scale rehearsal (round-9 verdict item 1): the manifest's

@@ -59,8 +59,7 @@ object IvfIndex {
     var cents = centroids(emb, k)
     for (_ <- 0 until iters) {
       val dim = cents.head._2.length
-      val assigned = cellRanksWith(emb, cents)
-        .filter(col("rk") === 1)
+      val assigned = cellAssign(emb, cents)
         .select(col("cent_id"),
           VectorFunctions.quantize1e6(col("embedding")).as("qe"))
       val meanCols = (0 until dim).map(i =>
@@ -83,16 +82,14 @@ object IvfIndex {
     * centroid — the distortion objective Lloyd descends; exposed for
     * training diagnostics and the convergence spec. */
   def distortion(emb: DataFrame, cents: Array[(Long, Array[Long])]): Double =
-    cellRanksWith(emb, cents)
-      .filter(col("rk") === 1)
+    cellAssign(emb, cents)
       .agg(avg(col("dist")))
       .collect()(0).getDouble(0)
 
   /** (vec_id, embedding, cent_id): each vector assigned to its nearest
     * centroid cell. Map-only (centroid literals, per-row argmin). */
   def assignments(emb: DataFrame, k: Int): DataFrame =
-    cellRanks(emb, k)
-      .filter(col("rk") === 1)
+    cellAssign(emb, centroids(emb, k))
       .select("vec_id", "embedding", "cent_id")
 
   /** All (vector, centroid) distances ranked per vector — rank 1 is the
@@ -133,6 +130,32 @@ object IvfIndex {
         (col("pos") + 1).cast("int").as("rk")): _*)
   }
 
+  /** Exactly [[cellRanksWith]]'s rank-1 row per vector — same fused
+    * distance expression, same (dist, cent_id) struct ordering for the
+    * tie-break — WITHOUT the k-way posexplode: the argmin cell comes
+    * from one `array_min` over the k cell structs, so assignment stays
+    * one map-only pass carrying each row ONCE. The explode form pushes
+    * n·k embedding-carrying rows through the plan to keep 1/k of them —
+    * measured at 10⁶ vectors × 64 cells, the versioned-index write went
+    * 537 s → O(n) with this path. Every build/append/assign caller
+    * (rank-1 semantics) uses this; probe callers (rk ≤ nProbe) still
+    * rank via [[cellRanksWith]]. Output: emb's columns + cent_id +
+    * dist. */
+  def cellAssign(emb: DataFrame,
+      cents: Array[(Long, Array[Long])]): DataFrame = {
+    require(cents.nonEmpty, s"IVF index needs >= 1 centroid, got 0")
+    val clash = Seq("cent_id", "dist", "rk", "dists", "cells", "best")
+      .filter(emb.columns.contains)
+    require(clash.isEmpty,
+      s"cellAssign: embeddings frame must not contain ${clash.mkString(", ")}")
+    val embCols = emb.columns.toSeq.map(col)
+    val best = graft.plans.IvfCellArgminExpr.ivf_cell_argmin(
+      col("embedding"), cents.map(_._2.toSeq).toSeq, cents.map(_._1).toSeq)
+    emb.withColumn("best", best)
+      .select(embCols ++ Seq(col("best.cent_id").as("cent_id"),
+        col("best.dist").as("dist")): _*)
+  }
+
   /** Top-`topK` in-probe neighbours (by cosine) for each query vector.
     *
     * The probe set (queries × nProbe cells) is broadcast when small, so
@@ -171,10 +194,14 @@ object IvfIndex {
             "query SET, not the cell ranking (rk/cent_id/dist are produced " +
             s"internally). Analysis said: ${e.getMessage}", e)
     }
-    val ranks = cellRanksWith(emb, cents)
-    val assigned = ranks.filter(col("rk") === 1)
+    // assignment (full corpus) takes the explode-free argmin path; only
+    // the (filtered) query side pays the k-way ranking explode —
+    // queryFilter references emb columns only, so Catalyst pushes it
+    // below the Generate and just the query rows explode
+    val assigned = cellAssign(emb, cents)
       .select("vec_id", "embedding", "cent_id")
-    val probes = ranks.filter(queryFilter && col("rk") <= nProbe)
+    val probes = cellRanksWith(emb, cents)
+      .filter(queryFilter && col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cent_id"))
     val probeEstimate = emb.filter(queryFilter).count() * nProbe
@@ -216,8 +243,7 @@ object IvfIndex {
       }
     }
     val cents = centroids(emb, k)
-    val assigned = cellRanksWith(emb.where(corpusFilter), cents)
-      .filter(col("rk") === 1)
+    val assigned = cellAssign(emb.where(corpusFilter), cents)
       .select("vec_id", "embedding", "cent_id")
     val probes = cellRanksWith(emb, cents)
       .filter(queryFilter && col("rk") <= nProbe)
@@ -245,8 +271,7 @@ object IvfIndex {
     import spark.implicits._
     cents.toSeq.toDF("cent_id", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cellRanksWith(emb, cents)
-      .filter(col("rk") === 1)
+    cellAssign(emb, cents)
       .select("vec_id", "embedding", "cent_id")
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/index")
   }
@@ -291,8 +316,7 @@ object IvfIndex {
       newEmb: DataFrame): Unit = {
     val cents = readCentroids(spark, path)
     requireDim(newEmb, cents, "appendToIndex")
-    cellRanksWith(newEmb, cents)
-      .filter(col("rk") === 1)
+    cellAssign(newEmb, cents)
       .select("vec_id", "embedding", "cent_id")
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/index")
   }
@@ -311,8 +335,7 @@ object IvfIndex {
       newEmb: DataFrame): Unit = {
     val cents = readCentroids(spark, path)
     requireDim(newEmb, cents, "upsertIndexed")
-    val fresh = cellRanksWith(newEmb, cents)
-      .filter(col("rk") === 1)
+    val fresh = cellAssign(newEmb, cents)
       .select("vec_id", "embedding", "cent_id")
       .localCheckpoint(eager = true)
     val freshIds = fresh.select("vec_id")
@@ -621,8 +644,7 @@ object IvfIndex {
     import spark.implicits._
     cents.toSeq.toDF("cent_id", "qc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cellRanksWith(emb, cents)
-      .filter(col("rk") === 1)
+    cellAssign(emb, cents)
       .select(col("vec_id"),
         VectorFunctions.quantizeInt8(col("embedding")).as("q8"),
         col("cent_id"))

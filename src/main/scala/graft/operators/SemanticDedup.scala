@@ -40,8 +40,7 @@ object SemanticDedup {
     * set. */
   def dedupWith(emb: DataFrame, cents: Array[(Long, Array[Long])],
       tau: Double): DataFrame = {
-    val assigned = IvfIndex.cellRanksWith(emb, cents)
-      .filter(col("rk") === 1)
+    val assigned = IvfIndex.cellAssign(emb, cents)
       .select("vec_id", "cent_id", "embedding")
     val slim = assigned.select("vec_id", "cent_id", "embedding")
     val dupIds = slim.as("a").join(slim.as("b"), Seq("cent_id"))

@@ -112,8 +112,7 @@ object VersionedIvf {
   def write(emb: DataFrame, k: Int, root: String,
       buckets: Int = 4): Long = {
     val cents = IvfIndex.centroids(emb, k)
-    val rows = IvfIndex.cellRanksWith(emb, cents)
-      .filter(col("rk") === 1)
+    val rows = IvfIndex.cellAssign(emb, cents)
       .select(col("vec_id").cast("long").as("doc_id"), col("embedding"),
         col("cent_id"))
       .repartitionByRange(math.max(4, k / 2), col("cent_id"))
@@ -142,8 +141,7 @@ object VersionedIvf {
       requirePublished(observed, root, "upsert")
       val cents = storedCentroids(spark, root, observed)
       IvfIndex.requireDim(emb, cents, "VersionedIvf.upsert")
-      val rows = IvfIndex.cellRanksWith(emb, cents)
-        .filter(col("rk") === 1)
+      val rows = IvfIndex.cellAssign(emb, cents)
         .select(col("vec_id").cast("long").as("doc_id"),
           col("embedding"), col("cent_id"))
         .repartitionByRange(math.max(4, cents.length / 2),

@@ -100,8 +100,7 @@ object VersionedIvfAdc {
   private def encodedRows(emb: DataFrame,
       coarse: Array[(Long, Array[Long])],
       book: Array[(Long, Array[Long])], dim: Int, m: Int): DataFrame =
-    IvfIndex.cellRanksWith(emb, coarse)
-      .filter(col("rk") === 1)
+    IvfIndex.cellAssign(emb, coarse)
       .select(col("vec_id").cast("long").as("doc_id"),
         col("cent_id"),
         PqIndex.codesColumn(book, dim, m).as("codes"))
