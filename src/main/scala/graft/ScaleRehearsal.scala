@@ -388,6 +388,20 @@ object ScaleRehearsal {
     require(SnapshotStore.read(spark, root, 1L).count() == n,
       "version 1 no longer time-travelable")
 
+    // Lloyd training at corpus scale: full-corpus rounds vs the
+    // bounded-sample (Faiss-style) discipline — same determinism, the
+    // training pass shrinks from O(n) to O(sample)
+    val (tcFull, tTrainFull) = timed("ivf_train_full") {
+      IvfIndex.trainCentroids(emb, 64, iters = 2)
+    }
+    report += "ivf_train_full_s" -> tTrainFull
+    val (tcSamp, tTrainSamp) = timed("ivf_train_sampled") {
+      IvfIndex.trainCentroids(emb, 64, iters = 2, trainSample = 16384L)
+    }
+    report += "ivf_train_sampled_s" -> tTrainSamp
+    require(tcFull.length == 64 && tcSamp.length == 64,
+      "Lloyd training lost centroids")
+
     val adcRoot = freshRoot("ivfadc")
     val (av1, tAdcWrite) = timed("ivfadc_write") {
       VersionedIvfAdc.write(emb, adcRoot, dim = dim, m = 8, k = 16,

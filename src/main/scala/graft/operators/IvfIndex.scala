@@ -53,13 +53,36 @@ object IvfIndex {
     * is what bounds per-probe work at corpus scale; everything stays
     * deterministic — quantized integer means of deterministic
     * assignments — so a trained index is as reproducible as a seeded one.
-    * Use with [[cellRanksWith]] / [[writeIndex]]'s explicit-centroid form. */
+    * Use with [[cellRanksWith]] / [[writeIndex]]'s explicit-centroid form.
+    *
+    * `trainSample` > 0 bounds the TRAINING corpus (the Faiss discipline:
+    * quantizers train on a bounded sample — Faiss itself defaults to
+    * ≤ 256 points per centroid — then EVERYTHING assigns against the
+    * trained geometry): training reads only vectors with
+    * `pmod(xxhash64(vec_id), ceil(n / trainSample)) = 0` — a
+    * deterministic, order-independent hash band of ~trainSample vectors,
+    * reproducible across engines and partitionings like everything else
+    * here. At corpus scale this turns each Lloyd round from an O(n·k·dim)
+    * pass into O(sample·k·dim); assignment quality degrades only as far
+    * as the sample misrepresents the distribution, which is the standard
+    * ANN-index trade, not an approximation of SEARCH results (search
+    * correctness never depends on which centroids were chosen). */
   def trainCentroids(emb: DataFrame, k: Int,
-      iters: Int): Array[(Long, Array[Long])] = {
-    var cents = centroids(emb, k)
+      iters: Int, trainSample: Long = 0L): Array[(Long, Array[Long])] = {
+    val train =
+      if (trainSample <= 0) emb
+      else {
+        val n = emb.count()
+        if (n <= trainSample) emb
+        else {
+          val mod = (n + trainSample - 1) / trainSample
+          emb.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        }
+      }
+    var cents = centroids(train, k)
     for (_ <- 0 until iters) {
       val dim = cents.head._2.length
-      val assigned = cellAssign(emb, cents)
+      val assigned = cellAssign(train, cents)
         .select(col("cent_id"),
           VectorFunctions.quantize1e6(col("embedding")).as("qe"))
       val meanCols = (0 until dim).map(i =>

@@ -2690,6 +2690,82 @@ object SnapshotStore {
       lo: Any, hi: Any, version: Long = -1L): DataFrame =
     readWhereAll(spark, root, Map(colName -> ((lo, hi))), version)
 
+  /** Disjunctive POINT-SET read — `colName IN (values)` with file
+    * skipping: a file is pruned when its recorded envelope provably
+    * admits NONE of the probe values. One metadata pass for the whole
+    * set (sidecar verdicts evaluate on executors, only admitted entries
+    * collect; inline lines prune driver-side), one scan of the admitted
+    * files — the multi-probe read the IVF search path needs. Calling
+    * [[readWhere]] per value instead pays the manifest/sidecar read
+    * once PER VALUE and unions the scans: measured on a 10⁶-row
+    * versioned index, a 16-cell probe through per-cell readWhere was
+    * SLOWER than reading the whole snapshot (6.8 s vs 2.9 s); this is
+    * one pass. Conservative like readWhere: no stats for the column (or
+    * no declaration) keeps every file. */
+  def readWhereIn(spark: SparkSession, root: String, colName: String,
+      values: Seq[Any], version: Long = -1L): DataFrame = {
+    require(values.nonEmpty, "readWhereIn needs at least one probe value")
+    val v = if (version >= 0) version
+      else currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $root"))
+    val declared = declaredCols(spark, root, v).getOrElse(
+      schemaCols(read(spark, root, v).schema)).toMap
+    val t = probeType(declared, colName, root, "readWhereIn")
+    val meta = manifestMeta(spark, root, v)
+    val statDeclared =
+      statColsLineOf(meta).map(parseStatCols).getOrElse(Nil)
+        .contains(colName)
+    val canonVals = values.map(x => canonAs(spark, x, t, colName))
+    val live = liveEntriesDf(spark, root, v)
+    val keptDf =
+      if (!statDeclared) live
+      else metaFileRelOf(meta) match {
+        case None => live
+        case Some(rel) =>
+          import spark.implicits._
+          val cv = canonVals // local vals: closure must not capture `this`
+          val cn = colName
+          val rej = sidecarDf(spark, root, rel)
+            .filter(col("kind") === "stat" && col("col") === cn)
+            .select("rel", "rows", "nulls", "mn", "mx")
+            .as[(String, Long, Long, Option[String], Option[String])]
+            .flatMap { case (p, rows, nulls, mn, mx) =>
+              if (cv.forall(x =>
+                statsReject(rows, nulls, mn, mx, Some(x), Some(x))))
+                Some(p)
+              else None
+            }.toDF("rel")
+          live.join(rej, Seq("rel"), "left_anti").select("bucket", "rel")
+      }
+    val kept0 = keptDf.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(identity)
+    lastStatsCollectSize = kept0.size
+    val kept =
+      if (!statDeclared) kept0
+      else {
+        val inline = meta.filter(_.startsWith("#stat\t")).flatMap { l =>
+          val a = l.split("\t", 7)
+          if (a.length == 7 && a(2) == colName)
+            Some(a(1) -> ((a(3).toLong, a(4).toLong,
+              Some(a(5)).filter(_.nonEmpty), Some(a(6)).filter(_.nonEmpty))))
+          else None
+        }.toMap
+        kept0.filter { case (_, p) =>
+          inline.get(p) match {
+            case None => true
+            case Some((rows, nulls, mn, mx)) =>
+              !canonVals.forall(x =>
+                statsReject(rows, nulls, mn, mx, Some(x), Some(x)))
+          }
+        }
+      }
+    val base =
+      if (kept.nonEmpty) assemble(spark, root, v, kept)
+      else read(spark, root, v).limit(0)
+    base.filter(values.map(x => col(colName) === lit(x).cast(t))
+      .reduce(_ || _))
+  }
+
   /** Conjunctive multi-column form of [[readWhere]] — bounds AND
     * together, so a file is pruned when ANY column's envelope provably
     * misses its range (one false conjunct kills the whole predicate).

@@ -222,10 +222,11 @@ object VersionedIvf {
   /** Probe search over the versioned layout, optionally AT a historical
     * version — geometry and rows both come from that version's
     * manifest. Narrow probes (the steady state) read each probed cell
-    * through [[SnapshotStore.readWhere]]'s stats skipping; a probe set
-    * covering ≥ half the cells (full-probe verification) reads the
-    * snapshot once and filters, since per-cell skipping would open the
-    * same files repeatedly. */
+    * through [[SnapshotStore.readWhereIn]]'s stats skipping — ONE
+    * metadata pass admits exactly the probed cells' files, however many
+    * cells the probe set spans (the per-cell readWhere union paid the
+    * manifest/sidecar read once per cell; a full probe degrades
+    * gracefully to the whole snapshot plus a residual filter). */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       nProbe: Int, topK: Int, version: Long = -1L): DataFrame = {
     val cents = storedCentroids(spark, root, version)
@@ -236,14 +237,8 @@ object VersionedIvf {
         col("cent_id"))
     val probeCells = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val assigned =
-      if (probeCells.length * 2 >= cents.length)
-        SnapshotStore.read(spark, root, version)
-          .filter(col("cent_id").isin(probeCells.toIndexedSeq: _*))
-      else
-        probeCells.toSeq.map(c =>
-          SnapshotStore.readWhere(spark, root, "cent_id", c, c, version))
-          .reduce(_ unionByName _)
+    val assigned = SnapshotStore.readWhereIn(spark, root, "cent_id",
+      probeCells.toIndexedSeq, version)
     IvfIndex.rankCandidates(
       assigned.select(col("doc_id").as("vec_id"), col("embedding"),
           col("cent_id"))

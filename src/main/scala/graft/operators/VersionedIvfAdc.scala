@@ -157,10 +157,9 @@ object VersionedIvfAdc {
     }
 
   /** The IVFADC cascade against a published version (head by default):
-    * coarse probe → candidate cells read through the store's stats
-    * skipping (or one snapshot read under a full probe, the
-    * [[VersionedIvf.search]] heuristic) → PQ asymmetric distance from
-    * the broadcast query LUT over the stored codes. The corpus
+    * coarse probe → candidate cells admitted by ONE
+    * [[SnapshotStore.readWhereIn]] metadata pass → PQ asymmetric
+    * distance from the broadcast query LUT over the stored codes. The corpus
     * embeddings are never touched — the manifest IS the index. Query
     * ids share the corpus namespace and self-exclude, the
     * [[PqIndex.searchIvfIndexed]] contract. */
@@ -176,14 +175,8 @@ object VersionedIvfAdc {
     // bounded driver pull: queries × nProbe cell ids
     val probeCells = probes.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells =
-      if (probeCells.length * 2 >= coarse.length)
-        SnapshotStore.read(spark, root, version)
-          .filter(col("cent_id").isin(probeCells.toIndexedSeq: _*))
-      else
-        probeCells.toSeq.map(c =>
-          SnapshotStore.readWhere(spark, root, "cent_id", c, c, version))
-          .reduce(_ unionByName _)
+    val cells = SnapshotStore.readWhereIn(spark, root, "cent_id",
+      probeCells.toIndexedSeq, version)
     // query LUT: subspace distances of the query vectors to the STORED
     // codebook — tiny (queries × m × k), broadcast
     val subDim = dim / m

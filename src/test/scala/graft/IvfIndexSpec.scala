@@ -368,6 +368,34 @@ class IvfIndexSpec extends SparkTestBase {
     assert(ranks.filter(col("rk") === 1).count() === emb.count())
   }
 
+  test("bounded-sample Lloyd training: deterministic, full-sample " +
+      "equivalence, and a usable trained layout") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    // sample >= corpus: the band filter must be the identity
+    val full = IvfIndex.trainCentroids(emb, 16, iters = 2)
+    val capped = IvfIndex.trainCentroids(emb, 16, iters = 2,
+      trainSample = n)
+    assert(full.map(_._2.toSeq).toSeq === capped.map(_._2.toSeq).toSeq)
+    // a genuine sub-sample: deterministic across calls, k cells, right
+    // dim, and the trained geometry still serves every vector through
+    // the assignment path
+    val sampled = IvfIndex.trainCentroids(emb, 16, iters = 2,
+      trainSample = n / 3)
+    val again = IvfIndex.trainCentroids(emb, 16, iters = 2,
+      trainSample = n / 3)
+    assert(sampled.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+    assert(sampled.length === 16)
+    assert(sampled.forall(_._2.length === full.head._2.length))
+    assert(IvfIndex.cellAssign(emb, sampled).count() === n)
+    // sampled training still beats raw seeds on the FULL corpus for
+    // this fixture (not a theorem - pinned as a quality regression
+    // guard on the deterministic fixture)
+    val d0 = IvfIndex.distortion(emb, IvfIndex.centroids(emb, 16))
+    val dS = IvfIndex.distortion(emb, sampled)
+    assert(dS < d0, s"sampled training did not help: $d0 -> $dS")
+  }
+
   test("searchIndexed prunes the index scan to the probed cells") {
     // (depends on the index written by the previous test; rewrite if absent)
     if (!new java.io.File(s"$indexPath/index").exists()) {

@@ -61,6 +61,38 @@ class SnapshotStatsSpec extends SparkTestBase {
     assert(got.size === 51)
   }
 
+  test("readWhereIn: point-set read prunes to the admitting files in ONE " +
+      "metadata pass, exact vs an isin filter over the full read") {
+    val root = "target/snapstats-wherein"
+    cleanup(root)
+    SnapshotStore.commit(frame(), root, buckets = 4)
+    SnapshotStore.declareStats(spark, root, Seq("n"))
+    SnapshotStore.optimize(spark, root, sortByDocId = false,
+      zorderBy = Seq("n"), maxRecordsPerFile = 64L)
+    val probes: Seq[Any] = Seq(3L, 500L, 997L)
+    val got = SnapshotStore.readWhereIn(spark, root, "n", probes)
+    val total = SnapshotStore.read(spark, root).inputFiles.length
+    // n interleaves across the 4 hash buckets, so each bucket's sorted
+    // files span ~256 n-values: each probe admits ≤ 1 file per bucket
+    // (boundary slack aside) — ≤ 3 × 4 kept, never the whole store
+    assert(got.inputFiles.length <= 12 && got.inputFiles.length < total,
+      s"point-set pruning did not bite: ${got.inputFiles.length} of $total")
+    val want = sortedRows(SnapshotStore.read(spark, root)
+      .filter(col("n").isin(probes: _*)))
+    assert(sortedRows(got) === want)
+    assert(got.count() === 3)
+    // a probe set admitting nothing reads empty, schema intact
+    assert(SnapshotStore.readWhereIn(spark, root, "n",
+      Seq(5000L, 6000L)).count() === 0L)
+    // undeclared column: conservative — nothing pruned, still exact
+    val byScore = SnapshotStore.readWhereIn(spark, root, "score",
+      Seq(1.2, 99.9))
+    assert(byScore.inputFiles.length === total)
+    assert(byScore.count() ===
+      SnapshotStore.read(spark, root)
+        .filter(col("score").isin(1.2, 99.9)).count())
+  }
+
   test("bounds are inclusive at file-boundary values; one-sided bounds " +
       "leave the other side open") {
     val root = "target/snapstats-bounds"
