@@ -1641,16 +1641,52 @@ object SnapshotStore {
   def withConflictRetry[T](spark: SparkSession, root: String,
       maxAttempts: Int = 5)(attempt: Long => T): T = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
-    var last: SnapshotConflictException = null
+    var last: Throwable = null
     var i = 0
     while (i < maxAttempts) {
       val observed = currentVersion(spark, root).getOrElse(0L)
       try return attempt(observed)
-      catch { case e: SnapshotConflictException => last = e; i += 1 }
+      catch {
+        case e: SnapshotConflictException => last = e; i += 1
+        case e: Throwable if fileVanishedUnder(root, e) =>
+          // a file this attempt's snapshot read referenced no longer
+          // exists under OUR root: a concurrent OPTIMIZE rewrote the
+          // files and a VACUUM swept the originals while this attempt's
+          // scan was in flight (measured in StoreRaceSpec's maintenance
+          // arm under host load). The store has provably moved — the
+          // same situation expectedVersion catches at publish time,
+          // surfacing one phase earlier — so re-observe and re-derive,
+          // exactly like a publish conflict. A genuinely corrupt store
+          // fails every attempt and propagates below.
+          last = e; i += 1
+      }
     }
     throw new SnapshotConflictException(
       s"SnapshotStore: mutation at $root still conflicting after " +
         s"$maxAttempts attempts — last conflict: ${last.getMessage}")
+  }
+
+  /** Does `e`'s cause chain report a missing FILE under this store's
+    * root — the signature of a maintenance race (optimize + vacuum
+    * invalidating an in-flight snapshot scan)? Path-scoped so a foreign
+    * FileNotFound (user input, another store) never silently retries. */
+  private def fileVanishedUnder(root: String, e: Throwable): Boolean = {
+    val needle = new Path(root).toUri.getPath
+    val seen = mutable.Set.empty[Throwable]
+    var cur = e
+    while (cur != null && seen.add(cur)) {
+      val hit = cur match {
+        case fnf: java.io.FileNotFoundException =>
+          Option(fnf.getMessage).exists(_.contains(needle))
+        case s: org.apache.spark.SparkException =>
+          Option(s.getMessage).exists(m =>
+            m.contains("FAILED_READ_FILE") && m.contains(needle))
+        case _ => false
+      }
+      if (hit) return true
+      cur = cur.getCause
+    }
+    false
   }
 
   /** Full-snapshot commit: write `index` (needs a `doc_id` column) as the
