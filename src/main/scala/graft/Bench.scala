@@ -1,8 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The driver's per-round bench scale — also the ONLY sf dir whose
+    * runs may seed their noise anchor from the committed history (other
+    * scales must not compare against sf0.1 minima). Comparison is by
+    * canonical path so a trailing slash or an env override spelling the
+    * same directory differently still seeds. NOTE the committed minima
+    * are from THIS repo's usual host — on much slower hardware the
+    * seeded >3x re-time rule fires more often (each firing costs one
+    * extra measurement and keeps the better time; correctness of the
+    * artifact is unaffected). */
+  private val DefaultSfDir = "/root/testdata/sf0.1"
+
+  private def canon(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: Throwable => p }
+
+  /** 1-minute loadavg right now (-1 when /proc is unavailable) — recorded
+    * into the artifact so a load-polluted capture is diagnosable from the
+    * JSON alone (BENCH_r11 was a uniform 2.5-3x host-noise artifact). */
+  private def loadavg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg1m()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
@@ -92,8 +117,18 @@ object Bench {
     val histRuns: Seq[Map[String, Double]] = {
       val own = readHist(histPath)
       if (own.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_HIST") ||
-          sfDir != "/root/testdata/sf0.1") own
-      else readHist(java.nio.file.Paths.get("artifacts/bench_hist.jsonl"))
+          canon(sfDir) != canon(DefaultSfDir)) own
+      else {
+        // the committed seed lives at <repo>/artifacts/ — resolve it by
+        // walking up from the CWD (a spark-submit launch from a
+        // subdirectory must still find it, not silently skip seeding)
+        val rel = java.nio.file.Paths.get("artifacts/bench_hist.jsonl")
+        val fromCwd = Iterator.iterate(
+          java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null).take(4)
+          .map(_.resolve(rel)).find(java.nio.file.Files.exists(_))
+        fromCwd.map(readHist).getOrElse(Nil)
+      }
     }
     val lastRun: Map[String, Double] =
       try parseQueryTimes(new String(java.nio.file.Files.readAllBytes(
@@ -156,7 +191,7 @@ object Bench {
     val fnOf = selected.toMap
     val slowestNames = firstPass.filter(_._2 >= 0.0)
       .sortBy(-_._2).take(10).map(_._1).toSet
-    val results = firstPass.map { case (name, elapsed) =>
+    val afterSlowest = firstPass.map { case (name, elapsed) =>
       val retry = slowestNames.contains(name) && (prior.get(name) match {
         case Some(prev) => prev > 0 && elapsed > 1.5 * prev && elapsed > 2.0
         case None => false
@@ -169,6 +204,34 @@ object Bench {
             f"$elapsed%.1f s -> kept $again%.1f s")
           name -> again
         } else name -> elapsed
+      }
+    }
+    // Whole-run load-stall rescue: the per-query rules rescue individual
+    // outliers, but nothing rescues a run whose ENTIRE window was loaded
+    // (BENCH_r11: a uniform 2.5-3x signature across every family,
+    // adjudicated as host noise only by cross-referencing the committed
+    // history). When the total over anchor-covered queries exceeds 1.5x
+    // the rolling-min anchor for the SAME queries, re-run the whole
+    // suite ONCE and keep each query's best time — the canonical
+    // artifact can then never be a pure load artifact unless the host
+    // stays loaded for both windows (which the recorded loadavg exposes).
+    val covered = afterSlowest
+      .filter { case (n, v) => v >= 0 && prior.get(n).exists(_ > 0) }
+    val anchorTotal = covered.map { case (n, _) => prior(n) }.sum
+    val coveredTotal = covered.map(_._2).sum
+    val coverage =
+      if (afterSlowest.isEmpty) 0.0
+      else covered.size.toDouble / afterSlowest.size
+    val rerunFull = coverage >= 0.9 && anchorTotal > 0 &&
+      coveredTotal > 1.5 * anchorTotal
+    val results = if (!rerunFull) afterSlowest else {
+      System.err.println(f"[bench] whole-run load stall: covered total " +
+        f"$coveredTotal%.1f s > 1.5x rolling-min anchor $anchorTotal%.1f s" +
+        " — re-running the full suite once, keeping best-of-both")
+      afterSlowest.map { case (name, first) =>
+        val again = timeOnce(name, fnOf(name))
+        name -> (if (again >= 0 && (first < 0 || again < first)) again
+                 else first)
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -213,7 +276,12 @@ object Bench {
       }.mkString("{", ",", "}")
     // n_queries: totals are only comparable across rounds at the same
     // query count (the suite grew 63 -> 134 during round 5).
-    val big = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,"retimed":$retimed,"queries":$qs,"sf":"$sfDir"}"""
+    val loadEnd = loadavg1m()
+    // load telemetry + the rescue rule's inputs travel IN the artifact:
+    // a future reader can adjudicate "regression vs loaded host" from
+    // the JSON alone instead of cross-referencing sbt wall clocks
+    val loadJson = f""""load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"anchor_total":$anchorTotal%.3f,"rerun_full":$rerunFull"""
+    val big = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,$loadJson,"retimed":$retimed,"queries":$qs,"sf":"$sfDir"}"""
     println(big)
     // Artifact durability (BENCH_r05.json lost its totals to a tail
     // capture that truncated from the FRONT of this line): repeat the

@@ -49,9 +49,17 @@ object VectorFunctions {
     * ∈ [−1e6, 1e6] — the plane is the same direction as the real-valued
     * w/1e6 form, but integer arithmetic makes the projection sign exact. */
   def srpWeights(dim: Int, planes: Int): Array[Array[Long]] =
+    srpWeightsAt(dim, planes, 0)
+
+  /** [[srpWeights]] for GLOBAL plane indices [offset, offset+planes) —
+    * lets one logical signature wider than 63 bits span several Longs
+    * (d20's 8-band layout packs planes 0-59 and 60-119 into two), each
+    * Long's bit j holding plane offset+j. */
+  def srpWeightsAt(dim: Int, planes: Int,
+      offset: Int): Array[Array[Long]] =
     Array.tabulate(planes) { p =>
       Array.tabulate(dim) { i =>
-        CrossHash.md5Hash60(s"srp#$p#$i") % 2000001L - 1000000L
+        CrossHash.md5Hash60(s"srp#${offset + p}#$i") % 2000001L - 1000000L
       }
     }
 
@@ -119,6 +127,12 @@ object VectorFunctions {
   def srpSignature(v: Column, dim: Int, planes: Int): Column =
     graft.plans.SrpSignExpr.srp_sign(v, dim, planes)
 
+  /** [[srpSignature]] over GLOBAL planes [offset, offset+planes) — bit j
+    * of the result is plane offset+j (see [[srpWeightsAt]]). */
+  def srpSignatureAt(v: Column, dim: Int, planes: Int,
+      offset: Int): Column =
+    graft.plans.SrpSignExpr.srp_sign(v, dim, planes, offset)
+
   /** Reference HOF formulation of [[srpSignature]] (interpreted lambdas;
     * kept for the equivalence spec that pins the flat rewrite). */
   def srpSignatureHof(v: Column, dim: Int, planes: Int): Column = {
@@ -137,16 +151,17 @@ object VectorFunctions {
     * yields tables `{prefix}w`, `{prefix}pd`, `{prefix}sigs(vec_id, sig)`
     * over the `embeddings` table. Integer-exact (quantized embeddings ×
     * hash-derived integer weights), so the bucketing is oracle-checkable. */
-  def duckSrpSigCtes(dim: Int, planes: Int, prefix: String = ""): String = {
+  def duckSrpSigCtes(dim: Int, planes: Int, prefix: String = "",
+      offset: Int = 0): String = {
     val h = CrossHash.duckHash60(
       "'srp#' || cast(p.range as varchar) || '#' || cast(i.range as varchar)")
     s"""${prefix}w AS (SELECT p.range AS p, i.range AS i,
        |  ($h % 2000001) - 1000000 AS wt
-       |  FROM range(0, $planes) p, range(0, $dim) i),
+       |  FROM range($offset, ${offset + planes}) p, range(0, $dim) i),
        |${prefix}pd AS (SELECT e.vec_id, w.p,
        |    sum(cast(round(cast(e.embedding[w.i + 1] as double) * 1000000.0) as bigint) * w.wt) AS dot
        |  FROM embeddings e, ${prefix}w w GROUP BY 1, 2),
-       |${prefix}sigs AS (SELECT vec_id, cast(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) as bigint) AS sig
+       |${prefix}sigs AS (SELECT vec_id, cast(sum(CASE WHEN dot > 0 THEN 1 << (p - $offset) ELSE 0 END) as bigint) AS sig
        |  FROM ${prefix}pd GROUP BY 1)""".stripMargin
   }
 }

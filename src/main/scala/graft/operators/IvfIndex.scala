@@ -76,7 +76,11 @@ object IvfIndex {
         if (n <= trainSample) emb
         else {
           val mod = (n + trainSample - 1) / trainSample
-          emb.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+          val band = emb.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+          // a skewed hash band (or a tiny trainSample) can undershoot k,
+          // which would silently train FEWER than k cells; the band is
+          // ~trainSample rows so this guard count is bounded
+          if (band.limit(k).count() >= k) band else emb
         }
       }
     var cents = centroids(train, k)

@@ -76,8 +76,8 @@ import org.apache.spark.sql.functions._
 /** A writer lost the optimistic-concurrency race: the store moved past
   * the version the writer based its work on (or its version number was
   * published by someone else first). Re-read, re-derive, retry. */
-final class SnapshotConflictException(msg: String)
-  extends IllegalStateException(msg)
+final class SnapshotConflictException(msg: String, cause: Throwable = null)
+  extends IllegalStateException(msg, cause)
 
 /** A version's files violate the additive-only schema contract — a
   * column was dropped or retyped instead of added. The message names the
@@ -1661,9 +1661,18 @@ object SnapshotStore {
           last = e; i += 1
       }
     }
+    // keep the final attempt's failure as the cause (a store whose file
+    // is PERMANENTLY missing exhausts the retries too, and its stack
+    // must stay diagnosable, not flattened into a message string); name
+    // the vanished-file case distinctly from a publish conflict
+    val kind = last match {
+      case _: SnapshotConflictException => "still conflicting"
+      case _ => "read a since-vanished file on every attempt (corrupt " +
+        "store, or maintenance racing faster than the retry budget)"
+    }
     throw new SnapshotConflictException(
-      s"SnapshotStore: mutation at $root still conflicting after " +
-        s"$maxAttempts attempts — last conflict: ${last.getMessage}")
+      s"SnapshotStore: mutation at $root $kind after " +
+        s"$maxAttempts attempts — last failure: ${last.getMessage}", last)
   }
 
   /** Does `e`'s cause chain report a missing FILE under this store's
@@ -1671,7 +1680,14 @@ object SnapshotStore {
     * invalidating an in-flight snapshot scan)? Path-scoped so a foreign
     * FileNotFound (user input, another store) never silently retries. */
   private def fileVanishedUnder(root: String, e: Throwable): Boolean = {
-    val needle = new Path(root).toUri.getPath
+    // qualify a RELATIVE root before substring-matching: Spark/FNF
+    // messages carry absolute paths, so a raw "target/store" needle
+    // would never match and the maintenance-race retry would silently
+    // not engage for relative roots (fail-safe, but inconsistent)
+    val p = new Path(root).toUri.getPath
+    val needle =
+      if (new java.io.File(p).isAbsolute) p
+      else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
     val seen = mutable.Set.empty[Throwable]
     var cur = e
     while (cur != null && seen.add(cur)) {
@@ -2741,6 +2757,11 @@ object SnapshotStore {
   def readWhereIn(spark: SparkSession, root: String, colName: String,
       values: Seq[Any], version: Long = -1L): DataFrame = {
     require(values.nonEmpty, "readWhereIn needs at least one probe value")
+    // mirror readPoint's contract: a null probe has no canonical compare
+    // and `col === lit(null)` can never match — reject loudly instead of
+    // silently returning nothing for that probe
+    require(values.forall(_ != null),
+      s"readWhereIn($colName): null probe values are not supported")
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"no published version at $root"))

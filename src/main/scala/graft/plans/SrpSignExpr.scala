@@ -32,10 +32,12 @@ import org.apache.spark.sql.types._
   * hash-derived embeddings (see Quantize1e6's scaladoc for the analysis).
   * Returns null for a null or wrong-dimension input.
   */
-case class SrpSignExpr(child: Expression, dim: Int, planes: Int)
+case class SrpSignExpr(child: Expression, dim: Int, planes: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression {
 
   require(planes > 0 && planes <= 63, s"planes must be in [1, 63]: $planes")
+  require(planeOffset >= 0, s"planeOffset must be >= 0: $planeOffset")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -44,7 +46,7 @@ case class SrpSignExpr(child: Expression, dim: Int, planes: Int)
   // Derived, not a constructor field: keeps case-class equality (plan
   // canonicalization, subexpression elimination) on (child, dim, planes).
   @transient private lazy val weights: Array[Array[Long]] =
-    graft.functions.VectorFunctions.srpWeights(dim, planes)
+    graft.functions.VectorFunctions.srpWeightsAt(dim, planes, planeOffset)
 
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -116,7 +118,11 @@ case class SrpSignExpr(child: Expression, dim: Int, planes: Int)
 }
 
 object SrpSignExpr {
-  /** Column-API entry point: packed SRP signature of an embedding. */
-  def srp_sign(v: Column, dim: Int, planes: Int): Column =
-    ColumnBridge.column(SrpSignExpr(ColumnBridge.expression(v), dim, planes))
+  /** Column-API entry point: packed SRP signature of an embedding. Bit j
+    * of the result is GLOBAL plane planeOffset+j — non-zero offsets let a
+    * logical signature wider than 63 planes span several Longs. */
+  def srp_sign(v: Column, dim: Int, planes: Int,
+      planeOffset: Int = 0): Column =
+    ColumnBridge.column(
+      SrpSignExpr(ColumnBridge.expression(v), dim, planes, planeOffset))
 }

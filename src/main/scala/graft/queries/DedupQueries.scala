@@ -107,11 +107,142 @@ object DedupQueries extends QueryPack {
   val IncrementalDedupPriorMaxDocId: Int = 300
 
   // d05 banded-SRP blocking: 8 hyperplanes → 2 bands × 4 bits. At corpus
-  // scale raise planes/bandBits (smaller blocks) and bands (recall).
+  // scale raise planes/bandBits (smaller blocks) and bands (recall) —
+  // d20 below IS that production form, measured.
   private val SrpDim      = 64
   private val D05Planes   = 8
   private val D05Bands    = 2
   private val D05BandBits = 4
+
+  // d20 density-scaled banding: band key width grows with corpus size so
+  // per-bucket density stays ~TargetBucket (bits = min b with 2^b·target
+  // ≥ n — integer-exact, no floating log2 whose rounding could diverge
+  // between engines). Eight fixed bands each own a disjoint
+  // SlotBits-wide plane slice of a 120-plane signature carried as TWO
+  // Longs (the widen-past-63-planes path [[graft.plans.SrpSignExpr]]'s
+  // planeOffset exists for); Hamming-1 multi-probe (Lv et al. 2007,
+  // "Multi-Probe LSH") recovers the recall the narrower buckets cost —
+  // d21 MEASURES it ≥ the fixed configuration's at every scale.
+  // Candidate space ≈ n·bands·(bits+1)·TargetBucket — linear in n with
+  // a log factor — where d05's fixed 4-bit keys grow ∝ n²/2⁴ (the
+  // measured 22.8× cliff at 10× data). Past n ≈ 32·2¹⁵ ≈ 10⁶ the
+  // MaxBits cap binds; append more signature Longs — the shape is
+  // unchanged.
+  private[queries] val D20SlotBits = 15
+  private[queries] val D20Bands = 8
+  private[queries] val D20BandsPerSig = 4
+  private[queries] val D20SigPlanes = D20BandsPerSig * D20SlotBits
+  private[queries] val D20TargetBucket = 32
+  private[queries] val D20MinBits = 4
+  private[queries] val D20MaxBits = D20SlotBits
+
+  private[queries] def d20Bits(n: Long): Int =
+    (D20MinBits to D20MaxBits)
+      .find(b => (1L << b) * D20TargetBucket >= n)
+      .getOrElse(D20MaxBits)
+
+  /** Deduped candidate pairs (a_id < b_id) of the density-scaled
+    * multi-probe banding over `e` at `bits`-wide band keys. ID-only rows
+    * throughout — embeddings never ride the band shuffle. */
+  private def d20Candidates(e: DataFrame, bits: Int): DataFrame = {
+    val mask = (1L << bits) - 1
+    // parallelism guard: the corpus often arrives as ONE small parquet
+    // split (a 6 MB file is one partition), and the candidate join fans
+    // each input row out ~bands·(bits+1)·bucket — serializing 20M+
+    // joined rows on one core (measured 10.5 s single-core at sf1).
+    // The shuffle moved here is n rows of (id, two longs) — trivial —
+    // and everything downstream inherits the width. At corpus scale the
+    // scan has thousands of splits and this is a no-op-sized exchange.
+    val sigs = e.repartition(col("vec_id")).select(col("vec_id"),
+      VectorFunctions.srpSignatureAt(col("embedding"), SrpDim,
+        D20SigPlanes, 0).as("sig0"),
+      VectorFunctions.srpSignatureAt(col("embedding"), SrpDim,
+        D20SigPlanes, D20SigPlanes).as("sig1"))
+    def key(b: Int) = {
+      val sig = if (b < D20BandsPerSig) col("sig0") else col("sig1")
+      shiftright(sig, (b % D20BandsPerSig) * D20SlotBits)
+        .bitwiseAND(lit(mask))
+    }
+    val exact = sigs.select(col("vec_id"),
+      explode(array((0 until D20Bands).map { b =>
+        struct(lit(b).as("band"), key(b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    // multi-probe: each vector probes its own bucket (i = -1) plus the
+    // `bits` buckets one key-bit away — pair (u,v) with hamming(ku,kv)
+    // ≤ 1 is caught because u's probe set contains kv (or vice versa)
+    val probes = sigs.select(col("vec_id"),
+      explode(array((0 until D20Bands).flatMap { b =>
+        (-1 until bits).map { i =>
+          val flip = if (i < 0) 0L else 1L << i
+          struct(lit(b).as("band"),
+            key(b).bitwiseXOR(lit(flip)).as("pkey"))
+        }
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.pkey").as("pkey"))
+    probes.as("a")
+      .join(exact.as("b"),
+        col("a.band") === col("b.band") && col("a.pkey") === col("b.key")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+  }
+
+  /** d05's fixed-width banded candidates over `e` — factored so d21 can
+    * audit the fixed configuration against the scaled one on the same
+    * slice. Expression-identical to d05's own candidate stage. */
+  private def d05Candidates(e: DataFrame): DataFrame = {
+    // same single-split parallelism guard as d20Candidates
+    val banded = e.repartition(col("vec_id"))
+      .select(col("vec_id"),
+        VectorFunctions.srpSignature(col("embedding"), SrpDim, D05Planes)
+          .as("sig"))
+      .select(col("vec_id"),
+        explode(array((0 until D05Bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * D05BandBits)
+              .bitwiseAND(lit((1 << D05BandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+  }
+
+  /** d21 recall-audit slice bound (vec_id < this): the truth side
+    * brute-forces slice² cosine pairs, so the slice stays a bounded
+    * audit set — the d11/[[SketchRecallEvalMaxDocId]] discipline.
+    * Candidate generation uses the production banding paths unchanged
+    * (recall depends on bits/bands/probe radius, not on bucket density,
+    * so a slice measurement estimates the corpus recall unbiasedly). */
+  val D21EvalMaxVecId: Int = 512
+
+  /** Shared cosine-verify stage of d05/d20. Candidates arrive
+    * NON-distinct (a pair can match several bands/probes) and the
+    * verify runs BEFORE the pair dedup, deliberately: the embedding
+    * table is tiny next to the candidate stream, so the optimizer makes
+    * the lookups broadcast-hash joins (no hint — past the broadcast
+    * threshold a shuffle join costs what the dedup shuffle would have,
+    * the right trade either way) and the multi-million-row candidate
+    * stream flows MAP-SIDE through the cosine filter; only the
+    * ~100×-smaller verified survivors pay a shuffle for
+    * dropDuplicates. Deduping first instead shuffles the whole
+    * candidate space to save ~6% duplicate cosine evaluations —
+    * measured 31.7 s vs 9 s at sf1: the wrong trade. Results are
+    * identical: sim is a pure function of the pair. */
+  private def verifiedPairs(e: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(VectorFunctions.cosine(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .dropDuplicates("a_id", "b_id")
+      .orderBy("a_id", "b_id")
 
   override val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical = min doc_id per content hash. Hash-partitioned
@@ -289,31 +420,55 @@ object DedupQueries extends QueryPack {
     // the shape is unchanged.
     "d05_embedding_near_dup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val banded = e
-        .select(col("vec_id"),
-          VectorFunctions.srpSignature(col("embedding"), SrpDim, D05Planes)
-            .as("sig"))
-        .select(col("vec_id"),
-          explode(array((0 until D05Bands).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * D05BandBits)
-                .bitwiseAND(lit((1 << D05BandBits) - 1)).as("key"))
-          }: _*)).as("bk"))
-        .select(col("vec_id"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      verifiedPairs(e, d05Candidates(e))
+    }),
+
+    // PRODUCTION form of d05 — the density-scaled banding that replaces
+    // d05's measured n²/2⁴ cliff (22.8× wall at 10× data) with a
+    // ~linear candidate space: band-key width grows with log₂(corpus),
+    // Hamming-1 multi-probe holds recall (d21 measures it ≥ the fixed
+    // configuration's at every scale). The ONE driver-side action is a
+    // count() to pick the key width — a metadata-cheap scan, not a
+    // collect loop.
+    "d20_scaled_near_dup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      verifiedPairs(e, d20Candidates(e, d20Bits(e.count())))
+    }),
+
+    // Recall-parity audit for d20 (the s04/d13 discipline): on a bounded
+    // eval slice, TRUE pairs (exact brute-force cosine ≥ 0.35, d05's own
+    // verify threshold) vs what each banding admits as candidates — the
+    // scaled config must catch at least the fixed config's fraction, or
+    // the scale win is a recall loss in disguise. One summary row;
+    // integer permille so the comparison hashes exactly.
+    "d21_scaled_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val bits = d20Bits(e.count())
+      val slice = e.filter(col("vec_id") < D21EvalMaxVecId)
+      val truth = slice.as("a").crossJoin(slice.as("b"))
         .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .dropDuplicates("a_id", "b_id")
-      cand
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")),
-          "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-          "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(VectorFunctions.cosine(col("ea"), col("eb")), 6).as("sim"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(VectorFunctions.cosine(col("a.embedding"),
+            col("b.embedding")), 6).as("sim"))
         .filter(col("sim") >= 0.35)
-        .orderBy("a_id", "b_id")
+        // evaluated three times below (count + two semi-joins) — pin it
+        .localCheckpoint(eager = false)
+      val caughtScaled =
+        truth.join(d20Candidates(slice, bits), Seq("a_id", "b_id"),
+          "left_semi")
+      val caughtFixed =
+        truth.join(d05Candidates(slice), Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(caughtScaled.agg(count(lit(1)).as("n_caught_scaled")))
+        .crossJoin(caughtFixed.agg(count(lit(1)).as("n_caught_fixed")))
+        .select(lit(bits).as("bits"), col("n_truth"),
+          col("n_caught_scaled"), col("n_caught_fixed"),
+          expr("cast(case when n_truth = 0 then 0 else " +
+            "n_caught_scaled * 1000 div n_truth end as bigint)")
+            .as("recall_scaled_permille"),
+          expr("cast(case when n_truth = 0 then 0 else " +
+            "n_caught_fixed * 1000 div n_truth end as bigint)")
+            .as("recall_fixed_permille"))
     }),
 
     // Exact-substring (span-level) dedup at 10-token block granularity:
@@ -732,6 +887,70 @@ object DedupQueries extends QueryPack {
         |j AS (SELECT a_id, b_id,
         |    round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) AS sim
         |  FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
-        |SELECT a_id, b_id, sim FROM j WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin)
+        |SELECT a_id, b_id, sim FROM j WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin),
+
+    // The density-scaled key width replayed integer-exactly: bits = the
+    // smallest b in [MinBits, MaxBits] with 2^b·TargetBucket ≥ count(*)
+    // (no floating log2 — its rounding could diverge between engines).
+    "d20_scaled_near_dup" ->
+      ("WITH " + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes) +
+        ",\n" + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes,
+          prefix = "h", offset = D20SigPlanes) + s""",
+        |params AS (SELECT coalesce((SELECT min(b.range) FROM range($D20MinBits, ${D20MaxBits + 1}) b
+        |    WHERE (1::BIGINT << b.range) * $D20TargetBucket >= (SELECT count(*) FROM embeddings)), $D20MaxBits) AS bits),
+        |sig2 AS (SELECT s.vec_id, s.sig AS sig0, h.sig AS sig1
+        |  FROM sigs s JOIN hsigs h USING (vec_id)),
+        |keys AS (SELECT s.vec_id, b.range AS band,
+        |    ((CASE WHEN b.range < $D20BandsPerSig THEN s.sig0 ELSE s.sig1 END)
+        |      >> ($D20SlotBits * (b.range % $D20BandsPerSig))) & ((1::BIGINT << p.bits) - 1) AS key
+        |  FROM sig2 s, range(0, $D20Bands) b, params p),
+        |probes AS (SELECT k.vec_id, k.band,
+        |    CASE WHEN r.range < 0 THEN k.key ELSE xor(k.key, 1::BIGINT << r.range) END AS pkey
+        |  FROM keys k, range(-1, $D20MaxBits) r, params p WHERE r.range < p.bits),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM probes a JOIN keys b ON a.band = b.band AND a.pkey = b.key AND a.vec_id < b.vec_id),
+        |j AS (SELECT a_id, b_id,
+        |    round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) AS sim
+        |  FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
+        |SELECT a_id, b_id, sim FROM j WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin),
+
+    // SRP plane weights are keyed by GLOBAL plane index, so the 8-plane
+    // signature d05 keys on is exactly the low 8 bits of the 60-plane
+    // signature — one sig CTE serves both configurations.
+    "d21_scaled_recall" ->
+      ("WITH " + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes) +
+        ",\n" + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes,
+          prefix = "h", offset = D20SigPlanes) + s""",
+        |params AS (SELECT coalesce((SELECT min(b.range) FROM range($D20MinBits, ${D20MaxBits + 1}) b
+        |    WHERE (1::BIGINT << b.range) * $D20TargetBucket >= (SELECT count(*) FROM embeddings)), $D20MaxBits) AS bits),
+        |ss AS (SELECT s.vec_id, s.sig AS sig0, h.sig AS sig1
+        |  FROM sigs s JOIN hsigs h USING (vec_id)
+        |  WHERE s.vec_id < $D21EvalMaxVecId),
+        |truth AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < $D21EvalMaxVecId AND b.vec_id < $D21EvalMaxVecId
+        |    AND round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.35),
+        |skeys AS (SELECT s.vec_id, b.range AS band,
+        |    ((CASE WHEN b.range < $D20BandsPerSig THEN s.sig0 ELSE s.sig1 END)
+        |      >> ($D20SlotBits * (b.range % $D20BandsPerSig))) & ((1::BIGINT << p.bits) - 1) AS key
+        |  FROM ss s, range(0, $D20Bands) b, params p),
+        |sprobes AS (SELECT k.vec_id, k.band,
+        |    CASE WHEN r.range < 0 THEN k.key ELSE xor(k.key, 1::BIGINT << r.range) END AS pkey
+        |  FROM skeys k, range(-1, $D20MaxBits) r, params p WHERE r.range < p.bits),
+        |scand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sprobes a JOIN skeys b ON a.band = b.band AND a.pkey = b.key AND a.vec_id < b.vec_id),
+        |fkeys AS (SELECT s.vec_id, b.range AS band,
+        |    (s.sig0 >> ($D05BandBits * b.range)) & ${(1 << D05BandBits) - 1} AS key
+        |  FROM ss s, range(0, $D05Bands) b),
+        |fcand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM fkeys a JOIN fkeys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM truth t JOIN scand c ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_caught_scaled,
+        |  (SELECT count(*) FROM truth t JOIN fcand c ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_caught_fixed)
+        |SELECT cast(p.bits as int) AS bits, n_truth, n_caught_scaled, n_caught_fixed,
+        |  cast(CASE WHEN n_truth = 0 THEN 0 ELSE n_caught_scaled * 1000 // n_truth END as bigint) AS recall_scaled_permille,
+        |  cast(CASE WHEN n_truth = 0 THEN 0 ELSE n_caught_fixed * 1000 // n_truth END as bigint) AS recall_fixed_permille
+        |FROM m, params p""".stripMargin)
   )
 }

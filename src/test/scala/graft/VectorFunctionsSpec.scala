@@ -72,6 +72,24 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("planes"))
   }
 
+  test("srpSignatureAt composes wide signatures from plane slices") {
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    // zero offset IS srpSignature
+    val z = e.select(
+      (VectorFunctions.srpSignature(col("embedding"), 64, 16) ===
+        VectorFunctions.srpSignatureAt(col("embedding"), 64, 16, 0))
+        .as("eq")).filter(!col("eq")).count()
+    assert(z === 0L)
+    // bit j at offset k is GLOBAL plane k+j: the offset-10 5-plane slice
+    // must equal bits [10, 15) of the flat 16-plane signature
+    val m = e.select(
+      (VectorFunctions.srpSignatureAt(col("embedding"), 64, 5, 10) ===
+        shiftright(VectorFunctions.srpSignature(col("embedding"), 64, 16),
+          10).bitwiseAND(lit(31L))).as("eq"))
+      .filter(!col("eq")).count()
+    assert(m === 0L)
+  }
+
   test("mismatched array types are rejected at analysis time") {
     val err = intercept[Exception] {
       Seq(("x", Seq(1.0))).toDF("s", "v")
