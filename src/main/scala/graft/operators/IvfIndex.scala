@@ -512,11 +512,16 @@ object IvfIndex {
     val maxId = cents.map(_._1).max
     val newIdOf = hot.zipWithIndex
       .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
+    // extra index columns (e.g. VersionedIvfAdc's `codes`) ride through
+    // the reassignment untouched — merged keeps index's full schema
+    val extras = index.columns
+      .filterNot(Set("vec_id", "embedding", "cent_id")).toSeq
     val hotRows = index
       .filter(col("cent_id").cast("long").isin(hot.toIndexedSeq: _*))
-      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-        col("cent_id").cast("long").as("cent_id"),
-        VectorFunctions.quantize1e6(col("embedding")).as("graft_qe"))
+      .select(Seq(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), col("cent_id").cast("long").as("cent_id")) ++
+        extras.map(col) :+
+        VectorFunctions.quantize1e6(col("embedding")).as("graft_qe"): _*)
       .localCheckpoint(eager = true) // split cells read once, used thrice
     // deterministic seeds: each hot cell's two lowest vec_ids, quantized
     // by the SAME expression queries use (2×|hot| rows to the driver)

@@ -128,6 +128,38 @@ object PqIndex {
     array(codeCols: _*)
   }
 
+  /** Reconstruct each vector's quantized-space APPROXIMATION from its
+    * `codes` array column: subspace j's slice is codebook[code_j]'s j-th
+    * slice, emitted in embedding units (stored long / 1e6) so
+    * `quantize1e6(decoded)` round-trips to the codebook's integer grid
+    * exactly. This is what lets [[VersionedIvfAdc.rebalance]] split
+    * coarse cells WITHOUT the raw embeddings the layout deliberately
+    * does not store — codes here encode the full vector (not the
+    * residual), so a cell move never re-encodes; only the split
+    * geometry needs vectors, and the reconstruction is the faithful
+    * stand-in (the Faiss `reconstruct` discipline). Codebook ids must
+    * be 0-based contiguous (the [[collectCodebook]] / renumbered-retrain
+    * contract) because the lookup is positional. */
+  private[operators] def decodedColumn(cents: Array[(Long, Array[Long])],
+      dim: Int, m: Int): Column = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
+    val subDim = dim / m
+    val sorted = cents.sortBy(_._1)
+    require(sorted.iterator.zipWithIndex.forall {
+        case ((id, _), i) => id == i.toLong },
+      "PQ decode needs 0-based contiguous codebook ids; got " +
+        sorted.map(_._1).mkString(","))
+    val slices = (0 until m).map { j =>
+      val tbl = array(sorted.map { case (_, q) =>
+        array(q.slice(j * subDim, (j + 1) * subDim)
+          .map(v => lit(v.toDouble / 1e6)): _*)
+      }: _*)
+      element_at(tbl,
+        element_at(col("codes"), j + 1).cast("int") + 1)
+    }
+    flatten(array(slices: _*))
+  }
+
   /** Query lookup table: subspace distances computed for the query
     * vectors ONLY — (q_id, j, cent_id, dist); tiny (queries × m × k
     * rows), never a corpus-scale pass. */

@@ -1310,6 +1310,34 @@ object SnapshotStore {
     private[operators] def fire(point: String): Unit = hook.foreach(_(point))
   }
 
+  /** Meta-line prefixes the store itself owns and re-derives (or
+    * carries through dedicated logic) on every publish. Anything else —
+    * `#ivfcent`, `#pqcent`, `#pqgeom`, a user's own lines — is FOREIGN
+    * metadata and behaves like a table property: it carries from the
+    * parent manifest across every publish unless the incoming meta
+    * supplies at least one line with the same prefix (the caller's
+    * lines then replace the whole prefix group). Without this,
+    * store-internal verbs (optimize, deleteWhere, deletePoint) would
+    * silently strip a versioned index's geometry — the
+    * VersionedIvfAdcSpec maintenance arm caught exactly that. */
+  private val OwnedMetaPrefixes: Set[String] = Set(
+    "#bloom", "#bloomcols", "#buckets", "#check", "#col", "#dropfile",
+    "#entryfile", "#metafile", "#op", "#stat", "#statcols", "#txn")
+
+  private def metaPrefixOf(l: String): String = l.takeWhile(_ != '\t')
+
+  /** Parent-manifest foreign lines whose prefix the incoming meta does
+    * not override — appended to every publish (see
+    * [[OwnedMetaPrefixes]]). */
+  private def carriedForeignMeta(prevMeta: Seq[String],
+      meta: Seq[String]): Seq[String] = {
+    val freshPrefixes = meta.map(metaPrefixOf).toSet
+    prevMeta.filter { l =>
+      val p = metaPrefixOf(l)
+      !OwnedMetaPrefixes.contains(p) && !freshPrefixes.contains(p)
+    }
+  }
+
   private[graft] def publish(spark: SparkSession, root: String, v: Long,
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
     require(meta.forall(_.startsWith("#")),
@@ -1328,7 +1356,8 @@ object SnapshotStore {
       if (v > 1 && fs(spark, root).exists(manifestPath(root, v - 1)))
         manifestMeta(spark, root, v - 1)
       else Seq.empty[String]
-    val fullMeta = withFileIndexes(spark, root, v, entries, cleanMeta,
+    val fullMeta = withFileIndexes(spark, root, v, entries,
+      cleanMeta ++ carriedForeignMeta(prevMeta, cleanMeta),
       prevMeta)
     // entry-list scale: past the threshold the file list lives in a
     // parquet entryfile and only the DELTA vs it is text (see the
@@ -1480,12 +1509,15 @@ object SnapshotStore {
     }
     val ef = efOpt.get
     // bookkeeping/decl lines are re-derived below, never taken from the
-    // caller (same hygiene as publish)
+    // caller (same hygiene as publish); FOREIGN lines carry from the
+    // parent unless the caller overrides their prefix (see
+    // [[OwnedMetaPrefixes]])
     val cleanMeta = meta.filterNot(l =>
       l.startsWith("#entryfile\t") || l.startsWith("#dropfile\t") ||
       l.startsWith("#stat\t") || l.startsWith("#bloom\t") ||
       l.startsWith("#metafile\t") || l.startsWith("#statcols\t") ||
-      l.startsWith("#bloomcols\t"))
+      l.startsWith("#bloomcols\t")) ++
+      carriedForeignMeta(prevMeta, meta)
     import spark.implicits._
     val dPrev = dropRelsOf(prevMeta)
     val inlinePrev = inlineEntriesOf(manifestText(spark, root, v - 1))

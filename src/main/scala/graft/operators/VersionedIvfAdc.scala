@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   *    [[SnapshotStore.withConflictRetry]] — racing verbs serialize,
   *    exactly the [[VersionedIvf]] discipline.
   *
-  * No rebalance verb: codes cannot be re-assigned to split cells
-  * without the raw embeddings this layout deliberately does not store —
-  * re-clustering a compressed index is a rebuild from the source
-  * corpus, the same contract the bare PQ layout has.
+  * Maintenance completes the verb set the flat layout has: [[rebalance]]
+  * splits hot coarse cells from PQ-DECODED reconstructions (codes here
+  * encode the full vector, not the residual, so a cell move never
+  * re-encodes — only the split geometry needs vectors, and
+  * [[PqIndex.decodedColumn]] is the faithful stand-in), and [[retrain]]
+  * re-fits the codebook against the SOURCE corpus (codes are lossy — a
+  * refit from decodes can only re-learn the old book) and re-encodes,
+  * each as ONE OCC-serialized, time-travelable version.
   *
   * Reference anchor: the reference's Pinecone index is the compressed
   * serving tier its per-vector upserts mutate with no transactional
@@ -152,6 +156,103 @@ object VersionedIvfAdc {
       SnapshotStore.upsert(spark, empty,
         ids.select(col("vec_id").cast("long").as("doc_id")),
         root, bucketsAt(spark, root, observed),
+        meta = metaLines(coarse, book, dim, m, k),
+        expectedVersion = Some(observed))
+    }
+
+  /** Hot-cell split on the COMPRESSED layout — [[VersionedIvf.rebalance]]
+    * with one twist: the split geometry (seeds, refinement, new
+    * sub-centroids) is computed over [[PqIndex.decodedColumn]]
+    * reconstructions because raw embeddings are not stored, while the
+    * rows keep their codes verbatim (PQ codes are cell-independent in
+    * this layout — only cent_id moves). Approximating the split from
+    * reconstructions is the standard compressed-index trade (Faiss
+    * reconstructs for exactly this): the split exists to BOUND PROBE
+    * WORK, not to change results — a full probe before and after ranks
+    * identically, which is what oracle s26 pins. Reassigned rows + new
+    * `#ivfcent` lines + carried codebook publish as ONE OCC version.
+    * Returns the number of cells split. */
+  def rebalance(spark: SparkSession, root: String,
+      hotFactor: Double = 2.0): Int = {
+    require(hotFactor >= 1.0, s"hotFactor must be >= 1, got $hotFactor")
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      requirePublished(observed, root, "rebalance")
+      val (dim, m, k) = storedGeometry(spark, root, observed)
+      val coarse = storedCoarse(spark, root, observed)
+      val book = storedBook(spark, root, observed)
+      val index = SnapshotStore.read(spark, root, observed)
+        .select(col("doc_id").as("vec_id"), col("cent_id"), col("codes"))
+        .withColumn("embedding", PqIndex.decodedColumn(book, dim, m))
+      IvfIndex.splitPlan(spark, index, () => coarse, hotFactor) match {
+        case None => 0
+        case Some(p) =>
+          val rows = p.merged
+            .select(col("vec_id").as("doc_id"), col("cent_id"),
+              col("codes"))
+            .repartitionByRange(math.max(4, p.newCents.length / 2),
+              col("cent_id"))
+          SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+            bucketsAt(spark, root, observed),
+            meta = metaLines(p.newCents, book, dim, m, k),
+            expectedVersion = Some(observed))
+          p.splitCount
+      }
+    }
+  }
+
+  /** Bounded convergence loop over [[rebalance]] — each round one atomic
+    * version, the [[VersionedIvf.rebalanceUntil]] discipline. */
+  def rebalanceUntil(spark: SparkSession, root: String,
+      hotFactor: Double = 2.0, maxRounds: Int = 8): Int = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var total = 0
+    var rounds = 0
+    var last = -1
+    while (rounds < maxRounds && last != 0) {
+      last = rebalance(spark, root, hotFactor)
+      total += last
+      rounds += 1
+    }
+    total
+  }
+
+  /** Re-fit the PQ codebook against the CURRENT corpus and re-encode
+    * every stored vector — the maintenance verb for codebook staleness
+    * under upsert drift (quality decays twice under churn: cells skew,
+    * which [[rebalance]] fixes, and the book goes stale against drifted
+    * data, which only a refit fixes). Takes the SOURCE embeddings
+    * because codes are lossy — a refit from decodes can only re-learn
+    * the old book. The refit is [[IvfIndex.trainCentroids]]' bounded-
+    * sample integer Lloyd (the Faiss discipline); the trained book is
+    * renumbered 0..k-1 (positional-decode contract). Every stored id
+    * must be present in `emb` — re-encoding must not silently drop
+    * vectors. Coarse geometry is carried unchanged; rows + new
+    * `#pqcent` lines publish as ONE OCC version. Returns it. */
+  def retrain(spark: SparkSession, root: String, emb: DataFrame,
+      iters: Int = 1, trainSample: Long = 0L): Long =
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      requirePublished(observed, root, "retrain")
+      val (dim, m, k) = storedGeometry(spark, root, observed)
+      val coarse = storedCoarse(spark, root, observed)
+      IvfIndex.requireDim(emb, coarse, "VersionedIvfAdc.retrain")
+      val ids = SnapshotStore.read(spark, root, observed)
+        .select(col("doc_id"))
+      val src = emb
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .join(ids.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      val missing = ids
+        .join(src.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_anti").limit(1).count()
+      require(missing == 0,
+        s"VersionedIvfAdc.retrain: source corpus is missing stored ids " +
+          s"at $root — re-encode would silently drop vectors")
+      val trained = IvfIndex.trainCentroids(src, k, iters, trainSample)
+      val book = trained.sortBy(_._1).zipWithIndex
+        .map { case ((_, q), i) => (i.toLong, q) }
+      val rows = encodedRows(src, coarse, book, dim, m)
+      SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+        bucketsAt(spark, root, observed),
         meta = metaLines(coarse, book, dim, m, k),
         expectedVersion = Some(observed))
     }

@@ -809,6 +809,87 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = 2, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // IVFADC REBALANCE (VersionedIvfAdc.rebalance, round 12) — the
+    // compressed flagship's missing maintenance verb: hot coarse cells
+    // split from PQ-DECODED reconstructions (codes are cell-independent
+    // here, so rows keep their codes verbatim; only cent_id and the
+    // `#ivfcent` lines move), then a delete proves the split geometry
+    // carries through later verbs. The split exists to bound probe
+    // work, NOT to change results: a FULL probe after rebalance+delete
+    // must land exactly on the bare cascade's integer PQ distances over
+    // the survivors — a row re-encoded (it must not be), lost to a
+    // mis-assigned sub-cell, or scored against a moved codebook would
+    // shift the approx distances the oracle replays.
+    "s26_ivfadc_rebalance" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s26-vadcreb").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.VersionedIvfAdc.write(emb, root, dim = Dim,
+        m = 8, k = 16, nCells = 16)
+      val book1 = graft.operators.VersionedIvfAdc.storedBook(s, root)
+      val split = graft.operators.VersionedIvfAdc.rebalance(s, root,
+        hotFactor = 1.0)
+      require(split >= 1,
+        "s26: no cell exceeded mean population — rebalance untested")
+      graft.operators.VersionedIvfAdc.delete(s, root,
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      val book2 = graft.operators.VersionedIvfAdc.storedBook(s, root)
+      require(book1.length == book2.length &&
+        book1.zip(book2).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) },
+        "s26: rebalance/delete moved the codebook — coarse maintenance " +
+          "must never re-encode")
+      val coarse = graft.operators.VersionedIvfAdc.storedCoarse(s, root)
+      require(coarse.length > 16,
+        "s26: split published no new coarse cells")
+      graft.operators.VersionedIvfAdc.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = coarse.length, topK = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVFADC RETRAIN (VersionedIvfAdc.retrain, round 12) — the codebook
+    // staleness verb: one bounded-sample integer-Lloyd round re-fits
+    // the PQ codebook against the source corpus and re-encodes every
+    // stored vector, coarse geometry carried, ONE OCC version. The
+    // oracle replays the Lloyd round exactly (seed assignment → integer
+    // means, empty cells keep seeds) and the full-probe search must
+    // land on the retrained book's integer distances — a stale code, a
+    // drifted mean, or a renumbering slip all shift them.
+    "s27_ivfadc_retrain" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s27-vadcret").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      graft.operators.VersionedIvfAdc.write(emb, root, dim = Dim,
+        m = 8, k = 16, nCells = 16)
+      val seedBook = graft.operators.VersionedIvfAdc.storedBook(s, root)
+      val coarse1 = graft.operators.VersionedIvfAdc.storedCoarse(s, root)
+      val v = graft.operators.VersionedIvfAdc.retrain(s, root, emb,
+        iters = 1, trainSample = 0L)
+      require(v == 2L, s"s27: expected retrain to publish version 2, got $v")
+      val newBook = graft.operators.VersionedIvfAdc.storedBook(s, root)
+      require(newBook.exists { case (id, q) =>
+        !seedBook.toMap.get(id).exists(_.sameElements(q)) },
+        "s27: retrain left the codebook identical — Lloyd round untested")
+      val coarse2 = graft.operators.VersionedIvfAdc.storedCoarse(s, root)
+      require(coarse1.length == coarse2.length &&
+        coarse1.zip(coarse2).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) },
+        "s27: retrain moved the coarse geometry — it must carry verbatim")
+      graft.operators.VersionedIvfAdc.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = coarse2.length, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1262,6 +1343,85 @@ object Similarity extends QueryPack {
     // against the carried quantizers restores the exact integer
     // distances of a fresh build
     "s25_ivfadc_versioned" -> PqIvfOracleSql,
+
+    // full-probe ADC over the survivors: rebalance moves rows BETWEEN
+    // coarse cells without touching codes or codebook, so the ranking
+    // is the bare cascade's integer PQ distances with the deleted set
+    // gone — cell structure cancels out of a full probe entirely
+    "s26_ivfadc_rebalance" ->
+      s"""WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+        |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+        |  FROM q, range(0, 8) j, range(0, 8) i),
+        |pcent AS (SELECT vec_id AS cent_id, j, i, v AS cv FROM sub WHERE vec_id < 16),
+        |pdists AS (SELECT s.vec_id, s.j, c.cent_id,
+        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+        |  FROM sub s JOIN pcent c ON c.j = s.j AND c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, cent_id AS code FROM (
+        |  SELECT vec_id, j, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+        |  FROM pdists) WHERE rk = 1),
+        |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM pdists WHERE vec_id < $AnnEvalQueries),
+        |approx AS (SELECT l.q_id, cd.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
+        |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.cent_id = cd.code
+        |  WHERE cd.vec_id <> l.q_id AND cd.vec_id % 10 <> 3
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id, approx_dist,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
+        |  FROM approx)
+        |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // the retrained codebook replayed exactly: one integer-Lloyd round
+    // (assign to the first-16 seeds, integer means per cell — Java
+    // math.round(x) = floor(x + 0.5) for doubles, all signs — empty
+    // cells keep their seed), then full-probe ADC with the new book
+    "s27_ivfadc_retrain" ->
+      s"""WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |sd AS (SELECT a.vec_id, c.cent_id,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+        |  FROM q a, seeds c),
+        |sassign AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+        |  FROM sd) WHERE rk = 1),
+        |bm AS (SELECT sa.cent_id, i.range AS ord,
+        |    cast(floor(avg(qq.qe[cast(i.range as int)]) + 0.5) as bigint) AS v
+        |  FROM sassign sa JOIN q qq ON qq.vec_id = sa.vec_id, range(1, ${Dim + 1}) i
+        |  GROUP BY sa.cent_id, i.range),
+        |bookv AS (SELECT cent_id, list(v ORDER BY ord) AS qc FROM bm GROUP BY cent_id),
+        |book AS (SELECT s.cent_id, coalesce(b.qc, s.qc) AS qc
+        |  FROM seeds s LEFT JOIN bookv b USING (cent_id)),
+        |bsub AS (SELECT cent_id, cast(j.range as int) AS j, i.range AS i,
+        |    qc[cast(j.range * 8 + i.range + 1 as int)] AS cv
+        |  FROM book, range(0, 8) j, range(0, 8) i),
+        |vsub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+        |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+        |  FROM q, range(0, 8) j, range(0, 8) i),
+        |pdists AS (SELECT s.vec_id, s.j, c.cent_id,
+        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+        |  FROM vsub s JOIN bsub c ON c.j = s.j AND c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, cent_id AS code FROM (
+        |  SELECT vec_id, j, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+        |  FROM pdists) WHERE rk = 1),
+        |lut AS (SELECT vec_id AS q_id, j, cent_id, dist FROM pdists WHERE vec_id < $AnnEvalQueries),
+        |approx AS (SELECT l.q_id, cd.vec_id, cast(sum(l.dist) as bigint) AS approx_dist
+        |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.cent_id = cd.code
+        |  WHERE cd.vec_id <> l.q_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id, approx_dist,
+        |    cast(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) as int) AS rank
+        |  FROM approx)
+        |SELECT q_id, rank, vec_id, approx_dist FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     // survivors-only brute force: full-probe stored search after the
     // delete must equal exact cosine top-3 with the deleted set gone

@@ -234,4 +234,38 @@ class VersionedIvfSpec extends SparkTestBase {
       results(VersionedIvf.search(spark, serial, queries,
         nProbe = n, topK = 3)))
   }
+
+  test("optimize + vacuum on a VersionedIvf root preserve #ivfcent " +
+      "lines and search results (maintenance composes with the " +
+      "versioned-ANN layout)") {
+    val root = "target/vivf-maint"
+    cleanup(root)
+    val emb = corpus
+    val queries = emb.filter(col("vec_id") < 5)
+    VersionedIvf.write(emb, k = 4, root)
+    assert(VersionedIvf.rebalance(spark, root, hotFactor = 1.0) >= 1)
+    val cents = VersionedIvf.storedCentroids(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq
+    val n = cents.size
+    val before = results(VersionedIvf.search(spark, root, queries,
+      nProbe = 2, topK = 3))
+    val beforeFull = results(VersionedIvf.search(spark, root, queries,
+      nProbe = n, topK = 3))
+
+    SnapshotStore.optimize(spark, root)
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    assert(VersionedIvf.storedCentroids(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq === cents,
+      "optimize/vacuum dropped or moved #ivfcent lines")
+    assert(results(VersionedIvf.search(spark, root, queries,
+      nProbe = 2, topK = 3)) === before)
+    assert(results(VersionedIvf.search(spark, root, queries,
+      nProbe = n, topK = 3)) === beforeFull)
+    // maintenance verbs still work on the compacted store
+    val sp = spark
+    import sp.implicits._
+    VersionedIvf.delete(spark, root, Seq(9L).toDF("vec_id"))
+    assert(VersionedIvf.search(spark, root, queries,
+      nProbe = n, topK = 3).filter(col("vec_id") === 9L).count() === 0L)
+  }
 }
