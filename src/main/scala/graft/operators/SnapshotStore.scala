@@ -2065,6 +2065,17 @@ object SnapshotStore {
   private def txnLine(streamId: String, batchId: Long) =
     s"#txn\t$streamId\t$batchId"
 
+  /** A `#txn` marker line for composing exactly-once batch publication
+    * with verbs that derive their OWN meta (e.g.
+    * [[VersionedIvf.upsertBatch]] carrying geometry lines): pass it in
+    * that verb's `meta` and pair with [[lastCommittedBatch]] for the
+    * replay check — exactly what [[commitBatch]] does internally. */
+  def txnMarker(streamId: String, batchId: Long): String = {
+    require(!streamId.exists(c => c == '\t' || c == '\n'),
+      s"streamId must not contain tab/newline: '$streamId'")
+    txnLine(streamId, batchId)
+  }
+
   /** Latest `#txn` marker per stream across published manifests, minus
     * streams `fresh` re-marks — carried into EVERY new manifest so the
     * newest manifest always holds the full replay state: a maintenance

@@ -141,14 +141,68 @@ object VersionedIvf {
       requirePublished(observed, root, "upsert")
       val cents = storedCentroids(spark, root, observed)
       IvfIndex.requireDim(emb, cents, "VersionedIvf.upsert")
-      val rows = IvfIndex.cellAssign(emb, cents)
-        .select(col("vec_id").cast("long").as("doc_id"),
-          col("embedding"), col("cent_id"))
-        .repartitionByRange(math.max(4, cents.length / 2),
-          col("cent_id"))
+      val rows = assignRows(emb, cents)
       SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
         bucketsAt(spark, root, observed), meta = centLines(cents),
         expectedVersion = Some(observed))
+    }
+
+  private def assignRows(emb: DataFrame,
+      cents: Array[(Long, Array[Long])]): DataFrame =
+    IvfIndex.cellAssign(emb, cents)
+      .select(col("vec_id").cast("long").as("doc_id"),
+        col("embedding"), col("cent_id"))
+      .repartitionByRange(math.max(4, cents.length / 2), col("cent_id"))
+
+  /** EXACTLY-ONCE micro-batch upsert — [[upsert]] carrying a
+    * [[SnapshotStore.txnMarker]], the verb a Structured Streaming
+    * `foreachBatch` sink needs to make a stream of per-document vector
+    * upserts (the reference's ingest DAG is exactly that,
+    * `parser_pinecone_storage.py:146-154`) end-to-end exactly-once into
+    * the versioned index: a batch REPLAYED after a crash (foreachBatch
+    * delivery is at-least-once) finds its marker already published and
+    * no-ops; a fresh batch assigns against the observed geometry and
+    * publishes rows + carried `#ivfcent` lines + its marker as ONE
+    * atomic version under the OCC retry — so the sink composes with
+    * concurrent maintenance verbs (delete/rebalance) the way [[upsert]]
+    * does, and the marker can never exist without its rows (the Delta
+    * txn-action discipline: the marker lives in the atomically renamed
+    * manifest).
+    *
+    * Cold start: with `bootstrapCells = Some(k)` an EMPTY root trains
+    * deterministic seeds from the first batch and publishes version 1
+    * (marker included — the reference's create-index-if-missing,
+    * transactionally); with None an empty root is an error, because
+    * silently training geometry from whatever batch happens to arrive
+    * first is rarely what an operator wants. */
+  def upsertBatch(spark: SparkSession, root: String, emb: DataFrame,
+      streamId: String, batchId: Long,
+      bootstrapCells: Option[Int] = None, buckets: Int = 4): Long =
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      if (SnapshotStore.lastCommittedBatch(spark, root, streamId)
+          .exists(_ >= batchId)) {
+        observed // replayed batch: marker already published — no-op
+      } else if (observed == 0) {
+        val k = bootstrapCells.getOrElse(throw new IllegalArgumentException(
+          s"VersionedIvf.upsertBatch: no published version at $root — " +
+            "write() an index first, or pass bootstrapCells to train " +
+            "from the first batch"))
+        val cents = IvfIndex.centroids(emb, k)
+        SnapshotStore.commit(assignRows(emb, cents), root, buckets,
+          meta = centLines(cents) ++ Seq(
+            SnapshotStore.statsDeclaration(Seq("doc_id", "cent_id")),
+            SnapshotStore.txnMarker(streamId, batchId)),
+          expectedVersion = Some(0L))
+      } else {
+        val cents = storedCentroids(spark, root, observed)
+        IvfIndex.requireDim(emb, cents, "VersionedIvf.upsertBatch")
+        val rows = assignRows(emb, cents)
+        SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+          bucketsAt(spark, root, observed),
+          meta = centLines(cents) :+
+            SnapshotStore.txnMarker(streamId, batchId),
+          expectedVersion = Some(observed))
+      }
     }
 
   /** Delete vectors by id — ONE atomic publish (an empty-re-ingest

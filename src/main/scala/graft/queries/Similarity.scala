@@ -890,6 +890,53 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = coarse2.length, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // EXACTLY-ONCE streamed index build (VersionedIvf.upsertBatch,
+    // round 12) — s24's batch upsert as the foreachBatch sink verb the
+    // streaming ingest uses (IngestStream.vectorUpsertAvailable): batch
+    // 0 BOOTSTRAPS geometry + rows + txn marker as version 1, batch 1
+    // appends against the stored geometry, and a REPLAY of batch 1
+    // (at-least-once delivery) must no-op — no new version, no
+    // double-applied rows. Full-probe search then lands exactly on
+    // full-corpus brute force: a replayed row would duplicate ids, a
+    // marker without rows or rows without geometry cannot exist (one
+    // manifest), and moved centroids would break the carried-lines
+    // require.
+    "s28_ivf_stream_upsert" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s28-vstream").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      val b0 = emb.filter(col("vec_id") % 3 =!= 0)
+        .select("vec_id", "embedding")
+      val b1 = emb.filter(col("vec_id") % 3 === 0)
+        .select("vec_id", "embedding")
+      graft.operators.VersionedIvf.upsertBatch(s, root, b0, "s28", 0L,
+        bootstrapCells = Some(16))
+      val g1 = graft.operators.VersionedIvf.storedCentroids(s, root)
+      graft.operators.VersionedIvf.upsertBatch(s, root, b1, "s28", 1L)
+      val v = graft.operators.SnapshotStore.currentVersion(s, root)
+      require(v.contains(2L), s"s28: expected 2 versions, got $v")
+      // replay: the marker is already published — must no-op
+      graft.operators.VersionedIvf.upsertBatch(s, root, b1, "s28", 1L)
+      require(graft.operators.SnapshotStore.currentVersion(s, root)
+        .contains(2L),
+        "s28: replayed batch re-published — exactly-once broken")
+      require(graft.operators.SnapshotStore
+        .lastCommittedBatch(s, root, "s28").contains(1L))
+      val g2 = graft.operators.VersionedIvf.storedCentroids(s, root)
+      require(g1.length == g2.length &&
+        g1.zip(g2).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) },
+        "s28: streamed appends moved the stored geometry")
+      graft.operators.VersionedIvf.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = g2.length, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1468,6 +1515,11 @@ object Similarity extends QueryPack {
     // search is plain full-corpus brute force; centroid choice (trained
     // on the 2/3 subset) cannot matter under a full probe
     "s24_ivf_upsert" -> fullProbeTop3Oracle,
+
+    // the streamed build covers the full corpus exactly once (bootstrap
+    // + append + no-op replay), so full-probe search is plain
+    // brute-force cosine top-3 — the same truth as s24's batch path
+    "s28_ivf_stream_upsert" -> fullProbeTop3Oracle,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -229,6 +229,49 @@ object IngestStream {
     q.awaitTermination()
   }
 
+  /** The reference's ingest DAG landed in the VERSIONED ANN INDEX,
+    * exactly-once: documents stream in, chunk + embed map-only (the
+    * [[indexRows]] pipeline), and each micro-batch upserts its vectors
+    * into a [[graft.operators.VersionedIvf]] store through
+    * [[graft.operators.VersionedIvf.upsertBatch]] — rows, carried
+    * `#ivfcent` geometry, and the batch's txn marker publish as ONE
+    * atomic version, so a replayed batch no-ops and a crash can never
+    * tear geometry from rows or double-apply vectors
+    * (`parser_pinecone_storage.py:146-154` is this stream with no
+    * transactional story at all). Vector ids are the POSITIONAL hash of
+    * (doc_id, chunk_idx): a re-parsed document's chunks REPLACE their
+    * predecessors through the keyed upsert instead of piling up under
+    * wall-clock-salted ids (the reference's `:147` behavior).
+    *
+    * The index trains on first use (`bootstrapCells` seeds from the
+    * first batch — the reference's create-index-if-missing, made
+    * transactional); run [[graft.operators.VersionedIvf.rebalance]]
+    * when drift makes cells hot, concurrently if desired — every verb
+    * OCC-serializes. */
+  def vectorUpsertAvailable(spark: SparkSession, srcDir: String,
+      indexRoot: String, checkpointDir: String, streamId: String,
+      bootstrapCells: Int = 16, buckets: Int = 4, chunkSize: Int = 3000,
+      overlap: Int = 200, dim: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = indexRows(batch, chunkSize, overlap, dim)
+          .select(graft.functions.CrossHash.hash60(
+            concat_ws("_", col("doc_id"), col("chunk_idx")))
+            .as("vec_id"), col("embedding"))
+        if (!rows.isEmpty)
+          graft.operators.VersionedIvf.upsertBatch(spark, indexRoot,
+            rows, streamId, batchId,
+            bootstrapCells = Some(bootstrapCells), buckets = buckets): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Transactional streaming sink: each micro-batch publishes ONE atomic
     * [[graft.operators.SnapshotStore]] version carrying its batch id as
     * a txn marker, so a batch replayed after a crash (foreachBatch's

@@ -517,6 +517,128 @@ class IngestStreamSpec extends SparkTestBase {
     }
   }
 
+  test("exactly-once streaming vector upsert into VersionedIvf: " +
+      "bootstrap + drain ≡ batch verbs, re-parse replaces, replay " +
+      "no-ops, crash window recovers, geometry rides every version") {
+    import graft.operators.{SnapshotStore, VersionedIvf}
+    val docsA = Seq(
+      (1L, "stream vector document one with some text to chunk", "en", "v1.pdf", 50L),
+      (2L, "stream vector document two carrying different words", "en", "v2.pdf", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docsB = Seq(
+      (3L, "stream vector document three rounding out the corpus", "en", "v3.pdf", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: DataFrame, src: String, name: String): Unit = {
+      val stage = tmp("vup_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    def vecRows(docs: DataFrame): DataFrame =
+      IngestStream.indexRows(docs, 20, 5, 8)
+        .select(graft.functions.CrossHash.hash60(
+          org.apache.spark.sql.functions.concat_ws("_",
+            col("doc_id"), col("chunk_idx"))).as("vec_id"),
+          col("embedding"))
+    def content(root: String): Seq[String] =
+      SnapshotStore.read(spark, root)
+        .select(col("doc_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) + "|" +
+          r.getSeq[Float](1).mkString(",")).toSeq.sorted
+
+    val src = tmp("vup_src"); val cp = tmp("vup_cp")
+    val root = tmp("vup_root"); Files.delete(Paths.get(root))
+
+    // batch 0 bootstraps: trains seeds from the first batch, publishes
+    // version 1 with geometry + txn marker in one manifest
+    land(docsA, src, "a.parquet")
+    IngestStream.vectorUpsertAvailable(spark, src, root, cp,
+      streamId = "vup", bootstrapCells = 4, buckets = 4,
+      chunkSize = 20, overlap = 5, dim = 8)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    assert(SnapshotStore.lastCommittedBatch(spark, root, "vup")
+      === Some(0L))
+    val g1 = VersionedIvf.storedCentroids(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq
+    val wantA = vecRows(docsA).collect()
+      .map(r => r.getLong(0) + "|" + r.getSeq[Float](1).mkString(","))
+      .toSeq.sorted
+    assert(content(root) === wantA)
+
+    // batch 1: new doc + RE-PARSE of doc 1 — positional vector ids must
+    // REPLACE doc 1's old vectors, not append beside them
+    val reparsed = docsA.filter($"doc_id" === 1L)
+      .withColumn("text", concat(col("text"), lit(" revised")))
+    land(docsB.unionByName(reparsed), src, "b.parquet")
+    IngestStream.vectorUpsertAvailable(spark, src, root, cp,
+      streamId = "vup", bootstrapCells = 4, buckets = 4,
+      chunkSize = 20, overlap = 5, dim = 8)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+    // appending never moves geometry
+    assert(VersionedIvf.storedCentroids(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq === g1)
+    val wantAB = vecRows(
+      docsA.filter($"doc_id" =!= 1L).unionByName(reparsed)
+        .unionByName(docsB)).collect()
+      .map(r => r.getLong(0) + "|" + r.getSeq[Float](1).mkString(","))
+      .toSeq.sorted
+    assert(content(root) === wantAB,
+      "re-parsed chunks must replace their positional predecessors")
+    assert(SnapshotStore.read(spark, root).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+
+    // nothing new → drain publishes nothing
+    IngestStream.vectorUpsertAvailable(spark, src, root, cp,
+      streamId = "vup", bootstrapCells = 4, buckets = 4,
+      chunkSize = 20, overlap = 5, dim = 8)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+
+    // crash window: batch 2 publishes its manifest, writer dies before
+    // the checkpoint advances — the replay must detect the txn marker
+    // and no-op instead of double-applying
+    val docsC = Seq(
+      (4L, "stream vector document four arriving after the crash", "en", "v4.pdf", 53L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    land(docsC, src, "c.parquet")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.FaultInjection.arm { p =>
+      if (p == "manifest-renamed" && fired.compareAndSet(false, true))
+        throw new RuntimeException("injected crash at manifest-renamed")
+    }
+    try intercept[Exception] {
+      IngestStream.vectorUpsertAvailable(spark, src, root, cp,
+        streamId = "vup", bootstrapCells = 4, buckets = 4,
+        chunkSize = 20, overlap = 5, dim = 8)
+    } finally SnapshotStore.FaultInjection.disarm()
+    assert(SnapshotStore.currentVersion(spark, root) === Some(3L))
+    IngestStream.vectorUpsertAvailable(spark, src, root, cp,
+      streamId = "vup", bootstrapCells = 4, buckets = 4,
+      chunkSize = 20, overlap = 5, dim = 8)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(3L),
+      "replayed published batch must no-op, not re-publish")
+    assert(SnapshotStore.lastCommittedBatch(spark, root, "vup")
+      === Some(2L))
+    val wantABC = vecRows(
+      docsA.filter($"doc_id" =!= 1L).unionByName(reparsed)
+        .unionByName(docsB).unionByName(docsC)).collect()
+      .map(r => r.getLong(0) + "|" + r.getSeq[Float](1).mkString(","))
+      .toSeq.sorted
+    assert(content(root) === wantABC)
+
+    // the streamed store IS a live VersionedIvf index: search serves,
+    // and a maintenance verb composes (OCC + carried geometry)
+    val queries = vecRows(docsA).limit(2)
+    val n = VersionedIvf.storedCentroids(spark, root).length
+    assert(VersionedIvf.search(spark, root, queries, nProbe = n,
+      topK = 2).count() === 4L)
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    assert(content(root) === wantABC)
+    assert(SnapshotStore.lastCommittedBatch(spark, root, "vup")
+      === Some(2L),
+      "vacuum must not destroy the stream's replay state")
+  }
+
   test("CHECK constraint rejects a violating streaming batch before write") {
     import graft.operators.SnapshotStore
     import spark.implicits._
