@@ -247,7 +247,20 @@ object VersionedIvfAdc {
       require(missing == 0,
         s"VersionedIvfAdc.retrain: source corpus is missing stored ids " +
           s"at $root — re-encode would silently drop vectors")
-      val trained = IvfIndex.trainCentroids(src, k, iters, trainSample)
+      // RE-SEED from the CURRENT corpus: lowest-id seeding would draw
+      // every seed from the oldest data, and Lloyd cannot grow the
+      // codeword count inside a drifted region its seeds never reached
+      // (measured: a region holding one migrated codeword keeps one
+      // codeword forever — recall never recovers). A deterministic
+      // cross-engine hash order ([[graft.functions.CrossHash.hash60]])
+      // spreads seeds ∝ the corpus mix, so new regions get codewords
+      // proportional to their mass — the point of retraining. Ids are
+      // remapped to the hash BEFORE training (seed choice = lowest-k
+      // remapped ids) and the book is renumbered 0..k-1 in hash order.
+      val seedSrc = src.select(
+        graft.functions.CrossHash.hash60(col("vec_id").cast("string"))
+          .as("vec_id"), col("embedding"))
+      val trained = IvfIndex.trainCentroids(seedSrc, k, iters, trainSample)
       val book = trained.sortBy(_._1).zipWithIndex
         .map { case ((_, q), i) => (i.toLong, q) }
       val rows = encodedRows(src, coarse, book, dim, m)
@@ -256,6 +269,28 @@ object VersionedIvfAdc {
         meta = metaLines(coarse, book, dim, m, k),
         expectedVersion = Some(observed))
     }
+
+  /** `(q_id, j, code, dist)` — exact integer subspace distances of the
+    * query vectors to a codebook (stored or historical): the asymmetric-
+    * distance lookup table [[search]] broadcasts, exposed so audits
+    * (s29's recall-drift monitor) can score stored codes against ANY
+    * version's book without going through a full probe. Tiny:
+    * queries × m × k rows. */
+  def queryLut(spark: SparkSession, queries: DataFrame,
+      book: Array[(Long, Array[Long])], dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    val sp = spark
+    import sp.implicits._
+    val bookRows = book.toSeq.flatMap { case (cid, q) =>
+      q.zipWithIndex.map { case (v, pos) =>
+        (cid, pos / subDim, pos % subDim, v)
+      }
+    }.toDF("cent_id", "j", "i", "cv")
+    PqIndex
+      .distsAgainst(PqIndex.components(queries, subDim), bookRows)
+      .select(col("vec_id").as("q_id"), col("j"),
+        col("cent_id").as("code"), col("dist"))
+  }
 
   /** The IVFADC cascade against a published version (head by default):
     * coarse probe → candidate cells admitted by ONE
@@ -280,18 +315,7 @@ object VersionedIvfAdc {
       probeCells.toIndexedSeq, version)
     // query LUT: subspace distances of the query vectors to the STORED
     // codebook — tiny (queries × m × k), broadcast
-    val subDim = dim / m
-    val sp = spark
-    import sp.implicits._
-    val bookRows = book.toSeq.flatMap { case (cid, q) =>
-      q.zipWithIndex.map { case (v, pos) =>
-        (cid, pos / subDim, pos % subDim, v)
-      }
-    }.toDF("cent_id", "j", "i", "cv")
-    val lut = PqIndex
-      .distsAgainst(PqIndex.components(queries, subDim), bookRows)
-      .select(col("vec_id").as("q_id"), col("j"),
-        col("cent_id").as("code"), col("dist"))
+    val lut = queryLut(spark, queries, book, dim, m)
     // asymmetric distance: explode each candidate's code array to
     // (j, code), sum the m LUT lookups, rank per query
     val w = Window.partitionBy("q_id")

@@ -937,8 +937,213 @@ object Similarity extends QueryPack {
           .select("vec_id", "embedding"),
         nProbe = g2.length, topK = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // RECALL-DRIFT MONITOR (round 12) — the number that tells an
+    // operator WHEN to run s27's retrain: recall@10 of the compressed
+    // cascade vs EXACT integer-L2 truth over the SAME content (the
+    // quantity PQ approximates — recall vs another metric would measure
+    // metric mismatch, not codebook staleness), replayed per REGION
+    // across the store's time-travel versions. v1 = index on the base
+    // region (the k=64 book fits it), v2 = upsert a PLANTED drifted
+    // region — dimensions REVERSED (a permutation: intra-cluster
+    // distances exactly preserved) then translated +2.0, both bit-exact
+    // in either engine — whose vectors the stale book codes
+    // degenerately → drifted-region recall arrives FAR below the base
+    // region's, v3 = retrain (whose hash-spread re-seeding allocates
+    // codewords to the new region ∝ its mass) → it RECOVERS. One row
+    // per (version, region), integer permille; the requires pin the
+    // decay-then-recovery shape itself (measured: drift 0‰ → 380‰ at
+    // sf0.01, 160‰ → 400‰ at sf0.1, base stable ~260–380‰).
+    "s29_ivfadc_drift" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s29-drift").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      val toD = transform(col("embedding"), x => x.cast("double"))
+      val base = emb
+        .filter(col("vec_id") % 3 =!= 0 || col("vec_id") < 64)
+        .select(col("vec_id"), toD.as("embedding"))
+      val drifted = emb
+        .filter(col("vec_id") % 3 === 0 && col("vec_id") >= 64)
+        .select(col("vec_id"),
+          transform(reverse(toD), x => x + lit(2.0d)).as("embedding"))
+      val full = base.unionByName(drifted)
+      def qs(src: DataFrame): DataFrame =
+        src.filter(col("vec_id") >= 64).orderBy("vec_id")
+          .limit(AnnEvalQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.VersionedIvfAdc.write(base, root, dim = Dim,
+        m = 8, k = 64, nCells = 16)
+      graft.operators.VersionedIvfAdc.upsert(s, root, drifted)
+      graft.operators.VersionedIvfAdc.retrain(s, root, full, iters = 1)
+      val K = 10
+      // recall evaluates on a BOUNDED content slice (vec_id < 512), the
+      // d21 discipline: per-vector quantization error is independent of
+      // what else is stored, so slice recall estimates corpus recall
+      // unbiasedly — and the instrument keeps the SAME resolution at
+      // every corpus size (top-K-of-the-whole-corpus truth gets harder
+      // with n at fixed codebook size, which would saturate the monitor
+      // at 0 long before the codebook is the problem)
+      val EvalSlice = 512
+      def recallRow(v: Long, region: String,
+          queries: DataFrame): DataFrame = {
+        val stored = graft.operators.SnapshotStore.read(s, root, v)
+          .filter(col("doc_id") < EvalSlice)
+          .select(col("doc_id").as("vec_id"), col("codes"))
+        val corpusV = full.join(stored.select("vec_id"), Seq("vec_id"),
+          "left_semi")
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("dist"), col("vec_id"))
+        val exactK = corpusV.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(
+              VectorFunctions.quantize1e6(col("embedding")),
+              VectorFunctions.quantize1e6(col("q_emb")),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("dist"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K).select("q_id", "vec_id")
+        // ADC ranking over the same slice from STORE STATE at v: the
+        // stored codes (encoded by whichever book was live when their
+        // row last published) scored against the version's book
+        val book = graft.operators.VersionedIvfAdc.storedBook(s, root, v)
+        val lut = graft.operators.VersionedIvfAdc.queryLut(s,
+          queries.select(col("q_id").as("vec_id"),
+            col("q_emb").as("embedding")), book, Dim, 8)
+        val wa = Window.partitionBy("q_id")
+          .orderBy(col("adist"), col("vec_id"))
+        val adcK = stored
+          .select(col("vec_id"), posexplode(col("codes"))
+            .as(Seq("j", "code")))
+          .join(broadcast(lut), Seq("j", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("dist")).as("adist"))
+          .withColumn("rk", row_number().over(wa))
+          .filter(col("rk") <= K).select("q_id", "vec_id")
+        adcK.join(exactK, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(v).as("version"), lit(region).as("region"),
+            col("hits"),
+            expr(s"cast(hits * 1000 div ${K * AnnEvalQueries} as bigint)")
+              .as("recall_permille"))
+      }
+      val out = recallRow(1L, "base", qs(base))
+        .unionByName(recallRow(2L, "base", qs(base)))
+        .unionByName(recallRow(2L, "drift", qs(drifted)))
+        .unionByName(recallRow(3L, "base", qs(base)))
+        .unionByName(recallRow(3L, "drift", qs(drifted)))
+        .orderBy("version", "region")
+      val r = out.collect()
+        .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(3)).toMap
+      require(r((2L, "drift")) < r((2L, "base")),
+        s"s29: planted drift did not decay recall (base=${r((2L, "base"))}" +
+          s" drift=${r((2L, "drift"))} at v2)")
+      require(r((3L, "drift")) > r((2L, "drift")),
+        s"s29: retrain did not recover recall (v2=${r((2L, "drift"))} " +
+          s"v3=${r((3L, "drift"))})")
+      out
     })
   )
+
+  /** s29's oracle: drifted corpus values, both codebooks (stale
+    * first-64 seeds; Lloyd-1 retrained), codes + LUTs per book, and one
+    * recall@10-vs-exact-integer-L2 block per (version, region). */
+  private lazy val s29DriftOracle: String = {
+    val K = 10
+    // per-(version, region) evaluation: exact@K over that version's
+    // content, ADC@K from that version's book, hit count → permille
+    def block(v: Int, region: String, book: String,
+        content: String): String =
+      s"""e_${v}_$region AS (SELECT q_id, vec_id FROM (
+        |  SELECT qq.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY qq.q_id ORDER BY
+        |      list_sum(list_transform(range(1, ${Dim + 1}), i -> (c.qe[i] - qq.qe[i]) * (c.qe[i] - qq.qe[i]))), c.vec_id) AS rk
+        |  FROM qset_$region qq JOIN $content c ON c.vec_id <> qq.q_id)
+        |  WHERE rk <= $K),
+        |ap_${v}_$region AS (SELECT l.q_id, cd.vec_id, cast(sum(l.dist) as bigint) AS adist
+        |  FROM codes_$book cd JOIN $content ct ON ct.vec_id = cd.vec_id
+        |  JOIN lut_${book}_$region l ON l.j = cd.j AND l.cent_id = cd.code
+        |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+        |a_${v}_$region AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+        |  FROM ap_${v}_$region) WHERE rk <= $K),
+        |row_${v}_$region AS (SELECT cast($v as bigint) AS version,
+        |  '$region' AS region, cast(count(*) as bigint) AS hits,
+        |  cast(count(*) * 1000 // ${K * AnnEvalQueries} as bigint) AS recall_permille
+        |  FROM a_${v}_$region JOIN e_${v}_$region USING (q_id, vec_id))"""
+        .stripMargin
+    def bookCtes(book: String): String =
+      s"""bsub_$book AS (SELECT cent_id, cast(j.range as int) AS j, i.range AS i,
+        |    qc[cast(j.range * 8 + i.range + 1 as int)] AS cv
+        |  FROM book_$book, range(0, 8) j, range(0, 8) i),
+        |pdists_$book AS (SELECT s.vec_id, s.j, c.cent_id,
+        |    cast(sum((s.v - c.cv) * (s.v - c.cv)) as bigint) AS dist
+        |  FROM vsub s JOIN bsub_$book c ON c.j = s.j AND c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |codes_$book AS (SELECT vec_id, j, cent_id AS code FROM (
+        |  SELECT vec_id, j, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent_id) AS rk
+        |  FROM pdists_$book) WHERE rk = 1),
+        |lut_${book}_base AS (SELECT q.q_id, p.j, p.cent_id, p.dist
+        |  FROM pdists_$book p JOIN qset_base q ON q.q_id = p.vec_id),
+        |lut_${book}_drift AS (SELECT q.q_id, p.j, p.cent_id, p.dist
+        |  FROM pdists_$book p JOIN qset_drift q ON q.q_id = p.vec_id)"""
+        .stripMargin
+    s"""WITH fullv AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 3 = 0 AND vec_id >= 64
+      |      THEN list_transform(list_reverse(cast(embedding as double[])), x -> x + 2.0)
+      |      ELSE cast(embedding as double[]) END AS emb
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(emb, x -> cast(round(x * 1000000.0) as bigint)) AS qe FROM fullv),
+      |content_1 AS (SELECT vec_id, qe FROM q
+      |  WHERE NOT (vec_id % 3 = 0 AND vec_id >= 64) AND vec_id < 512),
+      |content_a AS (SELECT vec_id, qe FROM q WHERE vec_id < 512),
+      |qset_base AS (SELECT vec_id AS q_id, qe FROM q
+      |  WHERE vec_id >= 64 AND vec_id % 3 <> 0 ORDER BY vec_id LIMIT $AnnEvalQueries),
+      |qset_drift AS (SELECT vec_id AS q_id, qe FROM q
+      |  WHERE vec_id >= 64 AND vec_id % 3 = 0 ORDER BY vec_id LIMIT $AnnEvalQueries),
+      |book_stale AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 64),
+      |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cent_id, qc FROM (
+      |  SELECT vec_id, qe AS qc, ${graft.functions.CrossHash.duckHash60("cast(vec_id as varchar)")} AS h
+      |  FROM q ORDER BY h, vec_id LIMIT 64)),
+      |sd AS (SELECT a.vec_id, c.cent_id,
+      |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
+      |  FROM q a, seeds c),
+      |sassign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rk
+      |  FROM sd) WHERE rk = 1),
+      |bm AS (SELECT sa.cent_id, i.range AS ord,
+      |    cast(floor(avg(qq.qe[cast(i.range as int)]) + 0.5) as bigint) AS v
+      |  FROM sassign sa JOIN q qq ON qq.vec_id = sa.vec_id, range(1, ${Dim + 1}) i
+      |  GROUP BY sa.cent_id, i.range),
+      |bookv AS (SELECT cent_id, list(v ORDER BY ord) AS qc FROM bm GROUP BY cent_id),
+      |book_lloyd AS (SELECT s.cent_id, coalesce(b.qc, s.qc) AS qc
+      |  FROM seeds s LEFT JOIN bookv b USING (cent_id)),
+      |qslice AS (SELECT vec_id, qe FROM q WHERE vec_id < 512),
+      |vsub AS (SELECT vec_id, cast(j.range as int) AS j, i.range AS i,
+      |    qe[cast(j.range * 8 + i.range + 1 as int)] AS v
+      |  FROM qslice, range(0, 8) j, range(0, 8) i),
+      |${bookCtes("stale")},
+      |${bookCtes("lloyd")},
+      |${block(1, "base", "stale", "content_1")},
+      |${block(2, "base", "stale", "content_a")},
+      |${block(2, "drift", "stale", "content_a")},
+      |${block(3, "base", "lloyd", "content_a")},
+      |${block(3, "drift", "lloyd", "content_a")}
+      |SELECT * FROM row_1_base
+      |UNION ALL SELECT * FROM row_2_base
+      |UNION ALL SELECT * FROM row_2_drift
+      |UNION ALL SELECT * FROM row_3_base
+      |UNION ALL SELECT * FROM row_3_drift
+      |ORDER BY version, region""".stripMargin
+  }
 
   // Brute-force cosine top-3 over the full corpus — the layout-
   // independent truth every stored-index maintenance verb (rebalance,
@@ -1423,14 +1628,18 @@ object Similarity extends QueryPack {
         |ORDER BY q_id, rank""".stripMargin,
 
     // the retrained codebook replayed exactly: one integer-Lloyd round
-    // (assign to the first-16 seeds, integer means per cell — Java
-    // math.round(x) = floor(x + 0.5) for doubles, all signs — empty
-    // cells keep their seed), then full-probe ADC with the new book
+    // (seeds = the 16 lowest corpus vectors by the cross-engine hash —
+    // retrain RE-SEEDS from the current corpus, renumbering the book in
+    // hash order; integer means per cell — Java math.round(x) =
+    // floor(x + 0.5) for doubles, all signs — empty cells keep their
+    // seed), then full-probe ADC with the new book
     "s27_ivfadc_retrain" ->
       s"""WITH q AS (SELECT vec_id,
         |  list_transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint)) AS qe
         |  FROM embeddings),
-        |seeds AS (SELECT vec_id AS cent_id, qe AS qc FROM q ORDER BY vec_id LIMIT 16),
+        |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cent_id, qc FROM (
+        |  SELECT vec_id, qe AS qc, ${graft.functions.CrossHash.duckHash60("cast(vec_id as varchar)")} AS h
+        |  FROM q ORDER BY h, vec_id LIMIT 16)),
         |sd AS (SELECT a.vec_id, c.cent_id,
         |    list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.qe[i] - c.qc[i]) * (a.qe[i] - c.qc[i]))) AS dist
         |  FROM q a, seeds c),
@@ -1520,6 +1729,12 @@ object Similarity extends QueryPack {
     // + append + no-op replay), so full-probe search is plain
     // brute-force cosine top-3 — the same truth as s24's batch path
     "s28_ivf_stream_upsert" -> fullProbeTop3Oracle,
+
+    // the drift monitor replayed end-to-end: the planted transform
+    // (list_reverse + 0.5 in double — bit-exact both engines), the
+    // stale first-64 codebook, the Lloyd-1 retrained book, per-version
+    // content, and recall@10 against exact integer-L2 truth
+    "s29_ivfadc_drift" -> s29DriftOracle,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

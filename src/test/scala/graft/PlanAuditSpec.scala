@@ -68,6 +68,10 @@ class PlanAuditSpec extends SparkTestBase {
     "t17_table_stats" -> Set("wide-shuffle"),
     // 1-row broadcast sides: eval-slice truth / threshold / total rows
     "d11_sketch_recall" -> Set("nested-loop-join"),
+    // d21: bounded eval-slice brute-force truth (the d11 class —
+    // slice ≤ 512 rows × slice-sized other side; s29's slice crossJoin
+    // needs no entry — its 5-row broadcast side audits clean)
+    "d21_scaled_recall" -> Set("nested-loop-join"),
     "d18_threshold_curve" -> Set("nested-loop-join"),
     "i11_snapshot_drift" -> Set("nested-loop-join"),
     "m04_crossmodal" -> Set("nested-loop-join"),
