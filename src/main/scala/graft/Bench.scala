@@ -16,6 +16,14 @@ object Bench {
     try new java.io.File(p).getCanonicalPath
     catch { case _: Throwable => p }
 
+  /** Locale-pinned fixed-point formatting for ARTIFACT-bound numbers:
+    * Scala's `f` interpolator formats with the JVM default locale, so a
+    * comma-decimal locale (de_DE) would render `"load_1m_start":2,50` —
+    * invalid JSON. stderr diagnostics may stay locale-formatted; anything
+    * that lands in the JSON artifact goes through here. */
+  private def num(d: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
+
   /** 1-minute loadavg right now (-1 when /proc is unavailable) — recorded
     * into the artifact so a load-polluted capture is diagnosable from the
     * JSON alone (BENCH_r11 was a uniform 2.5-3x host-noise artifact). */
@@ -210,11 +218,17 @@ object Bench {
     // outliers, but nothing rescues a run whose ENTIRE window was loaded
     // (BENCH_r11: a uniform 2.5-3x signature across every family,
     // adjudicated as host noise only by cross-referencing the committed
-    // history). When the total over anchor-covered queries exceeds 1.5x
+    // history). When the total over anchor-covered queries exceeds 1.3x
     // the rolling-min anchor for the SAME queries, re-run the whole
     // suite ONCE and keep each query's best time — the canonical
     // artifact can then never be a pure load artifact unless the host
     // stays loaded for both windows (which the recorded loadavg exposes).
+    // The trigger was 1.5x through round 12, where a load-compromised
+    // capture (start load 18.8 on 32 cpus, 13 queries individually
+    // retimed) sat at 1.49x anchor and stayed canonical — one percent
+    // under the trigger. 1.3x still clears honest growth (new queries
+    // are anchor-UNcovered, so suite growth never trips it) while
+    // catching exactly that margin.
     val covered = afterSlowest
       .filter { case (n, v) => v >= 0 && prior.get(n).exists(_ > 0) }
     val anchorTotal = covered.map { case (n, _) => prior(n) }.sum
@@ -223,10 +237,10 @@ object Bench {
       if (afterSlowest.isEmpty) 0.0
       else covered.size.toDouble / afterSlowest.size
     val rerunFull = coverage >= 0.9 && anchorTotal > 0 &&
-      coveredTotal > 1.5 * anchorTotal
+      coveredTotal > 1.3 * anchorTotal
     val results = if (!rerunFull) afterSlowest else {
       System.err.println(f"[bench] whole-run load stall: covered total " +
-        f"$coveredTotal%.1f s > 1.5x rolling-min anchor $anchorTotal%.1f s" +
+        f"$coveredTotal%.1f s > 1.3x rolling-min anchor $anchorTotal%.1f s" +
         " — re-running the full suite once, keeping best-of-both")
       afterSlowest.map { case (name, first) =>
         val again = timeOnce(name, fnOf(name))
@@ -242,6 +256,13 @@ object Bench {
     // as a better time).
     val failed = results.count(_._2 < 0.0)
     val total = results.filter(_._2 >= 0.0).map(_._2).sum
+    // Like-for-like across rounds even when the rescue fires: rounds
+    // where rerun_full keeps best-of-two would otherwise report
+    // min-of-two totals against historical single-run totals — a small
+    // systematic downward bias. `total_firstpass` is always the
+    // pre-rescue single-run total (== value when the rescue did not
+    // fire), so cross-round comparisons can pick either basis.
+    val totalFirstpass = afterSlowest.filter(_._2 >= 0.0).map(_._2).sum
     // Like-for-like cross-round comparison: the exact query set BENCH_r04
     // recorded (63 queries). `total_r04suite` sums only those, so round
     // totals stay comparable even though the suite keeps growing.
@@ -272,7 +293,7 @@ object Bench {
     // just a stderr note.
     val retimed = attempts.toSeq.filter(_._2.size > 1).sortBy(_._1)
       .map { case (k, v) =>
-        s""""$k":[${v.map(x => f"$x%.3f").mkString(",")}]"""
+        s""""$k":[${v.map(x => num(x, 3)).mkString(",")}]"""
       }.mkString("{", ",", "}")
     // n_queries: totals are only comparable across rounds at the same
     // query count (the suite grew 63 -> 134 during round 5).
@@ -280,7 +301,7 @@ object Bench {
     // load telemetry + the rescue rule's inputs travel IN the artifact:
     // a future reader can adjudicate "regression vs loaded host" from
     // the JSON alone instead of cross-referencing sbt wall clocks
-    val loadJson = f""""load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"anchor_total":$anchorTotal%.3f,"rerun_full":$rerunFull"""
+    val loadJson = s""""load_1m_start":${num(loadStart, 2)},"load_1m_end":${num(loadEnd, 2)},"anchor_total":${num(anchorTotal, 3)},"rerun_full":$rerunFull,"total_firstpass":${num(totalFirstpass, 3)}"""
     val big = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"total_r04suite":$totalR04,"failed_r04suite":$failedR04,$loadJson,"retimed":$retimed,"queries":$qs,"sf":"$sfDir"}"""
     println(big)
     // Artifact durability (BENCH_r05.json lost its totals to a tail
@@ -293,7 +314,7 @@ object Bench {
     // total) even when the full per-query map was truncated from the
     // front.
     val slow10 = results.filter(_._2 >= 0.0).sortBy(-_._2).take(10)
-      .map { case (k, v) => f""""$k":${v}%.2f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","queries":$slow10}""")
     try {
       val out = java.nio.file.Paths.get(

@@ -160,6 +160,58 @@ object PqIndex {
     flatten(array(slices: _*))
   }
 
+  /** [[decodedColumn]] inlines the whole codebook as k×dim literal
+    * nodes evaluated per row — ideal while the tree stays small (no
+    * shuffle, whole-stage codegen), but at production geometry (k=256,
+    * dim in the hundreds) that is a ~10⁵-literal expression — the same
+    * codegen-blowup class [[IvfIndex.splitPlan]]'s per-cell CASE note
+    * documents. Past this budget, decode goes through the broadcast
+    * codebook join below instead. */
+  private[graft] val DecodeLiteralBudget: Long = 1L << 16
+
+  /** `df` (with a `codes` array column and a unique `keyCol`) plus a
+    * reconstructed `embedding` column — routing by codebook size:
+    * literal-table decode under [[DecodeLiteralBudget]] (k·dim literal
+    * nodes, map-only), broadcast-join decode past it: codes explode to
+    * (key, j, code), join the k·m-row codebook slice frame, and the
+    * slices re-assemble ordered by j (struct array_sort — collect_list
+    * order is not deterministic). The join path costs one partial-agg
+    * shuffle of (key, dim doubles) — the price of NOT compiling a
+    * 10⁵-literal expression; both paths reconstruct identically
+    * (PqSpec pins agreement). */
+  private[graft] def withDecoded(df: DataFrame, keyCol: String,
+      cents: Array[(Long, Array[Long])], dim: Int, m: Int,
+      literalBudget: Long = DecodeLiteralBudget): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subvectors")
+    if (cents.length.toLong * dim <= literalBudget)
+      df.withColumn("embedding", decodedColumn(cents, dim, m))
+    else {
+      val subDim = dim / m
+      val spark = df.sparkSession
+      import spark.implicits._
+      val sorted = cents.sortBy(_._1)
+      require(sorted.iterator.zipWithIndex.forall {
+          case ((id, _), i) => id == i.toLong },
+        "PQ decode needs 0-based contiguous codebook ids; got " +
+          sorted.map(_._1).mkString(","))
+      val slicesDf = sorted.toSeq.flatMap { case (cid, q) =>
+        (0 until m).map { j =>
+          (j, cid, q.slice(j * subDim, (j + 1) * subDim)
+            .toSeq.map(_.toDouble / 1e6))
+        }
+      }.toDF("j", "code", "slice")
+      val assembled = df
+        .select(col(keyCol),
+          posexplode(col("codes")).as(Seq("j", "code")))
+        .join(broadcast(slicesDf), Seq("j", "code"))
+        .groupBy(keyCol)
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("j"), col("slice")))),
+          x => x("slice"))).as("embedding"))
+      df.join(assembled, Seq(keyCol))
+    }
+  }
+
   /** Query lookup table: subspace distances computed for the query
     * vectors ONLY — (q_id, j, cent_id, dist); tiny (queries × m × k
     * rows), never a corpus-scale pass. */

@@ -236,10 +236,12 @@ object SnapshotStore {
     * [[VersionedIvf]]'s centroid geometry) to keep its own state INSIDE
     * the atomic commit root: the lines ride the same CREATE-EXCLUSIVE
     * manifest as the file list, so layout state and data can never
-    * disagree. Custom lines are NOT auto-carried across versions — each
-    * maintenance verb that owns them re-passes them (or their
-    * replacement) in its `meta`. */
-  private[operators] def storedMetaLines(spark: SparkSession,
+    * disagree. Owning verbs re-pass their lines (or a replacement) in
+    * `meta`; a publish whose meta does NOT mention a foreign prefix
+    * carries the parent's lines forward like a table property (see
+    * [[carriedForeignMeta]] — rollback excepted: it restores the target
+    * version's meta exactly). */
+  private[graft] def storedMetaLines(spark: SparkSession,
       root: String, prefix: String, version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version
       else currentVersion(spark, root).getOrElse(
@@ -1328,15 +1330,26 @@ object SnapshotStore {
 
   /** Parent-manifest foreign lines whose prefix the incoming meta does
     * not override — appended to every publish (see
-    * [[OwnedMetaPrefixes]]). */
+    * [[OwnedMetaPrefixes]]).
+    *
+    * ROLLBACK is exempt (its `#op` line marks the meta authoritative):
+    * rollback passes the TARGET version's meta verbatim, and carrying a
+    * foreign prefix that exists at the current head but not in the
+    * target would (a) resurrect it into the restored state — rollback
+    * would no longer restore the target's exact table properties — and
+    * (b) leave callers with NO way to remove a foreign meta group at
+    * all. Rollback-to-a-version-without-the-group IS the removal
+    * mechanism. */
   private def carriedForeignMeta(prevMeta: Seq[String],
-      meta: Seq[String]): Seq[String] = {
-    val freshPrefixes = meta.map(metaPrefixOf).toSet
-    prevMeta.filter { l =>
-      val p = metaPrefixOf(l)
-      !OwnedMetaPrefixes.contains(p) && !freshPrefixes.contains(p)
+      meta: Seq[String]): Seq[String] =
+    if (meta.contains(opLine("rollback"))) Nil
+    else {
+      val freshPrefixes = meta.map(metaPrefixOf).toSet
+      prevMeta.filter { l =>
+        val p = metaPrefixOf(l)
+        !OwnedMetaPrefixes.contains(p) && !freshPrefixes.contains(p)
+      }
     }
-  }
 
   private[graft] def publish(spark: SparkSession, root: String, v: Long,
       entries: Seq[(Long, String)], meta: Seq[String] = Nil): Unit = {
@@ -3062,8 +3075,14 @@ object SnapshotStore {
     *
     * An explicit restore is by nature the full-rewrite opt-in: the head
     * schema becomes `toVersion`'s declaration even where that drops a
-    * column a later version had added. Honors the optimistic-concurrency
-    * contract via `expectedVersion`. Returns the new head version. */
+    * column a later version had added. The same holds for FOREIGN meta
+    * lines (table properties — `#ivfcent`/`#pqcent`/user prefixes):
+    * rollback restores the target's exact meta and does NOT carry
+    * foreign groups from the rolled-back head, which also makes it the
+    * one verb that can REMOVE a foreign meta group (every other publish
+    * carries unoverridden foreign prefixes forward). Honors the
+    * optimistic-concurrency contract via `expectedVersion`. Returns the
+    * new head version. */
   def rollback(spark: SparkSession, root: String, toVersion: Long,
       expectedVersion: Option[Long] = None): Long = {
     checkExpected(spark, root, expectedVersion)

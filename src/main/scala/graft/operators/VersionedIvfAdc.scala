@@ -162,7 +162,7 @@ object VersionedIvfAdc {
 
   /** Hot-cell split on the COMPRESSED layout — [[VersionedIvf.rebalance]]
     * with one twist: the split geometry (seeds, refinement, new
-    * sub-centroids) is computed over [[PqIndex.decodedColumn]]
+    * sub-centroids) is computed over [[PqIndex.withDecoded]]
     * reconstructions because raw embeddings are not stored, while the
     * rows keep their codes verbatim (PQ codes are cell-independent in
     * this layout — only cent_id moves). Approximating the split from
@@ -180,9 +180,11 @@ object VersionedIvfAdc {
       val (dim, m, k) = storedGeometry(spark, root, observed)
       val coarse = storedCoarse(spark, root, observed)
       val book = storedBook(spark, root, observed)
-      val index = SnapshotStore.read(spark, root, observed)
-        .select(col("doc_id").as("vec_id"), col("cent_id"), col("codes"))
-        .withColumn("embedding", PqIndex.decodedColumn(book, dim, m))
+      val index = PqIndex.withDecoded(
+        SnapshotStore.read(spark, root, observed)
+          .select(col("doc_id").as("vec_id"), col("cent_id"),
+            col("codes")),
+        "vec_id", book, dim, m)
       IvfIndex.splitPlan(spark, index, () => coarse, hotFactor) match {
         case None => 0
         case Some(p) =>

@@ -257,10 +257,19 @@ object IngestStream {
     val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // materialize ONCE: the emptiness probe is an action, and an
+        // uncached chunk+embed pipeline would re-run in full inside
+        // upsertBatch — doubling per-batch work
         val rows = indexRows(batch, chunkSize, overlap, dim)
           .select(graft.functions.CrossHash.hash60(
             concat_ws("_", col("doc_id"), col("chunk_idx")))
             .as("vec_id"), col("embedding"))
+          .localCheckpoint(eager = true)
+        // empty batches intentionally publish NO txn marker (so
+        // lastCommittedBatch can lag the streaming checkpoint): a
+        // replayed empty batch recomputes the same empty row set and
+        // no-ops naturally — publishing a rows-free version per empty
+        // trigger would grow history for nothing
         if (!rows.isEmpty)
           graft.operators.VersionedIvf.upsertBatch(spark, indexRoot,
             rows, streamId, batchId,

@@ -120,6 +120,31 @@ class PqIndexSpec extends SparkTestBase {
     assert(PqIndex.searchIndexed(spark, path, queries).count() > 0)
   }
 
+  test("withDecoded: broadcast-join decode reconstructs exactly what the " +
+      "literal-table decode does (the large-codebook path)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val book = PqIndex.collectCodebook(emb, 16)
+    // codes via the public encode path
+    val codes = PqIndex.encodeFused(emb, book, dim = 64, m = 8)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, code)))," +
+        " x -> x.code)").as("codes"))
+    val literal = PqIndex.withDecoded(codes, "vec_id", book, 64, 8)
+      .select(col("vec_id"), col("embedding"))
+    // force the join path with a budget below k*dim = 1024
+    val joined = PqIndex.withDecoded(codes, "vec_id", book, 64, 8,
+      literalBudget = 8)
+      .select(col("vec_id"), col("embedding"))
+    val l = literal.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val j = joined.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(l.keySet === j.keySet)
+    assert(l.forall { case (id, v) => j(id) === v },
+      "join-path decode diverged from literal-path decode")
+    assert(l.values.head.size === 64)
+  }
+
   test("search never plans a cartesian product and broadcasts the LUT") {
     val emb = Tables.embeddings(spark, sf0001)
     val plan = PqIndex.search(emb, col("vec_id") < 5)

@@ -749,6 +749,40 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("foreign meta carries across publishes like a table property, " +
+      "but rollback restores the TARGET version's meta exactly — no " +
+      "resurrection, and rollback is the removal mechanism") {
+    val root = "target/snap-foreignmeta"
+    cleanup(root)
+    val docs = Tables.documents(spark, sf0001)
+    def fooLines(v: Long = -1L): Seq[String] =
+      SnapshotStore.storedMetaLines(spark, root, "#foo\t", v)
+    // v1: no foreign meta
+    SnapshotStore.commit(index(docs), root, buckets = 4)
+    assert(fooLines() === Nil)
+    // v2: an upsert introduces a #foo group
+    val d3 = docs.filter(col("doc_id") === 3)
+    SnapshotStore.upsert(spark, index(d3), d3.select("doc_id"), root, 4,
+      meta = Seq("#foo\tbar"))
+    assert(fooLines() === Seq("#foo\tbar"))
+    // v3: a meta-silent verb carries the group (table-property
+    // semantics — the VersionedIvfAdcSpec maintenance arm's contract)
+    SnapshotStore.upsert(spark, index(d3), d3.select("doc_id"), root, 4)
+    assert(fooLines() === Seq("#foo\tbar"))
+    // v4: rollback to v1 must NOT resurrect #foo from the head — the
+    // restored state is exactly v1's, and this is also the only way to
+    // REMOVE a foreign group
+    SnapshotStore.rollback(spark, root, toVersion = 1L)
+    assert(fooLines() === Nil,
+      "rollback carried head-side foreign meta into the restored version")
+    // v5: and a subsequent meta-silent publish keeps it removed
+    SnapshotStore.upsert(spark, index(d3), d3.select("doc_id"), root, 4)
+    assert(fooLines() === Nil)
+    // rollback FORWARD to v3 restores the group verbatim
+    SnapshotStore.rollback(spark, root, toVersion = 3L)
+    assert(fooLines() === Seq("#foo\tbar"))
+  }
+
   test("CHECK constraints: reject-before-write, carry, drop, rollback") {
     import spark.implicits._
     val root = "target/snap-checks"
