@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate candidate PAIRS → duplicate
@@ -172,4 +172,33 @@ object DupClusters {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
   }
+
+  /** Persist cluster labels as ONE atomic, time-travelable
+    * [[SnapshotStore]] version — the [[IvfIndex.writeIndex]] discipline
+    * applied to the dedup side: the ANN tier persists its centroids once
+    * and every consumer reads them, while the cluster consumers (split,
+    * token budget, per-source loss) historically each re-ran the FULL
+    * clustering — at 100 TB that is three whole-corpus connected-
+    * components runs where one would do. Labels are (doc_id,
+    * cluster_id) rows with statistics on both columns, so downstream
+    * reads prune by doc_id (point lookups) or cluster_id (per-cluster
+    * scans) through the store's file skipping. Returns the published
+    * version. */
+  def writeLabels(labels: DataFrame, root: String, buckets: Int = 4): Long =
+    SnapshotStore.commit(
+      labels.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id")),
+      root, buckets,
+      meta = Seq(SnapshotStore.statsDeclaration(Seq("doc_id",
+        "cluster_id"))))
+
+  /** The stored labels of a published version (head by default) —
+    * (doc_id, cluster_id). Every derived artifact (split assignment,
+    * budget cut, loss rollup) should read THIS instead of re-clustering;
+    * time travel gives an audit the exact labels a past data release
+    * was cut with. */
+  def readLabels(spark: SparkSession, root: String,
+      version: Long = -1L): DataFrame =
+    SnapshotStore.read(spark, root, version)
+      .select("doc_id", "cluster_id")
 }

@@ -471,6 +471,60 @@ object DedupQueries extends QueryPack {
             .as("recall_fixed_permille"))
     }),
 
+    // PERSISTED cluster labels, consumed once (round-13 verdict item 1):
+    // cluster ONCE, publish the labels through SnapshotStore
+    // (DupClusters.writeLabels — the IVF-centroid persistence
+    // discipline), then derive the three release artifacts the label
+    // consumers d15/d16/d19 each recomputed the full clustering for —
+    // leakage-free split, token-budget cut, per-source loss — from the
+    // STORED table in ONE plan: per (source, split) the doc/token loss
+    // of the canonical cut plus how much of the budget-kept set lands
+    // there. At 100 TB this is the difference between one
+    // connected-components run and four. The oracle replays the closure
+    // + scoring + split hash + budget window against raw parquet, so a
+    // label lost (or changed) in the store round-trip is a hash
+    // mismatch, not a silent skew.
+    "d22_stored_labels" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d22-labels").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      graft.operators.DupClusters
+        .writeLabels(clusterAssignments(s, d), root)
+      val labels = graft.operators.DupClusters.readLabels(s, root)
+      val b = pmod(CrossHash.hash60(
+        concat(lit("split#"), col("cluster_id"))), lit(10))
+      val base = labels
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+        .withColumn("dropped", col("doc_id") =!= col("cluster_id"))
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .join(TextAnalysis.scoredDocs(s, d), "doc_id")
+      // d16's budget cut over the stored canonicals: global prefix sum
+      // by quality, kept while under budget — two shuffles total
+      val kept = graft.operators.PrefixSum
+        .withRunningTotal(
+          base.filter(!col("dropped"))
+            .select("doc_id", "tokens", "quality"),
+          col("tokens"), Seq(col("quality").desc, col("doc_id")),
+          "cum_tokens")
+        .filter(col("cum_tokens") <= TextAnalysis.TokenBudget)
+        .select(col("doc_id"), lit(true).as("in_budget"))
+      base.join(kept, Seq("doc_id"), "left")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("tokens")).as("tokens_total"),
+          sum(when(col("dropped"), col("tokens")).otherwise(0L))
+            .as("tokens_dropped"),
+          sum(when(col("in_budget"), 1L).otherwise(0L))
+            .as("n_budget_kept"),
+          sum(when(col("in_budget"), col("tokens")).otherwise(0L))
+            .as("tokens_budget_kept"))
+        .orderBy("source", "split")
+    }),
+
     // Exact-substring (span-level) dedup at 10-token block granularity:
     // per-document duplicated-content profile. The block-hash df shuffle
     // and the join back are the only wide stages — no self-join.
@@ -849,6 +903,35 @@ object DedupQueries extends QueryPack {
         |SELECT n_pairs, n_leaks,
         |  cast(CASE WHEN n_pairs = 0 THEN 0 ELSE n_leaks * 1000 // n_pairs END as bigint) AS leak_permille
         |FROM lk ORDER BY n_pairs""".stripMargin),
+
+    // cluster closure + scoring + split hash + budget window, replayed
+    // against raw parquet: what d22 derives from the STORED labels must
+    // equal the from-scratch computation bit-exactly
+    "d22_stored_labels" ->
+      (DuckClusterCtes + ",\n" + TextAnalysis.DuckScoredCtes + s""",
+        |spl AS (SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, cluster_id,
+        |    ${CrossHash.duckHash60("'split#' || cast(cluster_id as varchar)")} % 10 AS b
+        |    FROM asg)),
+        |base AS (SELECT s.doc_id, s.split,
+        |    (s.doc_id <> s.cluster_id) AS dropped,
+        |    d.source, q.tokens, q.quality
+        |  FROM spl s JOIN documents d ON d.doc_id = s.doc_id
+        |  JOIN sq q ON q.doc_id = s.doc_id),
+        |kept AS (SELECT doc_id FROM (
+        |  SELECT doc_id, sum(tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM base WHERE NOT dropped)
+        |  WHERE cum <= ${TextAnalysis.TokenBudget})
+        |SELECT source, split, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+        |  cast(sum(tokens) as bigint) AS tokens_total,
+        |  cast(sum(CASE WHEN dropped THEN tokens ELSE 0 END) as bigint) AS tokens_dropped,
+        |  cast(sum(CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_budget_kept,
+        |  cast(sum(CASE WHEN kept.doc_id IS NOT NULL THEN tokens ELSE 0 END) as bigint) AS tokens_budget_kept
+        |FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id
+        |GROUP BY source, split ORDER BY source, split""".stripMargin),
 
     // cluster closure + shared scoring CTEs, restricted to canonical
     // docs before the running total — t31's cut over d08's survivors

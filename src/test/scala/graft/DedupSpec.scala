@@ -271,4 +271,39 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
     assert(v2 === Seq((10L, false, false, true)))
   }
+
+  test("writeLabels/readLabels: persisted cluster labels round-trip " +
+      "bit-exactly, re-clusterings version (time travel), and the " +
+      "stored stats prune point lookups") {
+    import spark.implicits._
+    val root = "target/dup-labels"
+    val f = new java.io.File(root)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively(): Unit }
+    val verts = (0L to 9L).toDF("id")
+    val pairs1 = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val labels1 = graft.operators.DupClusters.assign(verts, pairs1)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val v1 = graft.operators.DupClusters.writeLabels(labels1, root)
+    assert(v1 === 1L)
+    val got1 = graft.operators.DupClusters.readLabels(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got1 === labels1.as[(Long, Long)].collect().sorted.toSeq)
+    // a later re-clustering (new evidence merges 2-5) publishes v2;
+    // v1 stays readable — an audit can recover the exact labels a past
+    // release was cut with
+    val pairs2 = pairs1.union(Seq((2L, 5L)).toDF("a_id", "b_id"))
+    val labels2 = graft.operators.DupClusters.assign(verts, pairs2)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    assert(graft.operators.DupClusters.writeLabels(labels2, root) === 2L)
+    assert(graft.operators.DupClusters.readLabels(spark, root)
+      .filter(col("doc_id") === 6L).as[(Long, Long)].head() === ((6L, 0L)))
+    assert(graft.operators.DupClusters.readLabels(spark, root, version = 1L)
+      .filter(col("doc_id") === 6L).as[(Long, Long)].head() === ((6L, 5L)))
+    // point lookups go through the store's declared doc_id statistics
+    assert(graft.operators.SnapshotStore
+      .readWhere(spark, root, "doc_id", 6L, 6L)
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toSeq === Seq((6L, 0L)))
+  }
 }
