@@ -143,6 +143,87 @@ object VersionedIvfAdc {
         expectedVersion = Some(observed))
     }
 
+  /** Streamed-bootstrap codebook: the k LOWEST-vec_id vectors of the
+    * first batch, renumbered 0..k-1 (the positional-decode contract the
+    * retrained book also honors). [[PqIndex.collectCodebook]]'s
+    * `vec_id < k` definition assumes a 0-based corpus — a streaming
+    * sink's ids are positional hashes, where that filter would select
+    * (nearly) nothing; lowest-k-by-id is the same deterministic seed
+    * rule [[IvfIndex.centroids]] uses and coincides with
+    * `collectCodebook` exactly on 0-based corpora (ids 0..k-1 ARE the
+    * k lowest). */
+  private def bootstrapBook(emb: DataFrame,
+      k: Int): Array[(Long, Array[Long])] = {
+    val seeds = IvfIndex.centroids(emb, k)
+    require(seeds.length == k,
+      s"VersionedIvfAdc.upsertBatch: first batch carries only " +
+        s"${seeds.length} vectors — need at least k=$k to train the " +
+        "PQ codebook; batch the stream's cold start larger or write() " +
+        "an index first")
+    seeds.sortBy(_._1).zipWithIndex.map { case ((_, q), i) =>
+      (i.toLong, q) }
+  }
+
+  /** EXACTLY-ONCE micro-batch upsert into the COMPRESSED index —
+    * [[VersionedIvf.upsertBatch]]'s txn-marker discipline on the IVFADC
+    * layout, the verb a `foreachBatch` sink needs to stream the
+    * reference's per-document vector upserts
+    * (`parser_pinecone_storage.py:146-154`) into the production serving
+    * tier end-to-end exactly-once: a REPLAYED batch (at-least-once
+    * delivery) finds its marker already published and no-ops; a fresh
+    * batch assigns AND encodes against the geometry observed inside the
+    * OCC retry (so it serializes with concurrent delete / rebalance /
+    * retrain — a retrain racing this batch forces a re-encode against
+    * the winner's book on retry), and rows + carried quantizers + the
+    * marker publish as ONE atomic version — the marker can never exist
+    * without its encoded rows.
+    *
+    * Cold start: with `bootstrapCells = Some(n)` an EMPTY root trains
+    * both quantizers from the first batch (the deterministic
+    * [[IvfIndex.centroids]] / [[PqIndex.collectCodebook]] seeds, which
+    * need ids 0..k-1 present) and publishes version 1 with the marker —
+    * the reference's create-index-if-missing, transactionally; with
+    * None an empty root is an error (silently training a codebook from
+    * whatever batch arrives first is rarely what an operator wants —
+    * the [[VersionedIvf.upsertBatch]] stance, with higher stakes here
+    * because a PQ book trained on an unrepresentative batch degrades
+    * every later encode until a [[retrain]]). Returns the head
+    * version. */
+  def upsertBatch(spark: SparkSession, root: String, emb: DataFrame,
+      streamId: String, batchId: Long,
+      bootstrapCells: Option[Int] = None, dim: Int = 64, m: Int = 8,
+      k: Int = 16, buckets: Int = 4): Long =
+    SnapshotStore.withConflictRetry(spark, root) { observed =>
+      if (SnapshotStore.lastCommittedBatch(spark, root, streamId)
+          .exists(_ >= batchId)) {
+        observed // replayed batch: marker already published — no-op
+      } else if (observed == 0) {
+        val nCells = bootstrapCells.getOrElse(
+          throw new IllegalArgumentException(
+            s"VersionedIvfAdc.upsertBatch: no published version at " +
+              s"$root — write() an index first, or pass bootstrapCells " +
+              "to train both quantizers from the first batch"))
+        val coarse = IvfIndex.centroids(emb, nCells)
+        val book = bootstrapBook(emb, k)
+        SnapshotStore.commit(encodedRows(emb, coarse, book, dim, m),
+          root, buckets, meta = metaLines(coarse, book, dim, m, k) ++ Seq(
+            SnapshotStore.statsDeclaration(Seq("doc_id", "cent_id")),
+            SnapshotStore.txnMarker(streamId, batchId)),
+          expectedVersion = Some(0L))
+      } else {
+        val (sDim, sM, sK) = storedGeometry(spark, root, observed)
+        val coarse = storedCoarse(spark, root, observed)
+        val book = storedBook(spark, root, observed)
+        IvfIndex.requireDim(emb, coarse, "VersionedIvfAdc.upsertBatch")
+        val rows = encodedRows(emb, coarse, book, sDim, sM)
+        SnapshotStore.upsert(spark, rows, rows.select("doc_id"), root,
+          bucketsAt(spark, root, observed),
+          meta = metaLines(coarse, book, sDim, sM, sK) :+
+            SnapshotStore.txnMarker(streamId, batchId),
+          expectedVersion = Some(observed))
+      }
+    }
+
   /** Delete vectors by id — one atomic empty-re-ingest publish, geometry
     * carried, doc_id stats pruning the keyed read. */
   def delete(spark: SparkSession, root: String, ids: DataFrame): Long =

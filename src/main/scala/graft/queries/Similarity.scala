@@ -1047,6 +1047,60 @@ object Similarity extends QueryPack {
         s"s29: retrain did not recover recall (v2=${r((2L, "drift"))} " +
           s"v3=${r((3L, "drift"))})")
       out
+    }),
+
+    // EXACTLY-ONCE streamed build of the COMPRESSED production index
+    // (VersionedIvfAdc.upsertBatch, round 13) — s28's streamed-sink
+    // contract on the IVFADC layout, closing the round-12 gap where the
+    // stream could only land in the FLAT versioned index: batch 0
+    // BOOTSTRAPS both quantizers + encoded rows + txn marker as version
+    // 1, batch 1 PQ-encodes against the STORED book and appends, a
+    // REPLAY of batch 1 must no-op (no version, no double-applied
+    // rows), and geometry must ride every version verbatim. The final
+    // search replays s25's bare-cascade oracle: a row encoded against
+    // the wrong book, double-applied by the replay, or torn from the
+    // carried quantizers shifts the integer PQ distances it pins.
+    "s30_ivfadc_stream_upsert" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-s30-vadcstream").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val emb = Tables.embeddings(s, d)
+      // batch 0 carries ids 0..15, so the streamed bootstrap's
+      // lowest-16 quantizer seeds coincide with the batch write()'s —
+      // the oracle's deterministic first-16 definition covers both
+      val b0 = emb.filter(col("vec_id") < 300)
+        .select("vec_id", "embedding")
+      val b1 = emb.filter(col("vec_id") >= 300)
+        .select("vec_id", "embedding")
+      graft.operators.VersionedIvfAdc.upsertBatch(s, root, b0, "s30", 0L,
+        bootstrapCells = Some(16), dim = Dim, m = 8, k = 16)
+      val g1 = (graft.operators.VersionedIvfAdc.storedCoarse(s, root),
+        graft.operators.VersionedIvfAdc.storedBook(s, root))
+      graft.operators.VersionedIvfAdc.upsertBatch(s, root, b1, "s30", 1L)
+      val v = graft.operators.SnapshotStore.currentVersion(s, root)
+      require(v.contains(2L), s"s30: expected 2 versions, got $v")
+      // replay: the marker is already published — must no-op
+      graft.operators.VersionedIvfAdc.upsertBatch(s, root, b1, "s30", 1L)
+      require(graft.operators.SnapshotStore.currentVersion(s, root)
+        .contains(2L),
+        "s30: replayed batch re-published — exactly-once broken")
+      require(graft.operators.SnapshotStore
+        .lastCommittedBatch(s, root, "s30").contains(1L))
+      val g2 = (graft.operators.VersionedIvfAdc.storedCoarse(s, root),
+        graft.operators.VersionedIvfAdc.storedBook(s, root))
+      require(g1._1.length == g2._1.length && g1._2.length == g2._2.length
+        && g1._1.zip(g2._1).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) }
+        && g1._2.zip(g2._2).forall { case ((i1, q1), (i2, q2)) =>
+          i1 == i2 && q1.sameElements(q2) },
+        "s30: streamed appends moved the stored quantizers")
+      graft.operators.VersionedIvfAdc.search(s, root,
+        emb.filter(col("vec_id") < AnnEvalQueries)
+          .select("vec_id", "embedding"),
+        nProbe = 2, topK = 3)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1735,6 +1789,9 @@ object Similarity extends QueryPack {
     // stale first-64 codebook, the Lloyd-1 retrained book, per-version
     // content, and recall@10 against exact integer-L2 truth
     "s29_ivfadc_drift" -> s29DriftOracle,
+    // the streamed drain lands exactly where one batch write of the
+    // full corpus would — s25's bare-cascade integer-PQ oracle verbatim
+    "s30_ivfadc_stream_upsert" -> PqIvfOracleSql,
 
     "s13_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

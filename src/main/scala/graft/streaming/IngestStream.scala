@@ -281,6 +281,51 @@ object IngestStream {
     q.awaitTermination()
   }
 
+  /** [[vectorUpsertAvailable]] landed in the COMPRESSED production index
+    * (VersionedIvfAdc — the serving tier the reference's Pinecone
+    * upserts actually mutate): each micro-batch chunks + embeds
+    * map-only, then [[graft.operators.VersionedIvfAdc.upsertBatch]]
+    * assigns AND PQ-encodes the vectors against the stored quantizers
+    * and publishes rows + carried geometry + the batch's txn marker as
+    * ONE atomic version — replay no-ops, a crash can never tear codes
+    * from codebook, and the sink OCC-serializes with concurrent
+    * delete / rebalance / retrain (a racing retrain forces this batch
+    * to re-encode against the new book on retry). Vector ids are the
+    * positional (doc_id, chunk_idx) hash, so a re-parsed document
+    * REPLACES its chunks. First batch bootstraps both quantizers
+    * (create-index-if-missing, transactional) — the stream's early
+    * batches should carry representative content, or schedule
+    * [[graft.operators.VersionedIvfAdc.retrain]] once the corpus has
+    * landed (the s29 drift monitor says when). */
+  def vectorUpsertAdcAvailable(spark: SparkSession, srcDir: String,
+      indexRoot: String, checkpointDir: String, streamId: String,
+      bootstrapCells: Int = 16, buckets: Int = 4, chunkSize: Int = 3000,
+      overlap: Int = 200, dim: Int = 64, m: Int = 8, k: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // materialized once: the emptiness probe is an action (the
+        // vectorUpsertAvailable discipline); empty batches skip the
+        // marker — replaying an empty batch is a natural no-op
+        val rows = indexRows(batch, chunkSize, overlap, dim)
+          .select(graft.functions.CrossHash.hash60(
+            concat_ws("_", col("doc_id"), col("chunk_idx")))
+            .as("vec_id"), col("embedding"))
+          .localCheckpoint(eager = true)
+        if (!rows.isEmpty)
+          graft.operators.VersionedIvfAdc.upsertBatch(spark, indexRoot,
+            rows, streamId, batchId,
+            bootstrapCells = Some(bootstrapCells), dim = dim, m = m,
+            k = k, buckets = buckets): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Transactional streaming sink: each micro-batch publishes ONE atomic
     * [[graft.operators.SnapshotStore]] version carrying its batch id as
     * a txn marker, so a batch replayed after a crash (foreachBatch's

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{col, concat, expr, lit}
 
 import graft.operators.IngestionPipeline
 import graft.streaming.IngestStream
@@ -637,6 +637,141 @@ class IngestStreamSpec extends SparkTestBase {
     assert(SnapshotStore.lastCommittedBatch(spark, root, "vup")
       === Some(2L),
       "vacuum must not destroy the stream's replay state")
+  }
+
+  test("exactly-once streamed upsert into the COMPRESSED index " +
+      "(VersionedIvfAdc): bootstrap trains both quantizers from batch 0, " +
+      "later batches encode against the STORED book, re-parse replaces, " +
+      "replay no-ops, crash window recovers, geometry rides every " +
+      "version") {
+    import graft.operators.{IvfIndex, PqIndex, SnapshotStore,
+      VersionedIvfAdc}
+    val Dim = 8; val M = 2; val K = 4; val Cells = 2
+    val docsA = Seq(
+      (1L, "stream vector document one with some text to chunk", "en", "v1.pdf", 50L),
+      (2L, "stream vector document two carrying different words", "en", "v2.pdf", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docsB = Seq(
+      (3L, "stream vector document three rounding out the corpus", "en", "v3.pdf", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(df: DataFrame, src: String, name: String): Unit = {
+      val stage = tmp("adcup_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    def vecRows(docs: DataFrame): DataFrame =
+      IngestStream.indexRows(docs, 20, 5, Dim)
+        .select(graft.functions.CrossHash.hash60(
+          org.apache.spark.sql.functions.concat_ws("_",
+            col("doc_id"), col("chunk_idx"))).as("vec_id"),
+          col("embedding"))
+    // expected store content = the expected vector set assigned AND
+    // PQ-encoded against the quantizers STORED at the head: checks
+    // replace semantics and that every batch encoded against the
+    // bootstrap book (not a per-batch retrain)
+    def expected(vecs: DataFrame, root: String): Seq[String] = {
+      val coarse = VersionedIvfAdc.storedCoarse(spark, root)
+      val book = VersionedIvfAdc.storedBook(spark, root)
+      val codes = PqIndex.encodeFused(vecs, book, dim = Dim, m = M)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(j, code)))," +
+          " x -> x.code)").as("codes"))
+      IvfIndex.cellAssign(vecs, coarse).select("vec_id", "cent_id")
+        .join(codes, "vec_id")
+        .collect().map(r => r.getLong(0) + "|" + r.getLong(1) + "|" +
+          r.getSeq[Long](2).mkString(",")).toSeq.sorted
+    }
+    def content(root: String): Seq[String] =
+      SnapshotStore.read(spark, root)
+        .select(col("doc_id"), col("cent_id"), col("codes"))
+        .collect().map(r => r.getLong(0) + "|" + r.getLong(1) + "|" +
+          r.getSeq[Long](2).mkString(",")).toSeq.sorted
+    def drain(src: String, root: String, cp: String): Unit =
+      IngestStream.vectorUpsertAdcAvailable(spark, src, root, cp,
+        streamId = "adcup", bootstrapCells = Cells, buckets = 4,
+        chunkSize = 20, overlap = 5, dim = Dim, m = M, k = K)
+
+    val src = tmp("adcup_src"); val cp = tmp("adcup_cp")
+    val root = tmp("adcup_root"); Files.delete(Paths.get(root))
+
+    // batch 0 bootstraps: coarse cells + PQ book trained from the first
+    // batch (lowest-k hashed ids, renumbered 0..k-1), rows + geometry +
+    // txn marker in ONE manifest
+    land(docsA, src, "a.parquet")
+    drain(src, root, cp)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(1L))
+    assert(SnapshotStore.lastCommittedBatch(spark, root, "adcup")
+      === Some(0L))
+    assert(VersionedIvfAdc.storedGeometry(spark, root) === ((Dim, M, K)))
+    val book1 = VersionedIvfAdc.storedBook(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq
+    assert(book1.map(_._1) === (0L until K.toLong),
+      "bootstrap book must be renumbered 0..k-1 (positional decode)")
+    assert(content(root) === expected(vecRows(docsA), root))
+
+    // batch 1: new doc + RE-PARSE of doc 1 — positional ids REPLACE;
+    // encoding must use the STORED book, geometry must not move
+    val reparsed = docsA.filter($"doc_id" === 1L)
+      .withColumn("text", concat(col("text"), lit(" revised")))
+    land(docsB.unionByName(reparsed), src, "b.parquet")
+    drain(src, root, cp)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+    assert(VersionedIvfAdc.storedBook(spark, root)
+      .map { case (i, q) => (i, q.toSeq) }.toSeq === book1,
+      "streamed appends must never move the stored codebook")
+    val contentAB = vecRows(
+      docsA.filter($"doc_id" =!= 1L).unionByName(reparsed)
+        .unionByName(docsB))
+    assert(content(root) === expected(contentAB, root),
+      "re-parsed chunks must replace their positional predecessors, " +
+        "encoded against the stored quantizers")
+    assert(SnapshotStore.read(spark, root).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+
+    // nothing new → drain publishes nothing
+    drain(src, root, cp)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+
+    // crash window: manifest renamed, writer dies before the checkpoint
+    // advances — replay must detect the marker and no-op
+    val docsC = Seq(
+      (4L, "stream vector document four arriving after the crash", "en", "v4.pdf", 53L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    land(docsC, src, "c.parquet")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.FaultInjection.arm { p =>
+      if (p == "manifest-renamed" && fired.compareAndSet(false, true))
+        throw new RuntimeException("injected crash at manifest-renamed")
+    }
+    try intercept[Exception] { drain(src, root, cp) }
+    finally SnapshotStore.FaultInjection.disarm()
+    assert(SnapshotStore.currentVersion(spark, root) === Some(3L))
+    drain(src, root, cp)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(3L),
+      "replayed published batch must no-op, not re-publish")
+    assert(SnapshotStore.lastCommittedBatch(spark, root, "adcup")
+      === Some(2L))
+    val contentABC = contentAB.unionByName(vecRows(docsC))
+    assert(content(root) === expected(contentABC, root))
+
+    // the streamed store IS a live VersionedIvfAdc index: search serves
+    // from codes alone, retrain composes (the maintenance verb the
+    // drift monitor schedules), and vacuum keeps the replay state
+    val queries = vecRows(docsA).limit(2)
+    val nCells = VersionedIvfAdc.storedCoarse(spark, root).length
+    assert(VersionedIvfAdc.search(spark, root, queries, nProbe = nCells,
+      topK = 2).count() === 4L)
+    VersionedIvfAdc.retrain(spark, root, contentABC, iters = 1)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(4L))
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    assert(SnapshotStore.lastCommittedBatch(spark, root, "adcup")
+      === Some(2L),
+      "vacuum must not destroy the stream's replay state")
+    assert(content(root) === expected(contentABC, root),
+      "retrain + vacuum must re-encode every vector against the new " +
+        "book and keep the corpus complete")
   }
 
   test("CHECK constraint rejects a violating streaming batch before write") {
