@@ -189,6 +189,54 @@ object DedupQueries extends QueryPack {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
   }
 
+  /** d20's banding at an EXPLICIT (bits, probe radius) — the knob-curve
+    * generator d23 measures: radius 1 is d20's production Hamming-1
+    * multi-probe exactly; radius 2 adds the 2-bit-flip probes
+    * (bits·(bits−1)/2 per band — the recall buy-back lever when the
+    * [[D20MaxBits]] cap binds and bucket density grows past target).
+    * Probe masks come from a broadcast flip table instead of d20's
+    * inline literal array: at radius 2 × 15 bits that is 121 masks ×
+    * 8 bands — a literal explode would be a ~1000-element expression
+    * tree, while the crossJoin against ≤121 broadcast rows is the same
+    * map-side fan-out with O(bits²) plan size. Pair semantics are
+    * identical to [[d20Candidates]] at radius 1 (a pair is caught iff
+    * some band key is within `radius` bit flips). */
+  private def d23Candidates(e: DataFrame, bits: Int,
+      radius: Int): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val mask = (1L << bits) - 1
+    val sigs = e.repartition(col("vec_id")).select(col("vec_id"),
+      VectorFunctions.srpSignatureAt(col("embedding"), SrpDim,
+        D20SigPlanes, 0).as("sig0"),
+      VectorFunctions.srpSignatureAt(col("embedding"), SrpDim,
+        D20SigPlanes, D20SigPlanes).as("sig1"))
+    def key(b: Int) = {
+      val sig = if (b < D20BandsPerSig) col("sig0") else col("sig1")
+      shiftright(sig, (b % D20BandsPerSig) * D20SlotBits)
+        .bitwiseAND(lit(mask))
+    }
+    val exact = sigs.select(col("vec_id"),
+      explode(array((0 until D20Bands).map { b =>
+        struct(lit(b).as("band"), key(b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .localCheckpoint(eager = false) // probe side AND exact side below
+    val flips = (Seq(0L) ++ (0 until bits).map(i => 1L << i) ++
+      (if (radius >= 2)
+        (for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)).toSeq
+      else Seq.empty[Long])).toDF("mask")
+    val probes = exact.crossJoin(broadcast(flips))
+      .select(col("vec_id"), col("band"),
+        col("key").bitwiseXOR(col("mask")).as("pkey"))
+    probes.as("a").join(exact.as("b"),
+      col("a.band") === col("b.band") && col("a.pkey") === col("b.key")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+  }
+
   /** d05's fixed-width banded candidates over `e` — factored so d21 can
     * audit the fixed configuration against the scaled one on the same
     * slice. Expression-identical to d05's own candidate stage. */
@@ -469,6 +517,49 @@ object DedupQueries extends QueryPack {
           expr("cast(case when n_truth = 0 then 0 else " +
             "n_caught_fixed * 1000 div n_truth end as bigint)")
             .as("recall_fixed_permille"))
+    }),
+
+    // d20 KNOB CURVE (the s18 discipline applied to the scaled banding):
+    // recall AND candidate cost per (bits delta, probe radius) ∈
+    // {−1,0,+1} × {1,2} on the bounded d21 eval slice — the measured
+    // buy-back path for the scaled config's recall at scale (sf1's
+    // operating point is 416‰ at radius 1; the curve shows what a bit
+    // of key width or a probe radius buys and what it costs in
+    // candidates). (0, 1) is d20's production operating point; at the
+    // [[D20MaxBits]] cap the +1 row collapses onto it — visible in the
+    // curve rather than hidden. One brute-force truth pass (bounded
+    // slice, the d21 guard) feeds all six configs.
+    "d23_knob_curve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = d20Bits(e.count())
+      val slice = e.filter(col("vec_id") < D21EvalMaxVecId)
+      val truth = slice.as("a").crossJoin(slice.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(VectorFunctions.cosine(col("a.embedding"),
+            col("b.embedding")), 6).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .localCheckpoint(eager = false) // consumed by all six configs
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val rows = for {
+        delta <- Seq(-1, 0, 1); radius <- Seq(1, 2)
+      } yield {
+        val bits = math.max(1, math.min(base + delta, D20MaxBits))
+        val cand = d23Candidates(slice, bits, radius)
+          .dropDuplicates("a_id", "b_id")
+          .localCheckpoint(eager = false) // cost count + semi-join below
+        val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+        nTruth
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+          .select(lit(delta).as("bits_delta"), lit(radius).as("radius"),
+            lit(bits).as("bits"), col("n_truth"), col("n_cand"),
+            col("n_caught"),
+            expr("cast(case when n_truth = 0 then 0 else " +
+              "n_caught * 1000 div n_truth end as bigint)")
+              .as("recall_permille"))
+      }
+      rows.reduce(_ unionByName _).orderBy("bits_delta", "radius")
     }),
 
     // PERSISTED cluster labels, consumed once (round-13 verdict item 1):
@@ -996,6 +1087,55 @@ object DedupQueries extends QueryPack {
         |    round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) AS sim
         |  FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
         |SELECT a_id, b_id, sim FROM j WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin),
+
+    // six (bits delta, probe radius) configs replayed integer-exactly:
+    // per-config key width from the same density formula, probe masks =
+    // all 0/1/2-bit flips under the config's width, distinct candidate
+    // pairs counted as the cost axis
+    "d23_knob_curve" ->
+      ("WITH " + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes) +
+        ",\n" + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes,
+          prefix = "h", offset = D20SigPlanes) + s""",
+        |params AS (SELECT coalesce((SELECT min(b.range) FROM range($D20MinBits, ${D20MaxBits + 1}) b
+        |    WHERE (1::BIGINT << b.range) * $D20TargetBucket >= (SELECT count(*) FROM embeddings)), $D20MaxBits) AS bits),
+        |cfg AS (SELECT cast(dl.range as int) AS bits_delta, cast(r.range as int) AS radius,
+        |    cast(greatest(1, least(p.bits + dl.range, $D20MaxBits)) as int) AS bits
+        |  FROM range(-1, 2) dl, range(1, 3) r, params p),
+        |ss AS (SELECT s.vec_id, s.sig AS sig0, h.sig AS sig1
+        |  FROM sigs s JOIN hsigs h USING (vec_id)
+        |  WHERE s.vec_id < $D21EvalMaxVecId),
+        |truth AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < $D21EvalMaxVecId AND b.vec_id < $D21EvalMaxVecId
+        |    AND round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.35),
+        |keys AS (SELECT c.bits_delta, c.radius, s.vec_id, b.range AS band,
+        |    ((CASE WHEN b.range < $D20BandsPerSig THEN s.sig0 ELSE s.sig1 END)
+        |      >> ($D20SlotBits * (b.range % $D20BandsPerSig))) & ((1::BIGINT << c.bits) - 1) AS key
+        |  FROM ss s, range(0, $D20Bands) b, cfg c),
+        |flips AS (SELECT bits_delta, radius, 0::BIGINT AS mask FROM cfg
+        |  UNION ALL SELECT c.bits_delta, c.radius, 1::BIGINT << i.range
+        |    FROM cfg c, range(0, $D20MaxBits) i WHERE i.range < c.bits
+        |  UNION ALL SELECT c.bits_delta, c.radius, xor(1::BIGINT << i.range, 1::BIGINT << j.range)
+        |    FROM cfg c, range(0, $D20MaxBits) i, range(0, $D20MaxBits) j
+        |    WHERE c.radius >= 2 AND i.range < j.range AND j.range < c.bits),
+        |probes AS (SELECT k.bits_delta, k.radius, k.vec_id, k.band, xor(k.key, f.mask) AS pkey
+        |  FROM keys k JOIN flips f ON f.bits_delta = k.bits_delta AND f.radius = k.radius),
+        |cand AS (SELECT DISTINCT a.bits_delta, a.radius, a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM probes a JOIN keys b ON b.bits_delta = a.bits_delta AND b.radius = a.radius
+        |    AND b.band = a.band AND b.key = a.pkey AND a.vec_id < b.vec_id),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |cc AS (SELECT bits_delta, radius, count(*) AS n_cand FROM cand GROUP BY 1, 2),
+        |cg AS (SELECT c.bits_delta, c.radius, count(*) AS n_caught
+        |  FROM cand c JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id GROUP BY 1, 2)
+        |SELECT cfg.bits_delta, cfg.radius, cfg.bits,
+        |  cast(nt.n_truth as bigint) AS n_truth,
+        |  cast(coalesce(cc.n_cand, 0) as bigint) AS n_cand,
+        |  cast(coalesce(cg.n_caught, 0) as bigint) AS n_caught,
+        |  cast(CASE WHEN nt.n_truth = 0 THEN 0 ELSE coalesce(cg.n_caught, 0) * 1000 // nt.n_truth END as bigint) AS recall_permille
+        |FROM cfg CROSS JOIN nt
+        |LEFT JOIN cc ON cc.bits_delta = cfg.bits_delta AND cc.radius = cfg.radius
+        |LEFT JOIN cg ON cg.bits_delta = cfg.bits_delta AND cg.radius = cfg.radius
+        |ORDER BY cfg.bits_delta, cfg.radius""".stripMargin),
 
     // SRP plane weights are keyed by GLOBAL plane index, so the 8-plane
     // signature d05 keys on is exactly the low 8 bits of the 60-plane
