@@ -96,6 +96,99 @@ class StoreRaceSpec extends SparkTestBase {
       2001L, 2000L + Rounds).count() === Rounds.toLong)
   }
 
+  test("two JVMs racing on a VersionedIvfAdc root — upserts vs " +
+      "rebalance vs retrain: gapless history, geometry/book consistent " +
+      "at head, every row's codes match the head book, search serves") {
+    import graft.operators.{PqIndex, VersionedIvfAdc}
+    val Rounds = 4
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_adc_race").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root))
+    // seed version 1 from this JVM, then race two foreign processes
+    VersionedIvfAdc.write(AdcRace.corpus(spark, AdcRace.seedIds), root,
+      dim = AdcRace.Dim, m = AdcRace.M, k = AdcRace.K,
+      nCells = AdcRace.Cells)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def launch(role: String): Process = {
+      val cmd = (List(javaBin) ++ jvmOpens ++ List("-Xmx3g", "-cp", cp,
+        "graft.AdcRace", root, role, Rounds.toString))
+      new ProcessBuilder(cmd.asJava)
+        .redirectErrorStream(true)
+        .redirectOutput(new java.io.File(s"target/adc-race-$role.log"))
+        .start()
+    }
+    val pw = launch("write")
+    val pm = launch("maint")
+    assert(pw.waitFor(600, TimeUnit.SECONDS), "write role timed out")
+    assert(pm.waitFor(600, TimeUnit.SECONDS), "maint role timed out")
+    def log(role: String): String = scala.util.Try(
+      scala.io.Source.fromFile(s"target/adc-race-$role.log").mkString)
+      .getOrElse("<no log>")
+    assert(pw.exitValue() === 0, s"write failed:\n${log("write")}")
+    assert(pm.exitValue() === 0, s"maint failed:\n${log("maint")}")
+    assert(log("write").contains("ADCRACE_DONE write"))
+    assert(log("maint").contains("ADCRACE_DONE maint"))
+
+    // gapless version history: every successful verb published exactly
+    // one version (rebalanceUntil publishes 0..2 — count from disk)
+    val head = SnapshotStore.currentVersion(spark, root).get
+    (1L to head).foreach { v =>
+      assert(new java.io.File(f"$root/_versions/v$v%05d.manifest").exists,
+        s"version $v missing — non-linear history")
+    }
+    // write role always lands Rounds upserts; head ≥ 1 + Rounds
+    assert(head >= 1L + Rounds)
+
+    // geometry consistent at head: parses, book renumbered 0..k-1,
+    // every row's cent_id is a live coarse cell
+    val (d, m, k) = VersionedIvfAdc.storedGeometry(spark, root)
+    assert((d, m, k) === ((AdcRace.Dim, AdcRace.M, AdcRace.K)))
+    val coarseIds = VersionedIvfAdc.storedCoarse(spark, root)
+      .map(_._1).toSet
+    val book = VersionedIvfAdc.storedBook(spark, root)
+    assert(book.map(_._1).toSeq === (0L until AdcRace.K.toLong),
+      "head book is not renumbered 0..k-1 after the race")
+    val rows = SnapshotStore.read(spark, root)
+      .select("doc_id", "cent_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    val wantIds = AdcRace.allIds(Rounds).toSet
+    assert(rows.map(_._1).toSet === wantIds,
+      "a raced verb lost or duplicated vector ids")
+    assert(rows.length === wantIds.size, "duplicate doc_ids at head")
+    assert(rows.forall(r => coarseIds.contains(r._2)),
+      "a row references a coarse cell absent from the head geometry")
+
+    // the decisive invariant: every row's codes EQUAL encoding its
+    // (deterministic) vector against the HEAD book — the last retrain
+    // re-encoded everything it observed, every later upsert encoded
+    // against the head book under OCC, and rebalance never re-encodes;
+    // a stale code here is a lost re-encode (the torn-geometry failure
+    // the one-manifest design exists to prevent)
+    val expectCodes = PqIndex.encodeFused(
+      AdcRace.corpus(spark, AdcRace.allIds(Rounds)), book,
+      dim = AdcRace.Dim, m = AdcRace.M)
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "transform(array_sort(collect_list(struct(j, code))), " +
+          "x -> x.code)").as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, _, codes) =>
+      assert(codes === expectCodes(id),
+        s"row $id carries codes stale against the head book")
+    }
+
+    // the raced index serves: full-probe search returns topK per query,
+    // and survives a vacuum to head-only
+    val queries = AdcRace.corpus(spark, AdcRace.seedIds.take(3))
+    assert(VersionedIvfAdc.search(spark, root, queries,
+      nProbe = coarseIds.size, topK = 3).count() === 9L)
+    SnapshotStore.vacuum(spark, root, keepVersions = 1)
+    assert(SnapshotStore.read(spark, root).count() === wantIds.size.toLong)
+    assert(VersionedIvfAdc.search(spark, root, queries,
+      nProbe = coarseIds.size, topK = 3).count() === 9L)
+  }
+
   test("optimize + vacuum racing a writer with BOTH sidecars engaged: " +
       "a concurrent reader never sees a torn entry list and vacuum " +
       "never sweeps a referenced entryfile") {
