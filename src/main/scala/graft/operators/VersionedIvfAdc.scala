@@ -375,6 +375,92 @@ object VersionedIvfAdc {
         col("cent_id").as("code"), col("dist"))
   }
 
+  /** Operator-facing RECALL-DRIFT MONITOR — the s29 instrument pointed
+    * at a LIVE store: recall@k of the stored codes (scored against each
+    * version's own book) vs exact integer-L2 truth over the same
+    * content, one row per requested version (every retained version by
+    * default), integer permille. This is the number that tells an
+    * operator WHEN to run [[retrain]]: under upsert drift the newest
+    * versions' recall decays while a post-retrain version recovers (the
+    * shape oracle s29 pins on a planted fixture).
+    *
+    * `sourceEmb` supplies raw vectors for the truth side — the store
+    * deliberately holds codes only — and must cover every stored id in
+    * the eval slice (`doc_id < evalMaxId`); a gap would silently shrink
+    * the truth set, so it is a named error. `queries` = (q_id, q_emb),
+    * a bounded probe set. Cost per version: slice × queries exact
+    * distances (the d21 bounded-eval discipline — per-vector
+    * quantization error is independent of what else is stored, so slice
+    * recall estimates corpus recall unbiasedly at ANY corpus size) plus
+    * one ADC ranking from the stored codes; the corpus is never crossed
+    * with itself. */
+  def driftReport(spark: SparkSession, root: String, sourceEmb: DataFrame,
+      queries: DataFrame, k: Int = 10, evalMaxId: Long = 512L,
+      versions: Seq[Long] = Nil): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val vs: Seq[Long] =
+      if (versions.nonEmpty) versions
+      else SnapshotStore.history(spark, root).select("version")
+        .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    require(vs.nonEmpty, s"driftReport: no published versions at $root")
+    val q = broadcast(queries.select(col("q_id"), col("q_emb"))
+      .localCheckpoint(true))
+    val nQ = q.count()
+    require(nQ > 0, "driftReport: empty query set")
+    val src = sourceEmb
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < evalMaxId)
+      .localCheckpoint(true) // consumed once per version below
+    def row(v: Long): DataFrame = {
+      val (dim, m, _) = storedGeometry(spark, root, v)
+      val stored = SnapshotStore.read(spark, root, v)
+        .filter(col("doc_id") < evalMaxId)
+        .select(col("doc_id").as("vec_id"), col("codes"))
+        .localCheckpoint(true) // ids probe + ADC ranking below
+      val missing = stored.select("vec_id")
+        .join(src.select("vec_id"), Seq("vec_id"), "left_anti")
+        .limit(1).count()
+      require(missing == 0,
+        s"driftReport: sourceEmb is missing stored ids under $evalMaxId " +
+          s"at $root version $v — the truth set would silently shrink")
+      val corpusV = src.join(stored.select("vec_id"), Seq("vec_id"),
+        "left_semi")
+      val we = Window.partitionBy("q_id")
+        .orderBy(col("dist"), col("vec_id"))
+      val exactK = corpusV.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          aggregate(zip_with(
+            graft.functions.VectorFunctions.quantize1e6(col("embedding")),
+            graft.functions.VectorFunctions.quantize1e6(col("q_emb")),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"))
+        .withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= k).select("q_id", "vec_id")
+      val book = storedBook(spark, root, v)
+      val lut = queryLut(spark,
+        q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        book, dim, m)
+      val wa = Window.partitionBy("q_id")
+        .orderBy(col("adist"), col("vec_id"))
+      val adcK = stored
+        .select(col("vec_id"), posexplode(col("codes"))
+          .as(Seq("j", "code")))
+        .join(broadcast(lut), Seq("j", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("dist")).as("adist"))
+        .withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= k).select("q_id", "vec_id")
+      adcK.join(exactK, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(v).as("version"), col("hits"),
+          expr(s"cast(hits * 1000 div ${k * nQ} as bigint)")
+            .as("recall_permille"))
+    }
+    vs.map(row).reduce(_ unionByName _).orderBy("version")
+  }
+
   /** The IVFADC cascade against a published version (head by default):
     * coarse probe → candidate cells admitted by ONE
     * [[SnapshotStore.readWhereIn]] metadata pass → PQ asymmetric

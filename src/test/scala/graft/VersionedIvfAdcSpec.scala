@@ -289,6 +289,69 @@ class VersionedIvfAdcSpec extends SparkTestBase {
         nProbe = n, topK = 3)))
   }
 
+  test("driftReport on a LIVE store reproduces the s29 shape: planted " +
+      "drift decays recall at the stale-book version, retrain recovers " +
+      "it, and a source corpus missing slice ids is a named error") {
+    import org.apache.spark.sql.functions.{lit, reverse, transform}
+    val root = "target/vadc-drift"
+    cleanup(root)
+    // the s29 oracle fixture verbatim (Similarity.scala): 64-dim
+    // embeddings, drifted region = dimensions REVERSED (a permutation —
+    // intra-cluster distances preserved exactly) then translated +2.0,
+    // k=64 book on the base region, queries = lowest ids per region
+    val emb = Tables.embeddings(spark, sf0001)
+    val toD = transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val base = emb
+      .filter(col("vec_id") % 3 =!= 0 || col("vec_id") < 64)
+      .select(col("vec_id"), toD.as("embedding"))
+    val drifted = emb
+      .filter(col("vec_id") % 3 === 0 && col("vec_id") >= 64)
+      .select(col("vec_id"),
+        transform(reverse(toD),
+          (x: org.apache.spark.sql.Column) => x + lit(2.0d))
+          .as("embedding"))
+    val full = base.unionByName(drifted)
+    def qs(src: org.apache.spark.sql.DataFrame) =
+      src.filter(col("vec_id") >= 64).orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    VersionedIvfAdc.write(base, root, dim = 64, m = 8, k = 64,
+      nCells = 16)
+    VersionedIvfAdc.upsert(spark, root, drifted)
+    VersionedIvfAdc.retrain(spark, root, full, iters = 1)
+    def recalls(queries: org.apache.spark.sql.DataFrame)
+        : Map[Long, Long] =
+      VersionedIvfAdc.driftReport(spark, root, full, queries, k = 10,
+        evalMaxId = 512L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val baseR = recalls(qs(base))
+    val driftR = recalls(qs(drifted))
+    // all retained versions reported, permille in range
+    assert(baseR.keySet === Set(1L, 2L, 3L))
+    assert((baseR.values ++ driftR.values).forall(r => r >= 0 && r <= 1000))
+    // the monitor's reason to exist: drift decays, retrain recovers
+    assert(driftR(2L) < baseR(2L),
+      s"planted drift did not decay recall (base=${baseR(2L)} " +
+        s"drift=${driftR(2L)} at v2)")
+    assert(driftR(3L) > driftR(2L),
+      s"retrain did not recover recall (v2=${driftR(2L)} " +
+        s"v3=${driftR(3L)})")
+    // explicit version subset honors the request
+    assert(recalls(qs(drifted)).keySet === Set(1L, 2L, 3L))
+    val only2 = VersionedIvfAdc.driftReport(spark, root, full,
+      qs(drifted), k = 10, evalMaxId = 512L, versions = Seq(2L))
+      .collect()
+    assert(only2.length === 1 && only2(0).getLong(0) === 2L)
+    // a source corpus missing slice ids must fail loudly, not shrink
+    // the truth set
+    val err = intercept[IllegalArgumentException] {
+      VersionedIvfAdc.driftReport(spark, root,
+        full.filter(col("vec_id") =!= 64L), qs(drifted), k = 10,
+        evalMaxId = 512L, versions = Seq(3L)).collect()
+    }
+    assert(err.getMessage.contains("missing stored ids"))
+  }
+
   test("optimize + vacuum on a VersionedIvfAdc root preserve geometry " +
       "lines and search results (maintenance composes with the " +
       "versioned-ANN layout)") {
