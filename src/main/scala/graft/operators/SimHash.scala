@@ -61,6 +61,36 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs BETWEEN two signature frames `(doc_id, simhash)` —
+    * the INCREMENTAL probe: an arriving batch's signatures against a
+    * stored fingerprint state, band equi-join + exact Hamming. Neither
+    * side is ever self-joined, and recall is exact for Hamming ≤
+    * bands−1 by the same pigeonhole as [[nearPairs]] (any pair within
+    * radius 3 of a 32-bit signature shares one of the 4 bands), so the
+    * pair SET equals the full self-join's restricted to (a × b) —
+    * which is what lets an incremental clustering reproduce the
+    * from-scratch closure exactly. Passing the same frame twice with an
+    * `a_id < b_id` filter downstream gives the within-batch pairs from
+    * one signature pipeline. */
+  def crossPairs(a: DataFrame, b: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    // band keys derive from the ORIGINAL column, not the alias —
+    // referencing a same-select alias inside Generate is a lateral
+    // column alias, which Spark's analyzer rejects under posexplode
+    def banded(df: DataFrame, idc: String, sigc: String) =
+      df.select(col("doc_id").as(idc), col("simhash").as(sigc),
+        posexplode(array((0 until 4).map(x =>
+          shiftright(col("simhash"), 8 * x).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "key")))
+    banded(a, "a_id", "a_sig")
+      .join(banded(b, "b_id", "b_sig"), Seq("band", "key"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Oracle-side CTE bodies reproducing [[signatures]] in DuckDB SQL
     * (no leading WITH; `prefix` namespaces the CTEs so several sketch
     * pipelines compose). Final CTE: `${prefix}sigs`. */

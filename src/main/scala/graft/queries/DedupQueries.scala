@@ -79,8 +79,10 @@ object DedupQueries extends QueryPack {
           .as("split"))
   }
 
-  private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def clusterAssignments(s: SparkSession, d: String): DataFrame =
+    clusterAssignmentsOf(Tables.documents(s, d))
+
+  private def clusterAssignmentsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("h")
     val withCanon = docs
       .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
@@ -616,6 +618,88 @@ object DedupQueries extends QueryPack {
         .orderBy("source", "split")
     }),
 
+    // INCREMENTAL cluster maintenance (the d08→d22 family's missing
+    // write path): the prior corpus' labels live in the persisted store
+    // (d22's writeLabels) alongside a rep FINGERPRINT table (md5 per
+    // distinct hash + SimHash signature per canonical); an arriving
+    // batch computes signatures for its NEW-hash canonicals only,
+    // probes the fingerprints (band equi-joins — never a corpus
+    // self-join), and DupClusters.mergeLabels folds the evidence into
+    // the label table over the REDUCED graph {prior cluster labels} ∪
+    // {batch ids} — O(batch + clusters), not O(corpus). The updated
+    // table publishes as v2 (v1 = the pre-batch labels, time-travelable
+    // for release audits). The oracle is the FROM-SCRATCH full-corpus
+    // closure: incremental ≡ re-cluster, bit-exactly — including
+    // batch documents that BRIDGE two prior clusters.
+    "d24_incremental_clusters" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d24-labels").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val docs = Tables.documents(s, d)
+      // 5%-of-corpus batch AT EVERY SCALE (an absolute id boundary
+      // would make the "batch" the bulk of a larger corpus): the
+      // arriving slice is doc_id % 20 == 7, the prior corpus the rest.
+      // Batch ids interleave prior ids — the min-label invariant does
+      // not care (assign takes the min over the REDUCED graph's
+      // vertices), and identical text gives identical signatures, so
+      // probing the stored rep's fingerprint instead of the
+      // full-corpus canonical's reaches the same components.
+      val arrived = col("doc_id") % 20 === 7
+      val prior = docs.filter(!arrived)
+      val batch = docs.filter(arrived)
+      // persisted state a production pipeline carries between batches:
+      // v1 labels + the rep fingerprint table
+      graft.operators.DupClusters
+        .writeLabels(clusterAssignmentsOf(prior), root)
+      val w = Window.partitionBy("h")
+      val priorCanon = prior
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+      val priorReps = priorCanon
+        .filter(col("doc_id") === col("canonical_id"))
+      val prints = SimHash.signatures(priorReps.select("doc_id", "text"))
+        .join(priorReps.select(col("doc_id"), col("h")), "doc_id")
+        .localCheckpoint(eager = false) // hash probe + signature probe
+      // --- the batch arrives ---
+      val bh = batch
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .withColumn("bmin", min(col("doc_id")).over(w))
+        .join(prints.select(col("h"), col("doc_id").as("rep_id")),
+          Seq("h"), "left")
+        .localCheckpoint(eager = false) // three consumers below
+      // exact evidence: a hash known to the store connects every batch
+      // copy to the prior rep; a new hash connects copies to the batch
+      // minimum (= the full-corpus canonical, since prior ids are lower)
+      val exactToPrior = bh.filter(col("rep_id").isNotNull)
+        .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+      val exactInBatch = bh
+        .filter(col("rep_id").isNull && col("doc_id") =!= col("bmin"))
+        .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+      // near evidence: signatures computed for NEW-hash canonicals only
+      val batchSigs = SimHash.signatures(
+        bh.filter(col("rep_id").isNull && col("doc_id") === col("bmin"))
+          .select("doc_id", "text"))
+        .localCheckpoint(eager = false) // cross + within probes
+      val nearCross = SimHash
+        .crossPairs(batchSigs, prints.select("doc_id", "simhash"))
+        .select("a_id", "b_id")
+      val nearBatch = SimHash.crossPairs(batchSigs, batchSigs)
+        .filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+      val updated = graft.operators.DupClusters.mergeLabels(
+        graft.operators.DupClusters.readLabels(s, root),
+        batch.select(col("doc_id").as("id")),
+        exactToPrior.unionByName(exactInBatch)
+          .unionByName(nearCross).unionByName(nearBatch))
+      graft.operators.DupClusters.writeLabels(updated, root)
+      graft.operators.DupClusters.readLabels(s, root)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") % 20 === 7).as("arrived"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Exact-substring (span-level) dedup at 10-token block granularity:
     // per-document duplicated-content profile. The block-hash df shuffle
     // and the join back are the only wide stages — no self-join.
@@ -960,6 +1044,15 @@ object DedupQueries extends QueryPack {
     "d08_dup_clusters" ->
       (DuckClusterCtes + """
         |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+        |FROM asg ORDER BY doc_id""".stripMargin),
+
+    // the from-scratch full-corpus closure IS the oracle: the
+    // incremental path must land on it bit-exactly
+    "d24_incremental_clusters" ->
+      (DuckClusterCtes + """
+        |SELECT doc_id, cluster_id,
+        |  (doc_id % 20 = 7) AS arrived,
+        |  (doc_id = cluster_id) AS is_canonical
         |FROM asg ORDER BY doc_id""".stripMargin),
 
     "d15_cluster_split" ->

@@ -272,6 +272,40 @@ class DedupSpec extends SparkTestBase {
     assert(v2 === Seq((10L, false, false, true)))
   }
 
+  test("mergeLabels: new vertices fold into an existing label table — " +
+      "bridge merges two prior clusters to the global min, edges to " +
+      "non-representative members resolve, singletons self-label, " +
+      "untouched clusters keep their labels") {
+    import spark.implicits._
+    // prior state: clusters {1,2,3} (label 1), {5,6} (label 5), {9}
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("doc_id", "cluster_id")
+    // batch: 10 bridges the two clusters via NON-representative members
+    // (3 and 6 — endpoint mapping must go through the label table, not
+    // assume rep endpoints); 11–12 pair up; 13 arrives alone
+    val batch = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val edges = Seq((3L, 10L), (10L, 6L), (11L, 12L))
+      .toDF("a_id", "b_id")
+    val got = graft.operators.DupClusters
+      .mergeLabels(prior, batch, edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,   // untouched membership, label kept
+      5L -> 1L, 6L -> 1L,             // merged INTO the global min via 10
+      9L -> 9L,                       // untouched singleton cluster
+      10L -> 1L,                      // the bridge joins the merged min
+      11L -> 11L, 12L -> 11L,         // batch-internal pair
+      13L -> 13L))                    // batch singleton self-labels
+    // idempotence-shaped sanity: merging an empty batch changes nothing
+    val again = graft.operators.DupClusters.mergeLabels(
+      graft.operators.DupClusters
+        .mergeLabels(prior, batch, edges),
+      spark.emptyDataFrame.select(lit(0L).as("id")).limit(0),
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(again === got)
+  }
+
   test("writeLabels/readLabels: persisted cluster labels round-trip " +
       "bit-exactly, re-clusterings version (time travel), and the " +
       "stored stats prune point lookups") {

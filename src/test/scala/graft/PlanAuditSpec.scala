@@ -72,6 +72,11 @@ class PlanAuditSpec extends SparkTestBase {
     // slice ≤ 512 rows × slice-sized other side; s29's slice crossJoin
     // needs no entry — its 5-row broadcast side audits clean)
     "d21_scaled_recall" -> Set("nested-loop-join"),
+    // d23: d21's truth crossJoin, plus each config's probe fan-out =
+    // crossJoin against the BROADCAST flip table (≤ 121 rows — the
+    // documented alternative to a ~1000-node literal explode); per-row
+    // cost is O(flips), bounded by bits², never corpus-shaped
+    "d23_knob_curve" -> Set("nested-loop-join"),
     "d18_threshold_curve" -> Set("nested-loop-join"),
     "i11_snapshot_drift" -> Set("nested-loop-join"),
     "m04_crossmodal" -> Set("nested-loop-join"),
