@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate candidate PAIRS → duplicate
@@ -171,6 +172,90 @@ object DupClusters {
     vertices.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
+  }
+
+  /** The exact+near evidence closure over a documents frame
+    * (doc_id, text) — the d08 kernel, shared by the oracle queries and
+    * the streaming label-maintenance sink: exact duplicates via the md5
+    * canonical window (canonical = min doc per content hash), SimHash
+    * near pairs over canonical REPRESENTATIVES only (copies reach their
+    * canonical through the exact star edges, and identical text means
+    * identical signatures, so rep-vs-rep pairs span exactly the
+    * components full-corpus pairs would), closed by [[assign]]. Returns
+    * (doc_id, cluster_id). */
+  def clusterDocs(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("h")
+    val withCanon = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val exact = withCanon
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+    val reps = withCanon
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "text")
+    // no distinct here: assign() tolerates duplicate edges
+    val pairs = exact
+      .unionByName(SimHash.nearPairs(reps).select("a_id", "b_id"))
+    assign(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Fingerprint state per cluster REPRESENTATIVE — (doc_id, simhash,
+    * h): one row per distinct content hash's canonical, carrying its
+    * md5 (the exact-dup probe key) and SimHash signature (the near-dup
+    * probe key). This is what an incremental maintainer persists
+    * between batches — ~100 bytes per distinct document, never texts. */
+  def repPrints(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("h")
+    val withCanon = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val reps = withCanon
+      .filter(col("doc_id") === col("canonical_id"))
+    SimHash.signatures(reps.select("doc_id", "text"))
+      .join(reps.select(col("doc_id"), col("h")), "doc_id")
+  }
+
+  /** Evidence of an arriving batch against a stored fingerprint state —
+    * the probe side of incremental clustering: returns
+    * `(edges, newPrints)` where `edges` = exact hits against stored
+    * hashes (every batch copy → the stored rep), exact pairs within the
+    * batch's NEW hashes (copies → the batch canonical), and SimHash
+    * near pairs of the batch's new-hash canonicals against the stored
+    * reps AND each other ([[SimHash.crossPairs]] — band equi-joins,
+    * never a corpus self-join; signatures computed for new-hash
+    * canonicals ONLY); `newPrints` = those canonicals' fingerprint rows,
+    * the delta to append to the print store. Feed `edges` to
+    * [[mergeLabels]]. */
+  def batchEvidence(batch: DataFrame,
+      prints: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("h")
+    val bh = batch
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .join(prints.select(col("h"), col("doc_id").as("rep_id")),
+        Seq("h"), "left")
+      .localCheckpoint(eager = false) // three consumers below
+    val exactToPrior = bh.filter(col("rep_id").isNotNull)
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+    val exactInBatch = bh
+      .filter(col("rep_id").isNull && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+    val newReps = bh
+      .filter(col("rep_id").isNull && col("doc_id") === col("bmin"))
+    val batchSigs = SimHash.signatures(newReps.select("doc_id", "text"))
+      .localCheckpoint(eager = false) // cross + within probes + prints
+    val nearCross = SimHash
+      .crossPairs(batchSigs, prints.select("doc_id", "simhash"))
+      .select("a_id", "b_id")
+    val nearBatch = SimHash.crossPairs(batchSigs, batchSigs)
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+    val edges = exactToPrior.unionByName(exactInBatch)
+      .unionByName(nearCross).unionByName(nearBatch)
+    val newPrints = batchSigs
+      .join(newReps.select(col("doc_id"), col("h")), "doc_id")
+    (edges, newPrints)
   }
 
   /** Persist cluster labels as ONE atomic, time-travelable

@@ -82,23 +82,10 @@ object DedupQueries extends QueryPack {
   private def clusterAssignments(s: SparkSession, d: String): DataFrame =
     clusterAssignmentsOf(Tables.documents(s, d))
 
-  private def clusterAssignmentsOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("h")
-    val withCanon = docs
-      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-    val exact = withCanon
-      .filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
-    val reps = withCanon
-      .filter(col("doc_id") === col("canonical_id"))
-      .select("doc_id", "text")
-    // no distinct here: assign() dedups the directed edge list anyway
-    val pairs = exact
-      .unionByName(SimHash.nearPairs(reps).select("a_id", "b_id"))
-    DupClusters.assign(docs.select(col("doc_id").as("id")), pairs)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-  }
+  // the kernel lives in the operator ([[DupClusters.clusterDocs]]) so
+  // the streaming label-maintenance sink shares it with these oracles
+  private def clusterAssignmentsOf(docs: DataFrame): DataFrame =
+    DupClusters.clusterDocs(docs)
 
   /** doc_id boundary of d14's incremental-dedup replay: documents below
     * it stand in for the already-admitted history (their band
@@ -653,45 +640,18 @@ object DedupQueries extends QueryPack {
       // v1 labels + the rep fingerprint table
       graft.operators.DupClusters
         .writeLabels(clusterAssignmentsOf(prior), root)
-      val w = Window.partitionBy("h")
-      val priorCanon = prior
-        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-      val priorReps = priorCanon
-        .filter(col("doc_id") === col("canonical_id"))
-      val prints = SimHash.signatures(priorReps.select("doc_id", "text"))
-        .join(priorReps.select(col("doc_id"), col("h")), "doc_id")
+      val prints = graft.operators.DupClusters.repPrints(prior)
         .localCheckpoint(eager = false) // hash probe + signature probe
-      // --- the batch arrives ---
-      val bh = batch
-        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-        .withColumn("bmin", min(col("doc_id")).over(w))
-        .join(prints.select(col("h"), col("doc_id").as("rep_id")),
-          Seq("h"), "left")
-        .localCheckpoint(eager = false) // three consumers below
-      // exact evidence: a hash known to the store connects every batch
-      // copy to the prior rep; a new hash connects copies to the batch
-      // minimum (= the full-corpus canonical, since prior ids are lower)
-      val exactToPrior = bh.filter(col("rep_id").isNotNull)
-        .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
-      val exactInBatch = bh
-        .filter(col("rep_id").isNull && col("doc_id") =!= col("bmin"))
-        .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
-      // near evidence: signatures computed for NEW-hash canonicals only
-      val batchSigs = SimHash.signatures(
-        bh.filter(col("rep_id").isNull && col("doc_id") === col("bmin"))
-          .select("doc_id", "text"))
-        .localCheckpoint(eager = false) // cross + within probes
-      val nearCross = SimHash
-        .crossPairs(batchSigs, prints.select("doc_id", "simhash"))
-        .select("a_id", "b_id")
-      val nearBatch = SimHash.crossPairs(batchSigs, batchSigs)
-        .filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+      // --- the batch arrives: probe the fingerprints, fold the
+      // evidence into the stored labels (the shared operator kernel —
+      // exact hits to stored reps, new-hash canonicals paired among
+      // themselves and against the store, signatures for new-hash
+      // canonicals ONLY) ---
+      val (edges, _) =
+        graft.operators.DupClusters.batchEvidence(batch, prints)
       val updated = graft.operators.DupClusters.mergeLabels(
         graft.operators.DupClusters.readLabels(s, root),
-        batch.select(col("doc_id").as("id")),
-        exactToPrior.unionByName(exactInBatch)
-          .unionByName(nearCross).unionByName(nearBatch))
+        batch.select(col("doc_id").as("id")), edges)
       graft.operators.DupClusters.writeLabels(updated, root)
       graft.operators.DupClusters.readLabels(s, root)
         .select(col("doc_id"), col("cluster_id"),

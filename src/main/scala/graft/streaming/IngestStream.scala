@@ -281,6 +281,106 @@ object IngestStream {
     q.awaitTermination()
   }
 
+  /** STREAMING incremental cluster maintenance — the d24 kernel as a
+    * foreachBatch sink: the duplicate-cluster LABEL TABLE and the rep
+    * FINGERPRINT state are persistent [[graft.operators.SnapshotStore]]s;
+    * each micro-batch probes the fingerprints (band equi-joins via
+    * [[graft.operators.DupClusters.batchEvidence]] — signatures computed
+    * for new-hash canonicals only, never a corpus self-join), folds its
+    * evidence into the stored labels
+    * ([[graft.operators.DupClusters.mergeLabels]] — O(batch + clusters)
+    * over the reduced graph), and publishes
+    *
+    *  - the CHANGED labels (batch docs + any prior docs whose clusters
+    *    merged) as one keyed [[graft.operators.SnapshotStore.commitBatch]]
+    *    into the label store, then
+    *  - the new-hash canonicals' fingerprints into the print store,
+    *
+    * each carrying the batch's txn marker: a replayed batch no-ops per
+    * store, and a crash BETWEEN the two commits replays into
+    * "labels published, prints lagging" — recomputed evidence still
+    * probes the PRE-batch print state, so the prints half completes
+    * identically (label publish deliberately precedes print publish:
+    * the reverse order would make a replay see the batch's own
+    * fingerprints and lose its near-dup edges). Batch 0 bootstraps both
+    * stores through the same path against empty state — the closure
+    * over an empty prior IS [[graft.operators.DupClusters.clusterDocs]].
+    * The label store stays consumable at every version by the d22
+    * derivations (split / budget / loss), so the streaming pipeline
+    * keeps a release-ready, time-travelable dedup state continuously —
+    * at 100 TB this replaces a daily whole-corpus re-cluster with a
+    * per-trigger increment. */
+  def labelMaintainAvailable(spark: SparkSession, srcDir: String,
+      labelRoot: String, printsRoot: String, checkpointDir: String,
+      streamId: String, buckets: Int = 4,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.operators.{DupClusters, SnapshotStore}
+    def emptyOf(schema: StructType): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.select("doc_id", "text")
+          .localCheckpoint(eager = true)
+        // empty batches publish no marker: replay of an empty batch is
+        // a natural no-op (the vectorUpsertAvailable discipline)
+        if (!docs.isEmpty) {
+          val labelsDone = SnapshotStore
+            .lastCommittedBatch(spark, labelRoot, streamId)
+            .exists(_ >= batchId)
+          val printsDone = SnapshotStore
+            .lastCommittedBatch(spark, printsRoot, streamId)
+            .exists(_ >= batchId)
+          if (!labelsDone || !printsDone) {
+            // print state is read BEFORE either publish — on a
+            // labels-done/prints-lagging replay this is still the
+            // pre-batch state, so the evidence recomputes identically
+            val prints =
+              if (SnapshotStore.currentVersion(spark, printsRoot).isEmpty)
+                emptyOf(StructType(Seq(
+                  StructField("doc_id", LongType),
+                  StructField("simhash", LongType),
+                  StructField("h", StringType))))
+              else SnapshotStore.read(spark, printsRoot)
+                .select("doc_id", "simhash", "h")
+            val (edges, newPrints) =
+              DupClusters.batchEvidence(docs, prints)
+            if (!labelsDone) {
+              val priorLabels =
+                if (SnapshotStore.currentVersion(spark, labelRoot).isEmpty)
+                  emptyOf(StructType(Seq(
+                    StructField("doc_id", LongType),
+                    StructField("cluster_id", LongType))))
+                else DupClusters.readLabels(spark, labelRoot)
+              val updated = DupClusters.mergeLabels(priorLabels,
+                docs.select(col("doc_id").as("id")), edges)
+              // keyed DELTA publish: batch docs + prior docs whose
+              // label changed — never the whole table
+              val changed = updated
+                .join(priorLabels
+                  .select(col("doc_id"), col("cluster_id").as("old")),
+                  Seq("doc_id"), "left")
+                .filter(col("old").isNull ||
+                  col("old") =!= col("cluster_id"))
+                .select("doc_id", "cluster_id")
+              SnapshotStore.commitBatch(changed, labelRoot, buckets,
+                streamId, batchId): Unit
+            }
+            SnapshotStore.commitBatch(newPrints, printsRoot, buckets,
+              streamId, batchId): Unit
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[vectorUpsertAvailable]] landed in the COMPRESSED production index
     * (VersionedIvfAdc — the serving tier the reference's Pinecone
     * upserts actually mutate): each micro-batch chunks + embeds

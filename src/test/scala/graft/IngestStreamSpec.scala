@@ -774,6 +774,93 @@ class IngestStreamSpec extends SparkTestBase {
         "book and keep the corpus complete")
   }
 
+  test("streaming incremental cluster maintenance: every drained batch " +
+      "leaves the label store equal to a FROM-SCRATCH re-cluster of " +
+      "everything seen, a crash between the label and print commits " +
+      "heals exactly-once, and the stores version per batch") {
+    import graft.operators.{DupClusters, SnapshotStore}
+    def doc(id: Long, text: String) = (id, text, "en", s"d$id.pdf",
+      text.length.toLong)
+    // three batches with planted exact duplicates WITHIN and ACROSS
+    // batches: 2≡1 (within b0), 11≡3 (cross-batch — must hash-hit the
+    // stored rep), 12≡13 (within b1), 21≡15 (cross), 22≡11≡3 (a copy
+    // of a copy — must join the original's cluster transitively)
+    val t = (i: Long) => s"document number $i carrying its own words " +
+      s"and content body token$i extra filler material"
+    val b0 = Seq(doc(1, t(1)), doc(2, t(1)), doc(3, t(3)), doc(4, t(4)),
+      doc(5, t(5)))
+    val b1 = Seq(doc(11, t(3)), doc(12, t(12)), doc(13, t(12)),
+      doc(14, t(14)), doc(15, t(15)))
+    val b2 = Seq(doc(21, t(15)), doc(22, t(3)), doc(23, t(23)))
+    def toDf(xs: Seq[(Long, String, String, String, Long)]) =
+      xs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def land(xs: Seq[(Long, String, String, String, Long)], src: String,
+        name: String): Unit = {
+      val stage = tmp("lm_stage")
+      toDf(xs).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    val src = tmp("lm_src"); val cp = tmp("lm_cp")
+    val lroot = tmp("lm_labels"); Files.delete(Paths.get(lroot))
+    val proot = tmp("lm_prints"); Files.delete(Paths.get(proot))
+    def drain(): Unit = IngestStream.labelMaintainAvailable(spark, src,
+      lroot, proot, cp, streamId = "lm", buckets = 4)
+    def stored: Seq[(Long, Long)] =
+      DupClusters.readLabels(spark, lroot)
+        .as[(Long, Long)].collect().sorted.toSeq
+    def scratch(xs: Seq[(Long, String, String, String, Long)])
+        : Seq[(Long, Long)] =
+      DupClusters.clusterDocs(toDf(xs).select("doc_id", "text"))
+        .as[(Long, Long)].collect().sorted.toSeq
+
+    land(b0, src, "b0.parquet"); drain()
+    assert(stored === scratch(b0))
+    assert(SnapshotStore.lastCommittedBatch(spark, lroot, "lm")
+      === Some(0L))
+    land(b1, src, "b1.parquet"); drain()
+    assert(stored === scratch(b0 ++ b1),
+      "incremental labels diverged from the from-scratch closure " +
+        "after a cross-batch exact duplicate")
+    // crash window: the LABEL commit publishes, the writer dies before
+    // the PRINT commit — the replay must complete the prints half
+    // against the pre-batch print state and not double-apply labels
+    land(b2, src, "b2.parquet")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.FaultInjection.arm { p =>
+      if (p == "manifest-renamed" && fired.compareAndSet(false, true))
+        throw new RuntimeException("injected crash between commits")
+    }
+    try intercept[Exception] { drain() }
+    finally SnapshotStore.FaultInjection.disarm()
+    assert(fired.get, "crash arm never fired — spec inert")
+    drain() // heal
+    val all = b0 ++ b1 ++ b2
+    assert(stored === scratch(all),
+      "post-crash replay diverged from the from-scratch closure")
+    assert(SnapshotStore.lastCommittedBatch(spark, lroot, "lm")
+      === Some(2L))
+    assert(SnapshotStore.lastCommittedBatch(spark, proot, "lm")
+      === Some(2L))
+    // no duplicate label rows survived the replay
+    assert(DupClusters.readLabels(spark, lroot).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // the print store holds exactly one fingerprint per distinct text
+    assert(SnapshotStore.read(spark, proot).select("h").distinct()
+      .count() === all.map(_._2).distinct.size.toLong)
+    assert(SnapshotStore.read(spark, proot).count()
+      === all.map(_._2).distinct.size.toLong)
+    // idle drain publishes nothing
+    drain()
+    assert(SnapshotStore.lastCommittedBatch(spark, lroot, "lm")
+      === Some(2L))
+    // the stored state keeps serving the d22-style derivations: every
+    // version time-travels (the pre-b2 labels are version 2's)
+    assert(DupClusters.readLabels(spark, lroot, version = 2L)
+      .as[(Long, Long)].collect().sorted.toSeq === scratch(b0 ++ b1))
+  }
+
   test("CHECK constraint rejects a violating streaming batch before write") {
     import graft.operators.SnapshotStore
     import spark.implicits._
