@@ -93,8 +93,10 @@ object SimHash {
 
   /** Oracle-side CTE bodies reproducing [[signatures]] in DuckDB SQL
     * (no leading WITH; `prefix` namespaces the CTEs so several sketch
-    * pipelines compose). Final CTE: `${prefix}sigs`. */
-  def duckSignatureCtes(prefix: String = ""): String = {
+    * pipelines compose; `where` restricts the document scan — e.g. a
+    * prior-corpus slice for incremental-dedup oracles). Final CTE:
+    * `${prefix}sigs`. */
+  def duckSignatureCtes(prefix: String = "", where: String = ""): String = {
     val votes = (0 until Bits)
       .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n  ")
@@ -102,7 +104,7 @@ object SimHash {
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""${prefix}flat AS (SELECT doc_id, ${CrossHash.duckHash60("u.tok")} AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents $where) u),
        |${prefix}votes AS (SELECT doc_id,
        |  $votes
        |  FROM ${prefix}flat GROUP BY doc_id),

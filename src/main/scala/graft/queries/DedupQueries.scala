@@ -46,27 +46,35 @@ object DedupQueries extends QueryPack {
     * text means identical signatures, so rep-vs-rep pairs span exactly
     * the components the full-corpus pairs would. The oracle computes the
     * full-corpus closure and must keep matching. */
-  /** DuckDB replay of [[clusterAssignments]] — full-corpus transitive
-    * closure (recursive reachability + min label), ending in CTE
-    * `asg(doc_id, cluster_id)` for d08/d15 to select from. */
-  private lazy val DuckClusterCtes: String =
-    "WITH RECURSIVE " + SimHash.duckSignatureCtes() + """,
-      |bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
-      |  FROM sigs, range(0, 4) b),
-      |near AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  /** DuckDB replay of [[clusterAssignments]] — transitive closure
+    * (recursive reachability + min label) over the documents admitted
+    * by `where`, CTE names namespaced by `p`, ending in
+    * `${p}asg(doc_id, cluster_id)`. The default full-corpus instance is
+    * [[DuckClusterCtes]]; d25 composes a prior-slice instance WITH the
+    * full one to replay a churn audit. */
+  private def duckClusterBody(p: String, where: String): String =
+    SimHash.duckSignatureCtes(p, where) + s""",
+      |${p}bands AS (SELECT doc_id, simhash, b.range AS band, (simhash >> (8 * b.range)) & 255 AS key
+      |  FROM ${p}sigs, range(0, 4) b),
+      |${p}near AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.key = b.key
       |    AND a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-      |exact AS (SELECT canonical_id AS a_id, doc_id AS b_id FROM (
-      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents)
+      |${p}exact AS (SELECT canonical_id AS a_id, doc_id AS b_id FROM (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM documents $where)
       |  WHERE doc_id <> canonical_id),
-      |pairs AS (SELECT a_id, b_id FROM exact UNION SELECT a_id, b_id FROM near),
-      |e AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id AS s, a_id AS d FROM pairs),
-      |reach AS (SELECT s AS id, d AS r FROM e
-      |  UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
-      |lab AS (SELECT id, min(r) AS m FROM reach GROUP BY id),
-      |asg AS (SELECT d.doc_id,
-      |  least(d.doc_id, coalesce(lab.m, d.doc_id)) AS cluster_id
-      |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)""".stripMargin
+      |${p}pairs AS (SELECT a_id, b_id FROM ${p}exact UNION SELECT a_id, b_id FROM ${p}near),
+      |${p}e AS (SELECT a_id AS s, b_id AS d FROM ${p}pairs UNION SELECT b_id AS s, a_id AS d FROM ${p}pairs),
+      |${p}reach AS (SELECT s AS id, d AS r FROM ${p}e
+      |  UNION SELECT ${p}reach.id, ${p}e.d FROM ${p}reach JOIN ${p}e ON ${p}reach.r = ${p}e.s),
+      |${p}lab AS (SELECT id, min(r) AS m FROM ${p}reach GROUP BY id),
+      |${p}asg AS (SELECT d.doc_id,
+      |  least(d.doc_id, coalesce(${p}lab.m, d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN ${p}lab ON ${p}lab.id = d.doc_id $where)""".stripMargin
+
+  /** The full-corpus closure instance, ending in `asg` — shared by the
+    * d08/d15/d16/d17/d19/d22/d24 oracles. */
+  private lazy val DuckClusterCtes: String =
+    "WITH RECURSIVE " + duckClusterBody("", "")
 
   /** d15/d17's split assignment: whole cluster → one of train/val/test
     * by hash of the cluster label (80/10/10). */
@@ -660,6 +668,55 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Cluster CHURN audit from TIME TRAVEL (the governance readout of
+    // d24's increment): what did this batch's dedup evidence DO —
+    // relabeled prior docs, absorbed prior clusters, new docs, cluster
+    // counts before/after — computed entirely from TWO VERSIONS of the
+    // persisted label store (v1 = pre-batch, v2 = post-merge), the
+    // report a data-release review quotes next to d19's loss rollup.
+    // The oracle replays both closures from raw parquet (prior-slice +
+    // full corpus), so a store version serving stale or torn labels is
+    // a hash mismatch. One summary row; label-table scans + 1-row
+    // aggregate crossJoins only.
+    "d25_cluster_churn" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d25-labels").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val docs = Tables.documents(s, d)
+      val arrived = col("doc_id") % 20 === 7
+      val prior = docs.filter(!arrived)
+      val batch = docs.filter(arrived)
+      graft.operators.DupClusters.writeLabels(
+        graft.operators.DupClusters.clusterDocs(prior), root)
+      val (edges, _) = graft.operators.DupClusters.batchEvidence(batch,
+        graft.operators.DupClusters.repPrints(prior)
+          .localCheckpoint(eager = false))
+      graft.operators.DupClusters.writeLabels(
+        graft.operators.DupClusters.mergeLabels(
+          graft.operators.DupClusters.readLabels(s, root),
+          batch.select(col("doc_id").as("id")), edges), root)
+      val before = graft.operators.DupClusters.readLabels(s, root,
+        version = 1L).localCheckpoint(eager = false) // 3 consumers
+      val after = graft.operators.DupClusters.readLabels(s, root)
+        .localCheckpoint(eager = false) // 3 consumers
+      val relabeled = before
+        .select(col("doc_id"), col("cluster_id").as("old"))
+        .join(after, "doc_id")
+        .filter(col("old") =!= col("cluster_id"))
+      val absorbed = before.select("cluster_id").distinct()
+        .join(after.select("cluster_id").distinct(), Seq("cluster_id"),
+          "left_anti")
+      before
+        .agg(count(lit(1)).as("n_docs_prior"),
+          countDistinct(col("cluster_id")).as("n_clusters_prior"))
+        .crossJoin(after.agg(count(lit(1)).as("n_docs_after"),
+          countDistinct(col("cluster_id")).as("n_clusters_after")))
+        .crossJoin(relabeled.agg(count(lit(1)).as("n_relabeled")))
+        .crossJoin(absorbed.agg(count(lit(1)).as("n_clusters_absorbed")))
+    }),
+
     // Exact-substring (span-level) dedup at 10-token block granularity:
     // per-document duplicated-content profile. The block-hash df shuffle
     // and the join back are the only wide stages — no self-join.
@@ -1005,6 +1062,26 @@ object DedupQueries extends QueryPack {
       (DuckClusterCtes + """
         |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
         |FROM asg ORDER BY doc_id""".stripMargin),
+
+    // two closures — the prior slice's and the full corpus' — replayed
+    // from raw parquet; the store versions must report exactly this.
+    // BOTH chains carry a prefix deliberately: compare.py rewrites the
+    // UNPREFIXED reach/lab idiom into an iterative closure and would
+    // otherwise split this two-closure query at the second chain
+    "d25_cluster_churn" ->
+      ("WITH RECURSIVE " +
+        duckClusterBody("p", "WHERE doc_id % 20 <> 7") + ",\n" +
+        duckClusterBody("f", "") + """
+        |SELECT
+        |  (SELECT cast(count(*) as bigint) FROM pasg) AS n_docs_prior,
+        |  (SELECT cast(count(DISTINCT cluster_id) as bigint) FROM pasg) AS n_clusters_prior,
+        |  (SELECT cast(count(*) as bigint) FROM fasg) AS n_docs_after,
+        |  (SELECT cast(count(DISTINCT cluster_id) as bigint) FROM fasg) AS n_clusters_after,
+        |  (SELECT cast(count(*) as bigint) FROM pasg p JOIN fasg a
+        |    ON a.doc_id = p.doc_id AND a.cluster_id <> p.cluster_id) AS n_relabeled,
+        |  (SELECT cast(count(*) as bigint) FROM (
+        |    SELECT DISTINCT cluster_id FROM pasg
+        |    EXCEPT SELECT DISTINCT cluster_id FROM fasg)) AS n_clusters_absorbed""".stripMargin),
 
     // the from-scratch full-corpus closure IS the oracle: the
     // incremental path must land on it bit-exactly

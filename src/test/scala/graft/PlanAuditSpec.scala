@@ -72,6 +72,8 @@ class PlanAuditSpec extends SparkTestBase {
     // slice ≤ 512 rows × slice-sized other side; s29's slice crossJoin
     // needs no entry — its 5-row broadcast side audits clean)
     "d21_scaled_recall" -> Set("nested-loop-join"),
+    // d25: crossJoins of four 1-row summary aggregates (the d11 class)
+    "d25_cluster_churn" -> Set("nested-loop-join"),
     // d23: d21's truth crossJoin, plus each config's probe fan-out =
     // crossJoin against the BROADCAST flip table (≤ 121 rows — the
     // documented alternative to a ~1000-node literal explode); per-row

@@ -53,49 +53,71 @@ def cells(tbl: pa.Table):
 # tables — one bounded join per round, converging in O(component
 # diameter) rounds. Same truth (component minimum per node), bounded
 # cost. Anything not matching the idiom runs verbatim.
+#
+# The idiom may appear PREFIXED and MORE THAN ONCE (d25 composes a
+# prior-slice closure `p…` with a full-corpus closure `f…` in one
+# query): every occurrence is rewritten — each chain's edge CTEs
+# materialize once, its reach/lab pair is REPLACED in the SQL by a lab
+# CTE reading the iterated temp table, and the search repeats until no
+# chain remains.
 _REACH_LAB = re.compile(
-    r"reach AS \(SELECT s AS id, d AS r FROM e\s+"
-    r"UNION SELECT reach\.id, e\.d FROM reach JOIN e ON reach\.r = e\.s\),"
-    r"\s*lab AS \(SELECT id, min\(r\) AS m FROM reach GROUP BY id\),?\s*",
+    r"(?P<p>[A-Za-z_]*)reach AS \(SELECT s AS id, d AS r FROM (?P=p)e\s+"
+    r"UNION SELECT (?P=p)reach\.id, (?P=p)e\.d"
+    r" FROM (?P=p)reach JOIN (?P=p)e ON (?P=p)reach\.r = (?P=p)e\.s\),"
+    r"\s*(?P=p)lab AS \(SELECT id, min\(r\) AS m FROM (?P=p)reach"
+    r" GROUP BY id\),?\s*",
     re.S)
 
 
-def run_oracle(con, sql: str):
-    m = _REACH_LAB.search(sql)
-    if m is None:
-        return con.sql(sql).arrow().combine_chunks()
-    prefix, suffix = sql[: m.start()].rstrip(), sql[m.end():]
-    if prefix.endswith(","):
-        prefix = prefix[:-1]
-    con.execute("DROP TABLE IF EXISTS _graft_e")
-    con.execute("DROP TABLE IF EXISTS _graft_lab")
-    con.execute(
-        f"CREATE TEMP TABLE _graft_e AS {prefix} SELECT s, d FROM e")
-    con.execute("CREATE TEMP TABLE _graft_lab AS "
-                "SELECT s AS id, min(d) AS m FROM _graft_e GROUP BY s")
+def _iterate_closure(con, edges_tbl: str, lab_tbl: str):
+    con.execute(f"CREATE TEMP TABLE {lab_tbl} AS "
+                f"SELECT s AS id, min(d) AS m FROM {edges_tbl} GROUP BY s")
     for _ in range(64):  # >= any real component diameter here
-        con.execute("""
-          CREATE TEMP TABLE _graft_lab2 AS
+        con.execute(f"""
+          CREATE TEMP TABLE {lab_tbl}2 AS
           SELECT l.id, least(l.m, coalesce(min(r.m), l.m)) AS m
-          FROM _graft_lab l
-          LEFT JOIN _graft_e e2 ON e2.s = l.id
-          LEFT JOIN _graft_lab r ON r.id = e2.d
+          FROM {lab_tbl} l
+          LEFT JOIN {edges_tbl} e2 ON e2.s = l.id
+          LEFT JOIN {lab_tbl} r ON r.id = e2.d
           GROUP BY l.id, l.m""")
         changed = con.execute(
-            "SELECT count(*) FROM _graft_lab2 j JOIN _graft_lab o "
+            f"SELECT count(*) FROM {lab_tbl}2 j JOIN {lab_tbl} o "
             "ON j.id = o.id AND j.m <> o.m").fetchone()[0]
-        con.execute("DROP TABLE _graft_lab")
-        con.execute("ALTER TABLE _graft_lab2 RENAME TO _graft_lab")
+        con.execute(f"DROP TABLE {lab_tbl}")
+        con.execute(f"ALTER TABLE {lab_tbl}2 RENAME TO {lab_tbl}")
         if changed == 0:
-            break
-    else:
-        raise RuntimeError("iterative closure did not converge")
-    out = con.sql(
-        "WITH lab AS (SELECT id, m FROM _graft_lab), " + suffix
-    ).arrow().combine_chunks()
-    con.execute("DROP TABLE IF EXISTS _graft_e")
-    con.execute("DROP TABLE IF EXISTS _graft_lab")
-    return out
+            return
+    raise RuntimeError("iterative closure did not converge")
+
+
+def run_oracle(con, sql: str):
+    temps = []
+    try:
+        while True:
+            m = _REACH_LAB.search(sql)
+            if m is None:
+                return con.sql(sql).arrow().combine_chunks()
+            p = m.group("p")
+            prefix, suffix = sql[: m.start()].rstrip(), sql[m.end():]
+            if prefix.endswith(","):
+                prefix = prefix[:-1]
+            e_tbl, lab_tbl = f"_graft_e_{p}x", f"_graft_lab_{p}x"
+            for t in (e_tbl, lab_tbl):
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            # the first match's prefix contains no reach/lab idiom (any
+            # earlier chain was already replaced by a table-backed lab
+            # CTE), so it is runnable as-is to materialize this chain's
+            # edge list; unused CTEs in it cost nothing (lazy)
+            con.execute(
+                f"CREATE TEMP TABLE {e_tbl} AS {prefix}"
+                f" SELECT s, d FROM {p}e")
+            _iterate_closure(con, e_tbl, lab_tbl)
+            temps += [e_tbl, lab_tbl]
+            sql = (prefix +
+                   f", {p}lab AS (SELECT id, m FROM {lab_tbl}),\n" + suffix)
+    finally:
+        for t in temps:
+            con.execute(f"DROP TABLE IF EXISTS {t}")
 
 
 def fresh_con(sf_dir: str):
