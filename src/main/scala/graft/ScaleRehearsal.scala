@@ -110,8 +110,108 @@ object ScaleRehearsal {
       else if (mode == "manifest") manifest(spark, args)
       else if (mode == "entries") entriesMode(spark, args)
       else if (mode == "ivf") ivfMode(spark, args)
+      else if (mode == "frag") fragMode(spark, args)
       else full(spark, args)
     } finally spark.stop()
+  }
+
+  /** STREAMED-FRAGMENTATION rehearsal: the micro-batch writer regime —
+    * hundreds of tiny keyed upserts (one fresh document per batch, the
+    * [[graft.streaming.IngestStream]] sink shape) — run twice, without
+    * and with the [[SnapshotStore.optimizeFragmented]] policy armed, on
+    * the SAME batch sequence. Measures what the policy is for: the
+    * unmanaged store's live file count grows one file per batch forever
+    * (at a minute cadence that is ~1.4k files/day/bucket and reads
+    * degrade linearly in open()+footer cost), while the managed store's
+    * count stays bounded at cap·buckets regardless of stream length,
+    * for a maintenance spend of scoped compactions that each rewrite
+    * O(one bucket), never the table. Checks: both stores read
+    * row-identical, the managed file count honors the bound, and the
+    * recorded seconds (full read at peak fragmentation vs compacted,
+    * total policy overhead, vacuum of the compaction garbage) land in
+    * the JSON artifact. Usage: `runMain graft.ScaleRehearsal frag
+    * [batches] [outJson]`. */
+  private def fragMode(spark: SparkSession, args: Array[String]): Unit = {
+    import spark.implicits._
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val batches = args.lift(1).map(_.toInt).getOrElse(200)
+    val buckets = 8
+    val cap = 4
+    def freshRoot(tag: String): String = {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-rehearsal-frag-$tag").getPath
+      val rf = new java.io.File(root)
+      if (rf.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(rf).deleteRecursively()
+      }
+      root
+    }
+    // one fresh document's chunk rows per micro-batch (5 rows, ids
+    // disjoint per batch so every publish is a pure delta file)
+    def batchRows(b: Int): DataFrame =
+      spark.range(5).select((lit((b.toLong + 1L) * 100L) + col("id"))
+        .as("doc_id"), lit(b.toLong).as("batch"),
+        concat(lit("payload_"), col("id")).as("k"))
+    def liveFiles(root: String): Int =
+      SnapshotStore.manifestEntries(spark, root,
+        SnapshotStore.currentVersion(spark, root).get).size
+
+    val unmanaged = freshRoot("unmanaged")
+    val (_, tUn) = timed("frag_unmanaged_ingest") {
+      (0 until batches).foreach { b =>
+        SnapshotStore.commitBatch(batchRows(b), unmanaged, buckets,
+          "frag", b.toLong): Unit
+      }
+    }
+    report += "frag_batches" -> batches.toDouble
+    report += "frag_unmanaged_ingest_s" -> tUn
+    report += "frag_unmanaged_files" -> liveFiles(unmanaged).toDouble
+    val (nUn, tReadUn) = timed("frag_unmanaged_read") {
+      SnapshotStore.read(spark, unmanaged).count()
+    }
+    report += "frag_unmanaged_read_s" -> tReadUn
+
+    val managed = freshRoot("managed")
+    var compactions = 0
+    val (_, tMan) = timed("frag_managed_ingest") {
+      (0 until batches).foreach { b =>
+        SnapshotStore.commitBatch(batchRows(b), managed, buckets,
+          "frag", b.toLong): Unit
+        if (SnapshotStore.optimizeFragmented(spark, managed, cap)
+            .nonEmpty) compactions += 1
+      }
+    }
+    report += "frag_managed_ingest_s" -> tMan
+    report += "frag_managed_compactions" -> compactions.toDouble
+    val managedFiles = liveFiles(managed)
+    report += "frag_managed_files" -> managedFiles.toDouble
+    require(managedFiles <= cap * buckets,
+      s"policy failed to bound the live file count: $managedFiles > " +
+        s"${cap * buckets}")
+    val (nMan, tReadMan) = timed("frag_managed_read") {
+      SnapshotStore.read(spark, managed).count()
+    }
+    report += "frag_managed_read_s" -> tReadMan
+    require(nUn == nMan && nUn == batches.toLong * 5,
+      s"managed/unmanaged row divergence: $nUn vs $nMan")
+    // compaction garbage is ordinary vacuum food; the managed store
+    // must sweep clean and still read exactly
+    val (_, tVac) = timed("frag_managed_vacuum") {
+      SnapshotStore.vacuum(spark, managed, keepVersions = 2)
+    }
+    report += "frag_managed_vacuum_s" -> tVac
+    require(SnapshotStore.read(spark, managed).count() == nMan,
+      "managed store diverged after vacuum")
+
+    val json = report.map { case (k, vv) =>
+      String.format(java.util.Locale.ROOT, "\"%s\": %.3f", k,
+        Double.box(vv))
+    }.mkString("{", ", ", "}")
+    val out = args.lift(2)
+      .getOrElse("target/scale_rehearsal_frag.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"FRAG_REHEARSAL_OK $json")
   }
 
   /** FILE-COUNT scale rehearsal (round-8 verdict item 1): a store with

@@ -2312,6 +2312,44 @@ object SnapshotStore {
     v
   }
 
+  /** Fragmentation-driven AUTO-COMPACTION — the policy form of the
+    * scoped [[optimize]], sized for a micro-batch writer: every
+    * streamed [[commitBatch]]/upsert leaves another small file per
+    * touched bucket, so under a minute-cadence stream a store
+    * accumulates thousands of files per bucket per day and reads
+    * degrade linearly in file count (the reference's per-batch Pinecone
+    * upserts, `parser_pinecone_storage.py:146-154`, lean on the service
+    * to hide this; a lakehouse table has to compact). The probe is
+    * metadata-only — one HEAD manifest read (delta-bounded / entryfile-
+    * backed, never O(files) text parsing) grouped to per-bucket file
+    * counts — and the rewrite is SCOPED to the buckets actually over
+    * `maxFilesPerBucket`, so the cost of a compaction round is
+    * O(fragmented buckets' data), not O(table): exactly the
+    * incremental-OPTIMIZE shape that keeps a 100 TB store's maintenance
+    * a stream of small transactions instead of a daily full rewrite.
+    * Returns Some(newVersion) when a compaction published, None when
+    * the store is absent or within budget. Row data, txn markers (the
+    * exactly-once replay state), checks, stats declarations, and
+    * foreign meta all carry through [[optimize]] unchanged — a
+    * compaction is invisible to readers and to stream replay. */
+  def optimizeFragmented(spark: SparkSession, root: String,
+      maxFilesPerBucket: Int,
+      maxRecordsPerFile: Long = 0L,
+      sortByDocId: Boolean = true): Option[Long] = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1: $maxFilesPerBucket")
+    currentVersion(spark, root).flatMap { cur =>
+      val fragmented = readManifest(spark, root, cur)
+        .groupMapReduce(_._1)(_ => 1)(_ + _)
+        .collect { case (b, n) if n > maxFilesPerBucket => b }
+        .toSeq.sorted
+      if (fragmented.isEmpty) None
+      else Some(optimize(spark, root, expectedVersion = Some(cur),
+        sortByDocId = sortByDocId, maxRecordsPerFile = maxRecordsPerFile,
+        onlyBuckets = fragmented))
+    }
+  }
+
   /** Declare the payload columns the store keeps per-file min/max
     * statistics for — the explicit-by-name form of Delta's
     * data-skipping column set. Publishes a metadata-only version whose

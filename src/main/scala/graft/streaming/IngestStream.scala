@@ -252,7 +252,8 @@ object IngestStream {
       indexRoot: String, checkpointDir: String, streamId: String,
       bootstrapCells: Int = 16, buckets: Int = 4, chunkSize: Int = 3000,
       overlap: Int = 200, dim: Int = 64,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactOver: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
       .writeStream
@@ -274,6 +275,17 @@ object IngestStream {
           graft.operators.VersionedIvf.upsertBatch(spark, indexRoot,
             rows, streamId, batchId,
             bootstrapCells = Some(bootstrapCells), buckets = buckets): Unit
+        // post-marker auto-compaction (the transactionalAvailable
+        // policy on the index root): `#ivfcent` geometry and the txn
+        // marker are table properties optimize carries, so a compaction
+        // is invisible to search AND to replay; best-effort under OCC
+        compactOver.foreach { cap =>
+          try graft.operators.SnapshotStore
+            .optimizeFragmented(spark, indexRoot, cap): Unit
+          catch {
+            case _: graft.operators.SnapshotConflictException => ()
+          }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -401,7 +413,8 @@ object IngestStream {
       indexRoot: String, checkpointDir: String, streamId: String,
       bootstrapCells: Int = 16, buckets: Int = 4, chunkSize: Int = 3000,
       overlap: Int = 200, dim: Int = 64, m: Int = 8, k: Int = 16,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactOver: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
       .writeStream
@@ -419,6 +432,16 @@ object IngestStream {
             rows, streamId, batchId,
             bootstrapCells = Some(bootstrapCells), dim = dim, m = m,
             k = k, buckets = buckets): Unit
+        // post-marker auto-compaction: `#ivfcent`/`#pqcent` geometry
+        // and the marker carry through optimize (spec-pinned), so the
+        // compressed index compacts invisibly too; best-effort under OCC
+        compactOver.foreach { cap =>
+          try graft.operators.SnapshotStore
+            .optimizeFragmented(spark, indexRoot, cap): Unit
+          catch {
+            case _: graft.operators.SnapshotConflictException => ()
+          }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -433,11 +456,21 @@ object IngestStream {
     * exactly-once into a versioned, time-travelable index, where
     * [[upsertAvailable]]'s dynamic-overwrite sink is merely idempotent
     * per batch. Readers concurrent with a commit always see a complete
-    * published snapshot (the SnapshotStore atomic-rename contract). */
+    * published snapshot (the SnapshotStore atomic-rename contract).
+    * `compactOver = Some(n)` arms the fragmentation policy: after each
+    * batch commits, buckets that have accumulated more than n files are
+    * compacted through the scoped
+    * [[graft.operators.SnapshotStore.optimizeFragmented]] — a
+    * minute-cadence stream otherwise grows O(batches) files per bucket
+    * and read cost degrades linearly; with the policy armed, steady-
+    * state file count is bounded at n+1 per bucket regardless of how
+    * long the stream runs, and replay/time-travel semantics are
+    * untouched (compaction is row-identical and carries txn markers). */
   def transactionalAvailable(spark: SparkSession, srcDir: String,
       storeRoot: String, checkpointDir: String, streamId: String,
       buckets: Int = 16, chunkSize: Int = 3000, overlap: Int = 200,
-      dim: Int = 64, maxFilesPerTrigger: Option[Int] = None): Unit = {
+      dim: Int = 64, maxFilesPerTrigger: Option[Int] = None,
+      compactOver: Option[Int] = None): Unit = {
     val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -445,6 +478,18 @@ object IngestStream {
         if (!rows.isEmpty)
           graft.operators.SnapshotStore
             .commitBatch(rows, storeRoot, buckets, streamId, batchId): Unit
+        // In-line auto-compaction: AFTER the batch's marker published,
+        // so a crash mid-compaction replays as (marker no-op, compact
+        // retriggers if still fragmented) — never a double-apply. Best
+        // effort by design: losing an OCC race to a concurrent
+        // maintenance writer just defers the rewrite to the next batch.
+        compactOver.foreach { cap =>
+          try graft.operators.SnapshotStore
+            .optimizeFragmented(spark, storeRoot, cap): Unit
+          catch {
+            case _: graft.operators.SnapshotConflictException => ()
+          }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

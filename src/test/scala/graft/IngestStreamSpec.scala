@@ -893,4 +893,68 @@ class IngestStreamSpec extends SparkTestBase {
     assert(SnapshotStore.read(spark, store).count() === 3L)
     assert(v1 === 1L)
   }
+
+  test("streamed auto-compaction: per-bucket file count stays bounded " +
+      "while markers, reads, and incremental re-triggers are untouched") {
+    import graft.operators.SnapshotStore
+    val src = tmp("frag_src"); val store = tmp("frag_store")
+    val cp = tmp("frag_cp")
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = tmp("frag_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    def doc(i: Long): DataFrame =
+      Seq((i, s"fragmentation stream document number $i with enough " +
+        s"text to chunk ${"x" * (i.toInt * 7 % 40)}", "en", s"f$i.pdf",
+        80L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = (1L to 6L).map(doc)
+    docs.zipWithIndex.foreach { case (d, i) => land(d, s"f$i.parquet") }
+
+    // six paced single-doc batches, compaction armed at 2 files/bucket:
+    // every batch is a pure-delta upsert (fresh doc_ids), so WITHOUT the
+    // policy the hot bucket's file count grows one per batch forever —
+    // the policy's probe runs after each commit and compacts any bucket
+    // the moment it crosses the cap, so steady state is ≤ cap files
+    IngestStream.transactionalAvailable(spark, src, store, cp,
+      streamId = "frag", buckets = 2, chunkSize = 20, overlap = 5,
+      dim = 8, maxFilesPerTrigger = Some(1), compactOver = Some(2))
+
+    def perBucket: Map[Long, Int] = SnapshotStore.manifestEntries(spark,
+        store, SnapshotStore.currentVersion(spark, store).get)
+      .groupMapReduce(_._1)(_ => 1)(_ + _)
+    assert(perBucket.values.forall(_ <= 2),
+      s"auto-compaction left a bucket over budget: $perBucket")
+    // the policy actually fired (6 batches over 2 buckets must cross a
+    // 2-file cap at least once) and its rewrites are the SCOPED form
+    val ops = SnapshotStore.history(spark, store)
+      .select("op").as[String].collect().toSeq
+    assert(ops.contains("optimize_scoped"),
+      s"no scoped compaction in history: $ops")
+    // compaction carried the replay watermark: the last batch id, not
+    // the id at the last pre-compaction publish
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "frag")
+      === Some(5L))
+    // row state ≡ the batch build over the whole backlog
+    val all = docs.reduce(_ unionByName _)
+    assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
+      === rows(IngestionPipeline.buildIndexFrom(all, 20, 5, 8)))
+
+    // incremental re-trigger ACROSS a compaction: one new file lands;
+    // the checkpoint + carried marker must make the re-run embed only
+    // it (batch id 6), and the result equals the 7-doc batch build
+    land(doc(7L), "f6.parquet")
+    IngestStream.transactionalAvailable(spark, src, store, cp,
+      streamId = "frag", buckets = 2, chunkSize = 20, overlap = 5,
+      dim = 8, maxFilesPerTrigger = Some(1), compactOver = Some(2))
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "frag")
+      === Some(6L))
+    assert(perBucket.values.forall(_ <= 2),
+      s"re-trigger broke the file budget: $perBucket")
+    assert(rows(SnapshotStore.read(spark, store).drop("bucket"))
+      === rows(IngestionPipeline.buildIndexFrom(
+        all.unionByName(doc(7L)), 20, 5, 8)))
+  }
 }

@@ -1012,4 +1012,74 @@ class SnapshotStoreSpec extends SparkTestBase {
       "racing writer's above-in-flight tmp was deleted — its publish " +
         "would crash instead of retrying")
   }
+
+  test("optimizeFragmented: metadata-only probe, compaction scoped to " +
+      "the fragmented buckets, everything else carried verbatim") {
+    val sp = spark
+    import sp.implicits._
+    val root = "target/snap-fragpolicy"
+    cleanup(root)
+    // absent store → None (a stream's first batch has nothing to probe)
+    assert(SnapshotStore.optimizeFragmented(spark, root, 2).isEmpty)
+
+    def df(xs: (Long, Long)*) = xs.toDF("doc_id", "tag")
+    SnapshotStore.commit(df((1L to 8L).map(i => i -> i): _*), root,
+      buckets = 4)
+    // normalize to the compacted layout (a commit's task parallelism
+    // can land several files in one bucket); from one file per bucket,
+    // any cap ≥ 1 must be a no-op — and crucially NO new version (a
+    // no-op that published would grow history once per micro-batch)
+    SnapshotStore.optimize(spark, root)
+    assert(SnapshotStore.optimizeFragmented(spark, root, 2).isEmpty)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(2L))
+
+    // fragment ONE bucket: single-NEW-doc upserts are pure delta files
+    // (no existing file contains the key, so nothing is rewritten) —
+    // the micro-batch append pattern. Bucket placement is a pure
+    // function of (doc_id, bucket count), so probe it on a throwaway
+    // root and pick three fresh ids that land together.
+    val probe = "target/snap-fragpolicy-probe"
+    cleanup(probe)
+    SnapshotStore.commit(df((101L to 140L).map(i => i -> i): _*), probe,
+      buckets = 4)
+    val byBucket = SnapshotStore.read(spark, probe)
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+      .groupBy(_._2)
+    val (hotBucket, hotIds0) = byBucket.maxBy(_._2.length)
+    val hotIds = hotIds0.map(_._1).sorted.take(3).toSeq
+    assert(hotIds.size === 3, s"probe bucket too small: $byBucket")
+    hotIds.foreach { id =>
+      SnapshotStore.upsert(spark, df(id -> id),
+        Seq(id).toDF("doc_id"), root, buckets = 4)
+    }
+    val before = SnapshotStore.manifestEntries(spark, root, 5L)
+    val perBucket = before.groupMapReduce(_._1)(_ => 1)(_ + _)
+    assert(perBucket(hotBucket) > 2,
+      s"fixture failed to fragment bucket $hotBucket: $perBucket")
+    val untouched = before.filterNot(_._1 == hotBucket).toSet
+    val want = SnapshotStore.read(spark, root).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+
+    val v = SnapshotStore.optimizeFragmented(spark, root, 2)
+    assert(v === Some(6L))
+    val after = SnapshotStore.manifestEntries(spark, root, 6L)
+    val perBucketAfter = after.groupMapReduce(_._1)(_ => 1)(_ + _)
+    assert(perBucketAfter(hotBucket) === 1,
+      s"hot bucket not compacted: $perBucketAfter")
+    // scoped carry: buckets within budget keep their EXACT entries —
+    // the rewrite cost is O(fragmented data), never O(table)
+    assert(after.filterNot(_._1 == hotBucket).toSet === untouched,
+      "an in-budget bucket's files were rewritten by a scoped compaction")
+    assert(SnapshotStore.history(spark, root)
+      .filter(col("version") === 6L).select("op").as[String].head()
+      === "optimize_scoped")
+    // row-identical, and the pre-compaction version still time-travels
+    assert(SnapshotStore.read(spark, root).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString) === want)
+    assert(SnapshotStore.read(spark, root, 5L).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString) === want)
+    // converged: the next probe is a no-op — the policy is stable
+    assert(SnapshotStore.optimizeFragmented(spark, root, 2).isEmpty)
+    assert(SnapshotStore.currentVersion(spark, root) === Some(6L))
+  }
 }
