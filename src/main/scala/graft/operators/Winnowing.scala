@@ -61,8 +61,17 @@ object Winnowing {
     * from the nested-explode bucket walk (the MinHashLSH.candidatePairs
     * shape): one groupBy shuffle, no self-join, no O(m²) row. */
   def sharedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
+      minShared: Int = 2, dfCap: Int = 50): DataFrame =
+    pairsFromPrints(fingerprints(docs, k, w), minShared, dfCap)
+
+  /** The pair derivation of [[sharedFingerprints]] starting from an
+    * ALREADY-COMPUTED (doc_id, fp) table — text is never touched, so a
+    * consumer holding a persisted fingerprint table ([[writePrints]])
+    * pays only the bucket walk, not the corpus k-gram scan that
+    * dominates the from-text path. */
+  def pairsFromPrints(prints: DataFrame,
       minShared: Int = 2, dfCap: Int = 50): DataFrame = {
-    fingerprints(docs, k, w)
+    prints
       .groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
@@ -74,6 +83,49 @@ object Winnowing {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Persist the corpus' winnowing fingerprint table through
+    * [[SnapshotStore]] — the d22 stored-label discipline applied to the
+    * winnowing family: compute the k-gram scan ONCE, publish (doc_id,
+    * fp) atomic and time-travelable with min/max statistics on both
+    * columns (a plagiarism probe for one document is a stats-pruned
+    * point read, not a table scan), and let every pair derivation
+    * ([[pairsFromPrints]]) start from the stored table. At 100 TB the
+    * fingerprint scan is the expensive leg — hashing every character
+    * k-gram of the corpus — and it is also the incrementally
+    * maintainable one: prints are a PER-DOCUMENT pure function of the
+    * text (no cross-document state, unlike d08's closure), so an
+    * arriving batch upserts exactly its own rows ([[upsertPrints]])
+    * and the updated table is bit-identical to a from-scratch build. */
+  def writePrints(prints: DataFrame, root: String, buckets: Int = 4): Long =
+    SnapshotStore.commit(
+      prints.select(col("doc_id").cast("long").as("doc_id"),
+        col("fp").cast("long").as("fp")),
+      root, buckets,
+      meta = Seq(SnapshotStore.statsDeclaration(Seq("doc_id", "fp"))))
+
+  /** The stored fingerprints of a published version (head by default) —
+    * (doc_id, fp). Time travel recovers the exact print table a past
+    * pair report was derived from. */
+  def readPrints(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long = -1L): DataFrame =
+    SnapshotStore.read(spark, root, version).select("doc_id", "fp")
+
+  /** Incremental print maintenance: an arriving batch's fingerprints
+    * REPLACE the batch documents' stored rows through the key-pruned
+    * upsert (a re-parsed document sheds its stale prints; an unchanged
+    * prior document's files are never rewritten). O(batch + touched
+    * files) per increment — the from-scratch alternative re-hashes the
+    * whole corpus' k-grams. Exact by construction: prints are
+    * per-document, so {stored prior prints} ∪ {batch prints} IS the
+    * full-corpus print table. */
+  def upsertPrints(newPrints: DataFrame, batchDocIds: DataFrame,
+      root: String, buckets: Int = 4): Long =
+    SnapshotStore.upsert(newPrints.sparkSession,
+      newPrints.select(col("doc_id").cast("long").as("doc_id"),
+        col("fp").cast("long").as("fp")),
+      batchDocIds.select(col("doc_id").cast("long").as("doc_id")),
+      root, buckets)
 
   /** Oracle-side CTE bodies reproducing [[fingerprints]] in DuckDB SQL
     * (no leading `WITH`). Final CTE: `fp` with columns (doc_id, fp). */

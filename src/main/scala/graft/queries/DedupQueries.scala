@@ -234,6 +234,44 @@ object DedupQueries extends QueryPack {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
   }
 
+  /** The d23 knob curve, unordered: recall AND candidate cost per
+    * (bits delta, probe radius) ∈ {−1,0,+1} × {1,2} on the bounded d21
+    * eval slice, one brute-force truth pass (bounded — the d21 guard)
+    * feeding all six configs. Factored so d26 can turn the measured
+    * curve into a config choice without re-deriving it. */
+  private def d23Curve(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val base = d20Bits(e.count())
+    val slice = e.filter(col("vec_id") < D21EvalMaxVecId)
+    val truth = slice.as("a").crossJoin(slice.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(VectorFunctions.cosine(col("a.embedding"),
+          col("b.embedding")), 6).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .localCheckpoint(eager = false) // consumed by all six configs
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = for {
+      delta <- Seq(-1, 0, 1); radius <- Seq(1, 2)
+    } yield {
+      val bits = math.max(1, math.min(base + delta, D20MaxBits))
+      val cand = d23Candidates(slice, bits, radius)
+        .dropDuplicates("a_id", "b_id")
+        .localCheckpoint(eager = false) // cost count + semi-join below
+      val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      nTruth
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(lit(delta).as("bits_delta"), lit(radius).as("radius"),
+          lit(bits).as("bits"), col("n_truth"), col("n_cand"),
+          col("n_caught"),
+          expr("cast(case when n_truth = 0 then 0 else " +
+            "n_caught * 1000 div n_truth end as bigint)")
+            .as("recall_permille"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** d05's fixed-width banded candidates over `e` — factored so d21 can
     * audit the fixed configuration against the scaled one on the same
     * slice. Expression-identical to d05's own candidate stage. */
@@ -526,37 +564,38 @@ object DedupQueries extends QueryPack {
     // [[D20MaxBits]] cap the +1 row collapses onto it — visible in the
     // curve rather than hidden. One brute-force truth pass (bounded
     // slice, the d21 guard) feeds all six configs.
-    "d23_knob_curve" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val base = d20Bits(e.count())
-      val slice = e.filter(col("vec_id") < D21EvalMaxVecId)
-      val truth = slice.as("a").crossJoin(slice.as("b"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(VectorFunctions.cosine(col("a.embedding"),
-            col("b.embedding")), 6).as("sim"))
-        .filter(col("sim") >= 0.35)
-        .localCheckpoint(eager = false) // consumed by all six configs
-      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-      val rows = for {
-        delta <- Seq(-1, 0, 1); radius <- Seq(1, 2)
-      } yield {
-        val bits = math.max(1, math.min(base + delta, D20MaxBits))
-        val cand = d23Candidates(slice, bits, radius)
-          .dropDuplicates("a_id", "b_id")
-          .localCheckpoint(eager = false) // cost count + semi-join below
-        val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
-        nTruth
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
-          .select(lit(delta).as("bits_delta"), lit(radius).as("radius"),
-            lit(bits).as("bits"), col("n_truth"), col("n_cand"),
-            col("n_caught"),
-            expr("cast(case when n_truth = 0 then 0 else " +
-              "n_caught * 1000 div n_truth end as bigint)")
-              .as("recall_permille"))
-      }
-      rows.reduce(_ unionByName _).orderBy("bits_delta", "radius")
+    "d23_knob_curve" -> ((s, d) =>
+      d23Curve(s, d).orderBy("bits_delta", "radius")),
+
+    // KNOB AUTO-TUNER — the d23 curve turned into the operator decision
+    // it exists for: given a recall floor, which (bits delta, probe
+    // radius) config meets it at the fewest candidates (candidates ARE
+    // the cost — every one is a verify-join row)? One row per target:
+    // the cheapest qualifying config, or — when nothing on the curve
+    // reaches the floor — the max-recall config, flagged `met = 0`
+    // instead of silently under-delivering. Deterministic by integer
+    // sort keys alone (met DESC, then cost ASC among qualifiers /
+    // recall DESC among non-qualifiers, then n_cand, bits_delta,
+    // radius), so the pick hashes exactly at every scale. Cost: the
+    // one d23 curve (six configs, one truth pass) + an 18-row
+    // broadcast crossJoin + a row_number — the tuner itself is free.
+    "d26_knob_choice" -> ((s, d) => {
+      import s.implicits._
+      val curve = d23Curve(s, d)
+      val targets = Seq(500L, 700L, 900L).toDF("target_permille")
+      val met = col("recall_permille") >= col("target_permille")
+      val w = Window.partitionBy("target_permille")
+        .orderBy(met.desc,
+          when(met, col("n_cand")).otherwise(-col("recall_permille")).asc,
+          col("n_cand").asc, col("bits_delta").asc, col("radius").asc)
+      curve.crossJoin(broadcast(targets))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("target_permille"),
+          when(met, 1L).otherwise(0L).as("met"),
+          col("bits_delta"), col("radius"), col("bits"),
+          col("n_cand"), col("recall_permille"))
+        .orderBy("target_permille")
     }),
 
     // PERSISTED cluster labels, consumed once (round-13 verdict item 1):
@@ -805,6 +844,61 @@ object DedupQueries extends QueryPack {
         .limit(100)
     }),
 
+    // PERSISTED winnowing fingerprints (the d22 stored-label discipline
+    // applied to d12's recompute debt): hash the corpus' k-grams ONCE,
+    // publish (doc_id, fp) through SnapshotStore with stats on both
+    // columns, derive the pair report from the STORED table — text is
+    // never rescanned. The oracle replays the from-text pipeline, so a
+    // print lost (or corrupted) in the store round-trip is a hash
+    // mismatch. d28 is the matching write path.
+    "d27_stored_prints" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d27-prints").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      graft.operators.Winnowing.writePrints(
+        graft.operators.Winnowing
+          .fingerprints(Tables.documents(s, d), k = 8, w = 8), root)
+      graft.operators.Winnowing
+        .pairsFromPrints(graft.operators.Winnowing.readPrints(s, root),
+          minShared = 2, dfCap = 50)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    }),
+
+    // INCREMENTAL print maintenance (the d24 shape for the winnowing
+    // family, simpler because prints are PER-DOCUMENT — no closure to
+    // quotient): the prior corpus' prints live in the store (v1); a
+    // 5%-of-corpus batch (modulo split — scale-proportional, d24's
+    // residue class argument) hashes ITS OWN k-grams only and upserts
+    // through the key-pruned path (v2, prior files untouched); the pair
+    // report derived from the updated table must equal the from-scratch
+    // full-corpus d12 bit-exactly — which is what the oracle replays.
+    // At 100 TB: O(batch) text hashing per increment vs a daily
+    // whole-corpus k-gram scan; v1 stays time-travelable for audits.
+    "d28_incremental_winnow" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d28-prints").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      val docs = Tables.documents(s, d)
+      val arrived = col("doc_id") % 20 === 11
+      graft.operators.Winnowing.writePrints(
+        graft.operators.Winnowing
+          .fingerprints(docs.filter(!arrived), k = 8, w = 8), root)
+      val batch = docs.filter(arrived)
+      graft.operators.Winnowing.upsertPrints(
+        graft.operators.Winnowing.fingerprints(batch, k = 8, w = 8),
+        batch.select("doc_id"), root)
+      graft.operators.Winnowing
+        .pairsFromPrints(graft.operators.Winnowing.readPrints(s, root),
+          minShared = 2, dfCap = 50)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    }),
+
     // Incremental corpus dedup — the oracle-checked BATCH TWIN of the
     // streaming dedup-vs-fingerprint-store path (IngestStream
     // .dedupAvailable): documents below the boundary are the admitted
@@ -878,6 +972,73 @@ object DedupQueries extends QueryPack {
       |LEFT JOIN sh_docs ON ex.doc_id = sh_docs.doc_id
       |ORDER BY ex.doc_id""".stripMargin
   }
+
+  /** The from-text winnowing pair report — d12's oracle, shared
+    * verbatim by d27 (store round-trip) and d28 (incremental upsert):
+    * all three queries must produce this exact result. */
+  private val D12WinnowPairSql: String =
+    ("WITH " + graft.operators.Winnowing.duckFingerprintCtes(8, 8) + """,
+      |bkt AS (SELECT fp, list_sort(list(doc_id)) AS ids
+      |  FROM fp GROUP BY fp
+      |  HAVING count(*) BETWEEN 2 AND 50),
+      |ex1 AS (SELECT ids, unnest(range(1, len(ids) + 1)) AS i FROM bkt),
+      |ex2 AS (SELECT ids[cast(i as int)] AS a_id,
+      |    unnest(ids[cast(i + 1 as int) : len(ids)]) AS b_id FROM ex1),
+      |pr AS (SELECT a_id, b_id, count(*) AS n_shared FROM ex2
+      |  GROUP BY a_id, b_id)
+      |SELECT a_id, b_id, n_shared FROM pr
+      |WHERE n_shared >= 2
+      |ORDER BY n_shared DESC, a_id, b_id LIMIT 100""".stripMargin)
+
+  /** Shared DuckDB replay of the d23 knob curve: every CTE up through
+    * `curve` — one row per (bits_delta, radius) carrying truth /
+    * candidate / caught counts and integer-permille recall —
+    * `finalSelect` then consumes `curve` (d23 dumps it ordered, d26
+    * ranks it per recall target). */
+  private def d23CurveSql(finalSelect: String): String =
+    ("WITH " + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes) +
+      ",\n" + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes,
+        prefix = "h", offset = D20SigPlanes) + s""",
+      |params AS (SELECT coalesce((SELECT min(b.range) FROM range($D20MinBits, ${D20MaxBits + 1}) b
+      |    WHERE (1::BIGINT << b.range) * $D20TargetBucket >= (SELECT count(*) FROM embeddings)), $D20MaxBits) AS bits),
+      |cfg AS (SELECT cast(dl.range as int) AS bits_delta, cast(r.range as int) AS radius,
+      |    cast(greatest(1, least(p.bits + dl.range, $D20MaxBits)) as int) AS bits
+      |  FROM range(-1, 2) dl, range(1, 3) r, params p),
+      |ss AS (SELECT s.vec_id, s.sig AS sig0, h.sig AS sig1
+      |  FROM sigs s JOIN hsigs h USING (vec_id)
+      |  WHERE s.vec_id < $D21EvalMaxVecId),
+      |truth AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < $D21EvalMaxVecId AND b.vec_id < $D21EvalMaxVecId
+      |    AND round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.35),
+      |keys AS (SELECT c.bits_delta, c.radius, s.vec_id, b.range AS band,
+      |    ((CASE WHEN b.range < $D20BandsPerSig THEN s.sig0 ELSE s.sig1 END)
+      |      >> ($D20SlotBits * (b.range % $D20BandsPerSig))) & ((1::BIGINT << c.bits) - 1) AS key
+      |  FROM ss s, range(0, $D20Bands) b, cfg c),
+      |flips AS (SELECT bits_delta, radius, 0::BIGINT AS mask FROM cfg
+      |  UNION ALL SELECT c.bits_delta, c.radius, 1::BIGINT << i.range
+      |    FROM cfg c, range(0, $D20MaxBits) i WHERE i.range < c.bits
+      |  UNION ALL SELECT c.bits_delta, c.radius, xor(1::BIGINT << i.range, 1::BIGINT << j.range)
+      |    FROM cfg c, range(0, $D20MaxBits) i, range(0, $D20MaxBits) j
+      |    WHERE c.radius >= 2 AND i.range < j.range AND j.range < c.bits),
+      |probes AS (SELECT k.bits_delta, k.radius, k.vec_id, k.band, xor(k.key, f.mask) AS pkey
+      |  FROM keys k JOIN flips f ON f.bits_delta = k.bits_delta AND f.radius = k.radius),
+      |cand AS (SELECT DISTINCT a.bits_delta, a.radius, a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM probes a JOIN keys b ON b.bits_delta = a.bits_delta AND b.radius = a.radius
+      |    AND b.band = a.band AND b.key = a.pkey AND a.vec_id < b.vec_id),
+      |nt AS (SELECT count(*) AS n_truth FROM truth),
+      |cc AS (SELECT bits_delta, radius, count(*) AS n_cand FROM cand GROUP BY 1, 2),
+      |cg AS (SELECT c.bits_delta, c.radius, count(*) AS n_caught
+      |  FROM cand c JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id GROUP BY 1, 2),
+      |curve AS (SELECT cfg.bits_delta, cfg.radius, cfg.bits,
+      |  cast(nt.n_truth as bigint) AS n_truth,
+      |  cast(coalesce(cc.n_cand, 0) as bigint) AS n_cand,
+      |  cast(coalesce(cg.n_caught, 0) as bigint) AS n_caught,
+      |  cast(CASE WHEN nt.n_truth = 0 THEN 0 ELSE coalesce(cg.n_caught, 0) * 1000 // nt.n_truth END as bigint) AS recall_permille
+      |FROM cfg CROSS JOIN nt
+      |LEFT JOIN cc ON cc.bits_delta = cfg.bits_delta AND cc.radius = cfg.radius
+      |LEFT JOIN cg ON cg.bits_delta = cfg.bits_delta AND cg.radius = cfg.radius)
+      |$finalSelect""".stripMargin)
 
   override val oracles: Map[String, String] = Map(
     // d07's pair CTEs at the 0.02 floor, then one conditional count per
@@ -979,19 +1140,15 @@ object DedupQueries extends QueryPack {
         |FROM per LEFT JOIN caught USING (jacc_decile)
         |ORDER BY jacc_decile""".stripMargin),
 
-    "d12_winnow_pairs" ->
-      ("WITH " + graft.operators.Winnowing.duckFingerprintCtes(8, 8) + """,
-        |bkt AS (SELECT fp, list_sort(list(doc_id)) AS ids
-        |  FROM fp GROUP BY fp
-        |  HAVING count(*) BETWEEN 2 AND 50),
-        |ex1 AS (SELECT ids, unnest(range(1, len(ids) + 1)) AS i FROM bkt),
-        |ex2 AS (SELECT ids[cast(i as int)] AS a_id,
-        |    unnest(ids[cast(i + 1 as int) : len(ids)]) AS b_id FROM ex1),
-        |pr AS (SELECT a_id, b_id, count(*) AS n_shared FROM ex2
-        |  GROUP BY a_id, b_id)
-        |SELECT a_id, b_id, n_shared FROM pr
-        |WHERE n_shared >= 2
-        |ORDER BY n_shared DESC, a_id, b_id LIMIT 100""".stripMargin),
+    "d12_winnow_pairs" -> D12WinnowPairSql,
+
+    // d27/d28 must land on the from-text pair report bit-exactly: the
+    // stored table (d27) and the prior+upserted-batch table (d28) are
+    // both REPRESENTATIONS of the same per-document print function, so
+    // the one from-scratch oracle checks store round-trip and
+    // incremental maintenance alike
+    "d27_stored_prints" -> D12WinnowPairSql,
+    "d28_incremental_winnow" -> D12WinnowPairSql,
 
     "d10_semantic_dedup" ->
       s"""WITH q AS (SELECT vec_id, embedding,
@@ -1223,49 +1380,20 @@ object DedupQueries extends QueryPack {
     // all 0/1/2-bit flips under the config's width, distinct candidate
     // pairs counted as the cost axis
     "d23_knob_curve" ->
-      ("WITH " + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes) +
-        ",\n" + VectorFunctions.duckSrpSigCtes(SrpDim, D20SigPlanes,
-          prefix = "h", offset = D20SigPlanes) + s""",
-        |params AS (SELECT coalesce((SELECT min(b.range) FROM range($D20MinBits, ${D20MaxBits + 1}) b
-        |    WHERE (1::BIGINT << b.range) * $D20TargetBucket >= (SELECT count(*) FROM embeddings)), $D20MaxBits) AS bits),
-        |cfg AS (SELECT cast(dl.range as int) AS bits_delta, cast(r.range as int) AS radius,
-        |    cast(greatest(1, least(p.bits + dl.range, $D20MaxBits)) as int) AS bits
-        |  FROM range(-1, 2) dl, range(1, 3) r, params p),
-        |ss AS (SELECT s.vec_id, s.sig AS sig0, h.sig AS sig1
-        |  FROM sigs s JOIN hsigs h USING (vec_id)
-        |  WHERE s.vec_id < $D21EvalMaxVecId),
-        |truth AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < $D21EvalMaxVecId AND b.vec_id < $D21EvalMaxVecId
-        |    AND round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= 0.35),
-        |keys AS (SELECT c.bits_delta, c.radius, s.vec_id, b.range AS band,
-        |    ((CASE WHEN b.range < $D20BandsPerSig THEN s.sig0 ELSE s.sig1 END)
-        |      >> ($D20SlotBits * (b.range % $D20BandsPerSig))) & ((1::BIGINT << c.bits) - 1) AS key
-        |  FROM ss s, range(0, $D20Bands) b, cfg c),
-        |flips AS (SELECT bits_delta, radius, 0::BIGINT AS mask FROM cfg
-        |  UNION ALL SELECT c.bits_delta, c.radius, 1::BIGINT << i.range
-        |    FROM cfg c, range(0, $D20MaxBits) i WHERE i.range < c.bits
-        |  UNION ALL SELECT c.bits_delta, c.radius, xor(1::BIGINT << i.range, 1::BIGINT << j.range)
-        |    FROM cfg c, range(0, $D20MaxBits) i, range(0, $D20MaxBits) j
-        |    WHERE c.radius >= 2 AND i.range < j.range AND j.range < c.bits),
-        |probes AS (SELECT k.bits_delta, k.radius, k.vec_id, k.band, xor(k.key, f.mask) AS pkey
-        |  FROM keys k JOIN flips f ON f.bits_delta = k.bits_delta AND f.radius = k.radius),
-        |cand AS (SELECT DISTINCT a.bits_delta, a.radius, a.vec_id AS a_id, b.vec_id AS b_id
-        |  FROM probes a JOIN keys b ON b.bits_delta = a.bits_delta AND b.radius = a.radius
-        |    AND b.band = a.band AND b.key = a.pkey AND a.vec_id < b.vec_id),
-        |nt AS (SELECT count(*) AS n_truth FROM truth),
-        |cc AS (SELECT bits_delta, radius, count(*) AS n_cand FROM cand GROUP BY 1, 2),
-        |cg AS (SELECT c.bits_delta, c.radius, count(*) AS n_caught
-        |  FROM cand c JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id GROUP BY 1, 2)
-        |SELECT cfg.bits_delta, cfg.radius, cfg.bits,
-        |  cast(nt.n_truth as bigint) AS n_truth,
-        |  cast(coalesce(cc.n_cand, 0) as bigint) AS n_cand,
-        |  cast(coalesce(cg.n_caught, 0) as bigint) AS n_caught,
-        |  cast(CASE WHEN nt.n_truth = 0 THEN 0 ELSE coalesce(cg.n_caught, 0) * 1000 // nt.n_truth END as bigint) AS recall_permille
-        |FROM cfg CROSS JOIN nt
-        |LEFT JOIN cc ON cc.bits_delta = cfg.bits_delta AND cc.radius = cfg.radius
-        |LEFT JOIN cg ON cg.bits_delta = cfg.bits_delta AND cg.radius = cfg.radius
-        |ORDER BY cfg.bits_delta, cfg.radius""".stripMargin),
+      d23CurveSql("SELECT * FROM curve ORDER BY bits_delta, radius"),
+
+    // the tuner replayed over the same curve CTE: per target, the
+    // row_number pick under the identical integer sort keys
+    "d26_knob_choice" ->
+      d23CurveSql("""SELECT cast(t.target_permille as bigint) AS target_permille,
+        |  cast(CASE WHEN c.recall_permille >= t.target_permille THEN 1 ELSE 0 END as bigint) AS met,
+        |  c.bits_delta, c.radius, c.bits, c.n_cand, c.recall_permille
+        |FROM (VALUES (500), (700), (900)) t(target_permille) CROSS JOIN curve c
+        |QUALIFY row_number() OVER (PARTITION BY t.target_permille ORDER BY
+        |    (c.recall_permille >= t.target_permille) DESC,
+        |    CASE WHEN c.recall_permille >= t.target_permille THEN c.n_cand ELSE -c.recall_permille END ASC,
+        |    c.n_cand ASC, c.bits_delta ASC, c.radius ASC) = 1
+        |ORDER BY target_permille""".stripMargin),
 
     // SRP plane weights are keyed by GLOBAL plane index, so the 8-plane
     // signature d05 keys on is exactly the low 8 bits of the 60-plane

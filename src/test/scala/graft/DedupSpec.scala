@@ -340,4 +340,62 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id", "cluster_id")
       .as[(Long, Long)].collect().toSeq === Seq((6L, 0L)))
   }
+
+  test("writePrints/upsertPrints: stored winnowing fingerprints " +
+      "round-trip, a batch upsert ≡ the from-scratch table, and a " +
+      "re-parsed document sheds its stale prints") {
+    import graft.operators.Winnowing
+    val root = "target/winnow-prints"
+    val f = new java.io.File(root)
+    if (f.exists()) { import scala.reflect.io.Directory
+      new Directory(f).deleteRecursively(): Unit }
+    val common = "zq xv jk wm pt rb common stolen span of text nd lf yg hs"
+    def doc(id: Long, text: String) = (id, text)
+    val prior = Seq(
+      doc(1L, "alpha beta gamma " + common + " delta epsilon"),
+      doc(3L, "no overlap with anything else whatsoever in this doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      doc(2L, "totally other prefix here " + common + " and a suffix"))
+      .toDF("doc_id", "text")
+
+    // v1: prior corpus' prints; round-trip is bit-exact
+    assert(Winnowing.writePrints(Winnowing.fingerprints(prior), root)
+      === 1L)
+    val got = Winnowing.readPrints(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Winnowing.fingerprints(prior)
+      .as[(Long, Long)].collect().sorted.toSeq)
+
+    // v2: the batch hashes ITS OWN k-grams only and upserts; the
+    // updated table equals a from-scratch build over the full corpus
+    // (prints are per-document, so union IS the full table)
+    assert(Winnowing.upsertPrints(Winnowing.fingerprints(batch),
+      batch.select("doc_id"), root) === 2L)
+    val full = prior.unionByName(batch)
+    assert(Winnowing.readPrints(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+      === Winnowing.fingerprints(full)
+        .as[(Long, Long)].collect().sorted.toSeq)
+    // the derived pair report from the STORE equals the from-text one
+    assert(Winnowing.pairsFromPrints(Winnowing.readPrints(spark, root),
+        minShared = 2, dfCap = 50)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+      === Winnowing.sharedFingerprints(full, minShared = 2, dfCap = 50)
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    // v1 time-travels: the pre-batch table is exactly the prior prints
+    assert(Winnowing.readPrints(spark, root, version = 1L)
+      .as[(Long, Long)].collect().sorted.toSeq === got)
+
+    // re-parse: doc 2's text changes → its stale prints must vanish,
+    // not accumulate (the keyed-upsert contract)
+    val reparsed = Seq(doc(2L, "completely fresh text after a re-parse "
+      + "that shares nothing with the first version")).toDF("doc_id", "text")
+    assert(Winnowing.upsertPrints(Winnowing.fingerprints(reparsed),
+      reparsed.select("doc_id"), root) === 3L)
+    assert(Winnowing.readPrints(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+      === Winnowing.fingerprints(prior.unionByName(reparsed))
+        .as[(Long, Long)].collect().sorted.toSeq)
+  }
 }

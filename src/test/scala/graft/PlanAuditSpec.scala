@@ -79,6 +79,9 @@ class PlanAuditSpec extends SparkTestBase {
     // documented alternative to a ~1000-node literal explode); per-row
     // cost is O(flips), bounded by bits², never corpus-shaped
     "d23_knob_curve" -> Set("nested-loop-join"),
+    // d26: the shared d23 curve (same bounded crossJoins) + a 3-row
+    // broadcast recall-target frame ranked by a PARTITIONED window
+    "d26_knob_choice" -> Set("nested-loop-join"),
     "d18_threshold_curve" -> Set("nested-loop-join"),
     "i11_snapshot_drift" -> Set("nested-loop-join"),
     "m04_crossmodal" -> Set("nested-loop-join"),
