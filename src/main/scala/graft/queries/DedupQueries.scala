@@ -412,6 +412,47 @@ object DedupQueries extends QueryPack {
         .orderBy("n_pairs")
     }),
 
+    // d17's PRODUCTION form (the d22 derivation applied to the one
+    // label consumer d22 left out): the split side comes from the
+    // STORED label table — cluster once, publish, hash the stored
+    // cluster_id into the 80/10/10 split — so the audit pays only the
+    // independent n-gram detector (its actual job) plus two equi-joins,
+    // never a second full clustering. At sf1 that is the difference
+    // between ~d07's cost and d17's clustering-dominated 48 s. The
+    // oracle replays closure + split hash + jaccard from raw parquet
+    // (d17's verbatim), so a stale or torn stored label is a hash
+    // mismatch.
+    "d29_stored_leakage" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d29-labels").getPath
+      val f = new java.io.File(root)
+      if (f.exists()) { import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively(): Unit }
+      graft.operators.DupClusters
+        .writeLabels(clusterAssignments(s, d), root)
+      val b = pmod(CrossHash.hash60(
+        concat(lit("split#"), col("cluster_id"))), lit(10))
+      val splits = graft.operators.DupClusters.readLabels(s, root)
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+        .select("doc_id", "split")
+      val pairs = NgramJaccard.nearDuplicates(Tables.documents(s, d))
+        .select("a_id", "b_id")
+      pairs
+        .join(splits.select(col("doc_id").as("a_id"),
+          col("split").as("split_a")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"),
+          col("split").as("split_b")), "b_id")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_leaks"))
+        .withColumn("leak_permille", expr(
+          "cast(case when n_pairs = 0 then 0 " +
+            "else n_leaks * 1000 div n_pairs end as bigint)"))
+        .orderBy("n_pairs")
+    }),
+
     // Threshold-selection curve: documents dropped at candidate Jaccard
     // cut-offs, all from ONE run of the d07 pair pipeline (the pairs are
     // computed once at a low floor; each threshold is a conditional
@@ -990,6 +1031,31 @@ object DedupQueries extends QueryPack {
       |WHERE n_shared >= 2
       |ORDER BY n_shared DESC, a_id, b_id LIMIT 100""".stripMargin)
 
+  /** d17's from-scratch DuckDB replay — closure + split hash + n-gram
+    * jaccard from raw parquet — shared VERBATIM with d29: the
+    * stored-label split derivation must land on the identical audit. */
+  private val D17LeakSql: String =
+    (DuckClusterCtes + s""",
+      |h AS (SELECT doc_id, cluster_id,
+      |  ${CrossHash.duckHash60("'split#' || cast(cluster_id as varchar)")} % 10 AS b
+      |  FROM asg),
+      |spl AS (SELECT doc_id,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM h),
+      |""".stripMargin
+      + NgramJaccard.duckJaccardCtes(3, 100, "j") + """,
+      |jp AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id,
+      |    round(cast(c as double) / cast(sa.n + sb.n - c as double), 6) AS jacc
+      |  FROM jco JOIN jsz sa ON sa.doc_id = a_id JOIN jsz sb ON sb.doc_id = b_id)
+      |  WHERE jacc >= 0.2),
+      |lk AS (SELECT cast(count(*) as bigint) AS n_pairs,
+      |    cast(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) as bigint) AS n_leaks
+      |  FROM jp JOIN spl a ON a.doc_id = jp.a_id JOIN spl b ON b.doc_id = jp.b_id)
+      |SELECT n_pairs, n_leaks,
+      |  cast(CASE WHEN n_pairs = 0 THEN 0 ELSE n_leaks * 1000 // n_pairs END as bigint) AS leak_permille
+      |FROM lk ORDER BY n_pairs""".stripMargin)
+
   /** Shared DuckDB replay of the d23 knob curve: every CTE up through
     * `curve` — one row per (bits_delta, radius) carrying truth /
     * candidate / caught counts and integer-permille recall —
@@ -1259,28 +1325,11 @@ object DedupQueries extends QueryPack {
         |FROM h ORDER BY doc_id""".stripMargin),
 
     // cluster closure + split CASE + prefixed jaccard CTEs ("j" avoids
-    // name collisions); straddling-pair count over the pair endpoints
-    "d17_split_leakage" ->
-      (DuckClusterCtes + s""",
-        |h AS (SELECT doc_id, cluster_id,
-        |  ${CrossHash.duckHash60("'split#' || cast(cluster_id as varchar)")} % 10 AS b
-        |  FROM asg),
-        |spl AS (SELECT doc_id,
-        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-        |  FROM h),
-        |""".stripMargin
-        + NgramJaccard.duckJaccardCtes(3, 100, "j") + """,
-        |jp AS (SELECT a_id, b_id FROM (
-        |  SELECT a_id, b_id,
-        |    round(cast(c as double) / cast(sa.n + sb.n - c as double), 6) AS jacc
-        |  FROM jco JOIN jsz sa ON sa.doc_id = a_id JOIN jsz sb ON sb.doc_id = b_id)
-        |  WHERE jacc >= 0.2),
-        |lk AS (SELECT cast(count(*) as bigint) AS n_pairs,
-        |    cast(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) as bigint) AS n_leaks
-        |  FROM jp JOIN spl a ON a.doc_id = jp.a_id JOIN spl b ON b.doc_id = jp.b_id)
-        |SELECT n_pairs, n_leaks,
-        |  cast(CASE WHEN n_pairs = 0 THEN 0 ELSE n_leaks * 1000 // n_pairs END as bigint) AS leak_permille
-        |FROM lk ORDER BY n_pairs""".stripMargin),
+    // name collisions); straddling-pair count over the pair endpoints.
+    // d29 derives the split side from the STORED labels and must land
+    // on the identical audit — the same from-scratch replay checks both
+    "d29_stored_leakage" -> D17LeakSql,
+    "d17_split_leakage" -> D17LeakSql,
 
     // cluster closure + scoring + split hash + budget window, replayed
     // against raw parquet: what d22 derives from the STORED labels must

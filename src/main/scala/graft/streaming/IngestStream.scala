@@ -325,7 +325,8 @@ object IngestStream {
   def labelMaintainAvailable(spark: SparkSession, srcDir: String,
       labelRoot: String, printsRoot: String, checkpointDir: String,
       streamId: String, buckets: Int = 4,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactOver: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
       StructType}
@@ -384,6 +385,73 @@ object IngestStream {
             }
             SnapshotStore.commitBatch(newPrints, printsRoot, buckets,
               streamId, batchId): Unit
+          }
+        }
+        // post-publish auto-compaction on BOTH maintained stores:
+        // compaction is row-identical and carries both stores' markers,
+        // so the labels-before-prints replay reasoning is untouched
+        compactOver.foreach { cap =>
+          Seq(labelRoot, printsRoot).foreach { r =>
+            try SnapshotStore.optimizeFragmented(spark, r, cap): Unit
+            catch {
+              case _: graft.operators.SnapshotConflictException => ()
+            }
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING winnow-print maintenance — d28's kernel as a foreachBatch
+    * sink, the simplest member of the maintain-a-store-per-trigger
+    * family because winnowing fingerprints are a PER-DOCUMENT pure
+    * function of the text (no cross-document closure to order against,
+    * unlike [[labelMaintainAvailable]]'s labels-before-prints dance):
+    * each micro-batch hashes ITS OWN documents' k-grams
+    * ([[graft.operators.Winnowing.fingerprints]]) and keyed-commits
+    * them under the batch's txn marker — replay no-ops, a re-parsed
+    * document's prints REPLACE their predecessors, and the stored
+    * table equals the from-scratch full-corpus print table after every
+    * drain. Pair reports ([[graft.operators.Winnowing.pairsFromPrints]],
+    * the d12/d27 derivation) and stats-pruned point probes serve from
+    * the store continuously; at 100 TB this turns the daily
+    * whole-corpus k-gram scan into a per-trigger increment. The sink
+    * declares (doc_id, fp) statistics when it bootstraps the store
+    * (checked per batch — crash-safe) and `compactOver` arms the
+    * fragmentation policy. */
+  def printMaintainAvailable(spark: SparkSession, srcDir: String,
+      printsRoot: String, checkpointDir: String, streamId: String,
+      buckets: Int = 4, k: Int = 8, w: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      compactOver: Option[Int] = None): Unit = {
+    import graft.operators.{SnapshotStore, Winnowing}
+    val q = readDocuments(spark, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // materialized once (the vectorUpsertAvailable discipline);
+        // empty batches publish no marker — replay is a natural no-op
+        val prints = Winnowing
+          .fingerprints(batch.select("doc_id", "text"), k, w)
+          .localCheckpoint(eager = true)
+        if (!prints.isEmpty) {
+          SnapshotStore.commitBatch(prints, printsRoot, buckets,
+            streamId, batchId): Unit
+          // the writePrints stats discipline, made crash-safe by
+          // re-checking the HEAD declaration instead of remembering
+          // whether this process bootstrapped the store
+          val v = SnapshotStore.currentVersion(spark, printsRoot).get
+          if (SnapshotStore.storedStatCols(spark, printsRoot, v).isEmpty)
+            SnapshotStore.declareStats(spark, printsRoot,
+              Seq("doc_id", "fp")): Unit
+        }
+        compactOver.foreach { cap =>
+          try SnapshotStore
+            .optimizeFragmented(spark, printsRoot, cap): Unit
+          catch {
+            case _: graft.operators.SnapshotConflictException => ()
           }
         }
       }

@@ -894,6 +894,73 @@ class IngestStreamSpec extends SparkTestBase {
     assert(v1 === 1L)
   }
 
+  test("streaming winnow-print maintenance: per-batch increments land " +
+      "on the from-scratch print table, re-parse replaces, replay " +
+      "no-ops, stats declare, compaction stays invisible") {
+    import graft.operators.{SnapshotStore, Winnowing}
+    val src = tmp("wprint_src"); val cp = tmp("wprint_cp")
+    val store = tmp("wprint_store")
+    Files.delete(Paths.get(store))
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = tmp("wprint_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(src, name))
+    }
+    val common = "zq xv jk wm pt rb common stolen span of text nd lf yg hs"
+    def docsDf(rows: Seq[(Long, String)]): DataFrame =
+      rows.map { case (id, t) => (id, t, "en", s"w$id.pdf", 60L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val first = docsDf(Seq(
+      1L -> ("alpha beta gamma " + common + " delta epsilon"),
+      3L -> "no overlap with anything else whatsoever in this doc"))
+    val second = docsDf(Seq(
+      2L -> ("totally other prefix here " + common + " and a suffix")))
+    land(first, "f0.parquet"); land(second, "f1.parquet")
+
+    def drain(): Unit = IngestStream.printMaintainAvailable(spark, src,
+      store, cp, streamId = "wprint", buckets = 2,
+      maxFilesPerTrigger = Some(1), compactOver = Some(2))
+    def stored: Seq[(Long, Long)] = Winnowing.readPrints(spark, store)
+      .as[(Long, Long)].collect().sorted.toSeq
+    def scratch(docs: DataFrame): Seq[(Long, Long)] =
+      Winnowing.fingerprints(docs.select("doc_id", "text"))
+        .as[(Long, Long)].collect().sorted.toSeq
+
+    drain()
+    val all = first.unionByName(second)
+    assert(stored === scratch(all),
+      "streamed increments diverged from the from-scratch print table")
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "wprint")
+      === Some(1L))
+    // the derived pair report serves from the store (the d27 read path)
+    assert(Winnowing.pairsFromPrints(Winnowing.readPrints(spark, store),
+        minShared = 2, dfCap = 50)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+      === Winnowing.sharedFingerprints(all, minShared = 2, dfCap = 50)
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    // the sink declared the writePrints stats on bootstrap
+    assert(SnapshotStore.storedStatCols(spark, store,
+      SnapshotStore.currentVersion(spark, store).get)
+      .toSet === Set("doc_id", "fp"))
+
+    // replay with nothing new → no publish at all
+    val vBefore = SnapshotStore.currentVersion(spark, store)
+    drain()
+    assert(SnapshotStore.currentVersion(spark, store) === vBefore)
+
+    // re-parse: doc 2's text changes; its stale prints must vanish
+    val reparsed = docsDf(Seq(2L ->
+      "completely fresh text after a re-parse sharing nothing"))
+    land(reparsed, "f2.parquet")
+    drain()
+    assert(stored === scratch(first.unionByName(reparsed)),
+      "re-parsed document did not shed its stale prints")
+    assert(SnapshotStore.lastCommittedBatch(spark, store, "wprint")
+      === Some(2L))
+  }
+
   test("streamed auto-compaction: per-bucket file count stays bounded " +
       "while markers, reads, and incremental re-triggers are untouched") {
     import graft.operators.SnapshotStore
