@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
 object CrossHash {
 
   /** 60-bit non-negative hash of a string column; identical in DuckDB via
-    * `cast('0x' || substring(md5(x),2,15) as bigint)`. */
+    * `cast('0x' || substring(md5(x),2,15) as bigint)`. Computed by the
+    * fused codegen expression [[graft.plans.Md5Hash60Expr]] — value-equal
+    * to `conv(substring(md5(c),2,15),16,10)::bigint` (the hex digits ARE
+    * digest bytes; CrossHashSpec pins the equality), minus the per-value
+    * hex-string materialisation and double number-parse the compositional
+    * form pays on every hashed shingle/k-gram/token. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 2, 15), 16, 10).cast("bigint")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.Md5Hash60Expr(
+        org.apache.spark.sql.graft.ColumnBridge
+          .expression(c.cast("binary"))))
 
   /** Seeded variant: independent hash family member `seed` (MinHash perms). */
   def hash60(c: Column, seed: Int): Column =

@@ -275,7 +275,11 @@ object DupClusters {
         col("cluster_id").cast("long").as("cluster_id")),
       root, buckets,
       meta = Seq(SnapshotStore.statsDeclaration(Seq("doc_id",
-        "cluster_id"))))
+        "cluster_id"))),
+      // labels have no value-clustered layout to preserve — distribute by
+      // bucket so the table lands as ~one file per bucket, not one per
+      // (upstream task × bucket)
+      distributeByBucket = true)
 
   /** The stored labels of a published version (head by default) —
     * (doc_id, cluster_id). Every derived artifact (split assignment,

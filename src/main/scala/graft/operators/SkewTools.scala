@@ -39,8 +39,24 @@ object SkewTools {
     // Streaming plans can't answer getNumPartitions (no RDD until each
     // micro-batch); their parallelism is the source's, so pass through.
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    // A frame sitting above a shuffle boundary (aggregate / window /
+    // global sort / distinct) already runs at spark.sql.shuffle.partitions
+    // — when that is >= the target the repartition below would be a
+    // no-op, so answer structurally instead of paying the df.rdd probe's
+    // full physical planning for exactly the plans where it is priciest.
+    // (Explicit Repartition nodes are NOT treated as wide: a caller's
+    // narrower repartition must keep being widened, as before.)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shufflePartitions = sess.sessionState.conf.numShufflePartitions
+    val widePlan = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Aggregate | _: Window | _: Sort | _: Distinct |
+          _: Deduplicate) => p
+    }.isDefined
+    if (widePlan && shufflePartitions >= target) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,

@@ -1761,7 +1761,8 @@ object SnapshotStore {
   def commit(index: DataFrame, root: String, buckets: Int,
       meta: Seq[String] = Nil,
       expectedVersion: Option[Long] = None,
-      allowSchemaChange: Boolean = false): Long = {
+      allowSchemaChange: Boolean = false,
+      distributeByBucket: Boolean = false): Long = {
     val spark = index.sparkSession
     checkExpected(spark, root, expectedVersion)
     val cur = currentVersion(spark, root).getOrElse(0L)
@@ -1788,7 +1789,20 @@ object SnapshotStore {
     // satisfy them)
     if (cur > 0) validateChecks(index, storedChecks(spark, root, cur), root)
     val v = cur + 1
-    val dirName = writeVersionDir(withBucket(index, buckets), spark, root, v)
+    // distributeByBucket: hash-distribute on the bucket column before the
+    // partitionBy write (the Iceberg write.distribution-mode=hash move) —
+    // without it every upstream task opens a file in every bucket dir, so
+    // an M-task commit writes M×B files (the classic small-files explosion
+    // at scale; locally it multiplies footer/commit overhead on every
+    // subsequent read and metadata pass). Callers whose frames are already
+    // value-clustered for file-skipping (e.g. VersionedIvf's cent_id range
+    // layout) must NOT set it — the bucket shuffle would scatter the
+    // clustering that makes their per-file stats envelopes tight.
+    val laid =
+      if (distributeByBucket)
+        withBucket(index, buckets).repartition(col("bucket"))
+      else withBucket(index, buckets)
+    val dirName = writeVersionDir(laid, spark, root, v)
     publish(spark, root, v, listVersionFiles(spark, root, dirName),
       carriedTxn(spark, root, meta) ++
         carriedCheckLines(spark, root) ++
@@ -2005,11 +2019,19 @@ object SnapshotStore {
       validateChecks(checkTarget, checks, root)
     }
     // union newRows' own ids: a doc present in newRows but omitted from
-    // reingestedDocs must replace, not duplicate, its old vectors
+    // reingestedDocs must replace, not duplicate, its old vectors.
+    // Checkpointed (ids only — delta-bounded at any scale): three
+    // consumers below (touched-bucket probe, prune-cap count, candidate
+    // stat/bloom probes) would otherwise each re-evaluate the id
+    // projection of the fresh rows' lineage — for a fingerprint upsert
+    // that projection cannot prune past the per-document explode, so
+    // every probe re-ran the full k-gram scan (measured: 3× the batch
+    // hashing cost per d28-shaped upsert).
     val upserted = reingestedDocs.select(col("doc_id").cast("long")
       .as("doc_id"))
       .union(newRows.select(col("doc_id").cast("long").as("doc_id")))
       .distinct()
+      .localCheckpoint(true)
     // fresh's buckets need no extra union here: upserted already
     // contains every newRows doc_id, and both hash through the same
     // withBucket expression

@@ -289,8 +289,14 @@ object VersionedIvf {
       .filter(col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cent_id"))
-    val probeCells = probes.select("cent_id").distinct()
-      .collect().map(_.getLong(0)).sorted
+    // full probe (nProbe covers every cell — the verification shape):
+    // the probed-cell set is the whole geometry BY CONSTRUCTION, so the
+    // distinct+collect job that derives it from the rank table is pure
+    // overhead; narrow probes still pull the bounded queries × nProbe set
+    val probeCells =
+      if (nProbe >= cents.length) cents.map(_._1).sorted
+      else probes.select("cent_id").distinct()
+        .collect().map(_.getLong(0)).sorted
     val assigned = SnapshotStore.readWhereIn(spark, root, "cent_id",
       probeCells.toIndexedSeq, version)
     IvfIndex.rankCandidates(

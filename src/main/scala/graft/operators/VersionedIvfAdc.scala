@@ -477,9 +477,13 @@ object VersionedIvfAdc {
     val probes = IvfIndex.cellRanksWith(queries, coarse)
       .filter(col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("cent_id"))
-    // bounded driver pull: queries × nProbe cell ids
-    val probeCells = probes.select("cent_id").distinct()
-      .collect().map(_.getLong(0)).sorted
+    // bounded driver pull: queries × nProbe cell ids. Full probe (the
+    // verification shape) skips the distinct+collect job outright — the
+    // probed set is the whole coarse geometry by construction.
+    val probeCells =
+      if (nProbe >= coarse.length) coarse.map(_._1).sorted
+      else probes.select("cent_id").distinct()
+        .collect().map(_.getLong(0)).sorted
     val cells = SnapshotStore.readWhereIn(spark, root, "cent_id",
       probeCells.toIndexedSeq, version)
     // query LUT: subspace distances of the query vectors to the STORED

@@ -102,7 +102,10 @@ object Winnowing {
       prints.select(col("doc_id").cast("long").as("doc_id"),
         col("fp").cast("long").as("fp")),
       root, buckets,
-      meta = Seq(SnapshotStore.statsDeclaration(Seq("doc_id", "fp"))))
+      meta = Seq(SnapshotStore.statsDeclaration(Seq("doc_id", "fp"))),
+      // prints have no value-clustered layout to preserve — one file per
+      // bucket instead of one per (fan-out task × bucket)
+      distributeByBucket = true)
 
   /** The stored fingerprints of a published version (head by default) —
     * (doc_id, fp). Time travel recovers the exact print table a past
