@@ -201,6 +201,34 @@ object DupClusters {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** [[clusterDocs]] with the signature work SHARED with an
+    * already-computed [[repPrints]] frame — the incremental-maintainer
+    * bootstrap shape (d24/d25), where the same corpus must yield BOTH
+    * its label table and its fingerprint state: building them
+    * independently runs the md5-canonical window and the SimHash
+    * signature pipeline twice each. Here exact-dup star edges come from
+    * an md5 equi-join against the prints' (h → rep) mapping (the rep IS
+    * the canonical: min doc id per hash, the same window repPrints
+    * ran), and near edges from band-bucketed rep-vs-rep pairs over the
+    * STORED signatures — [[SimHash.crossPairs]] of the prints with
+    * themselves restricted to a_id < b_id, which is exactly
+    * [[SimHash.nearPairs]]' pair set ({a<b : ≥1 shared 8-bit band ∧
+    * Hamming ≤ 3}). Labels ≡ [[clusterDocs]] bit-exactly (DedupSpec
+    * pins the agreement). */
+  def clusterDocsFromPrints(docs: DataFrame,
+      prints: DataFrame): DataFrame = {
+    val exact = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(prints.select(col("doc_id").as("a_id"), col("h")), Seq("h"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+    val sigs = prints.select("doc_id", "simhash")
+    val near = SimHash.crossPairs(sigs, sigs)
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+    assign(docs.select(col("doc_id").as("id")), exact.unionByName(near))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** Fingerprint state per cluster REPRESENTATIVE — (doc_id, simhash,
     * h): one row per distinct content hash's canonical, carrying its
     * md5 (the exact-dup probe key) and SimHash signature (the near-dup

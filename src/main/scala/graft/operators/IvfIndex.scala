@@ -698,8 +698,12 @@ object IvfIndex {
         VectorFunctions.quantizeInt8(col("embedding"))
           .cast("array<double>").as("q_q8"),
         col("cent_id"))
-    val probeCells = probes.select("cent_id").distinct()
-      .collect().map(_.getLong(0))
+    // full probe: the probed set is the whole geometry by construction —
+    // skip the distinct+collect job (the VersionedIvf.search shortcut)
+    val probeCells =
+      if (nProbe >= cents.length) cents.map(_._1)
+      else probes.select("cent_id").distinct()
+        .collect().map(_.getLong(0))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id"))
     spark.read.parquet(s"$path/index")
@@ -727,8 +731,12 @@ object IvfIndex {
       .filter(col("rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cent_id"))
-    val probeCells = probes.select("cent_id").distinct()
-      .collect().map(_.getLong(0))
+    // full probe: the probed set is the whole geometry by construction —
+    // skip the distinct+collect job (the VersionedIvf.search shortcut)
+    val probeCells =
+      if (nProbe >= cents.length) cents.map(_._1)
+      else probes.select("cent_id").distinct()
+        .collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$path/index")
       .filter(col("cent_id").isin(probeCells: _*))
     // USING-join on cent_id: one output column, no ambiguous duplicate

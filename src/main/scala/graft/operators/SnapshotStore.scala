@@ -449,8 +449,23 @@ object SnapshotStore {
       bloomPaths: Set[String], bloomCols: Seq[String], bloomBits: Int)
       : (Seq[((String, String), String)],
          Seq[((String, String), String)]) = {
-    val allPaths = (statPaths ++ bloomPaths).toSeq.sorted
-    if (allPaths.isEmpty) return (Nil, Nil)
+    if ((statPaths ++ bloomPaths).isEmpty) return (Nil, Nil)
+    // FOOTER FAST-PATH (opt guide §6): parquet footers already carry per
+    // column-chunk row counts, null counts, and min/max — for stats-only
+    // files the publish can read O(files) metadata instead of launching
+    // a second full data scan of everything just written (at table scale
+    // that pass re-reads the entire commit). Files that also need a
+    // bloom bitset are scanned anyway (bitsets only exist in the data),
+    // and any file whose footer is unusable (missing/truncated stats, a
+    // non-primitive or exotic column type, NaN bounds) falls back to the
+    // scan below — conservatively correct either way, since stat lines
+    // only ever widen or narrow PRUNING, never results.
+    val statOnly = statPaths -- bloomPaths
+    val (footerStats, footerFailed) =
+      footerStatLines(spark, root, statOnly, statCols)
+    val allPaths = ((statPaths -- statOnly) ++ footerFailed ++ bloomPaths)
+      .toSeq.sorted
+    if (allPaths.isEmpty) return (footerStats, Nil)
     val enc = java.util.Base64.getEncoder
     val statOut = Seq.newBuilder[((String, String), String)]
     val bloomOut = Seq.newBuilder[((String, String), String)]
@@ -552,7 +567,154 @@ object SnapshotStore {
           }
         }
       }
-    (statOut.result(), bloomOut.result())
+    (footerStats ++ statOut.result(), bloomOut.result())
+  }
+
+  /** Read `#stat` lines straight from parquet FOOTER metadata — the
+    * publish-time stats pass as an O(files) metadata read instead of a
+    * data scan. Returns (lines, fallbackPaths): a file lands in
+    * `fallbackPaths` whenever its footer cannot faithfully reproduce
+    * what the scan path would record (stats missing or unset, NaN
+    * float bounds, a column type outside long/int/double/float/string)
+    * — the caller scans exactly those. String bounds mirror the scan's
+    * truncated-envelope form: code-point truncation is monotone in
+    * binary byte order, so trunc(min)/trunc(max) equal the scan's
+    * min/max over truncated values; the upper bound increments when the
+    * file's maximum itself was truncated (a file whose max fits 32 code
+    * points records it exactly — a valid, sometimes tighter, envelope
+    * than the scan's max-length rule). */
+  private def footerStatLines(spark: SparkSession, root: String,
+      paths: Set[String], statCols: Seq[String])
+      : (Seq[((String, String), String)], Set[String]) = {
+    if (paths.isEmpty || statCols.isEmpty) return (Nil, Set.empty)
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val out = Seq.newBuilder[((String, String), String)]
+    val failed = Set.newBuilder[String]
+    def truncCp(s: String, n: Int): String =
+      if (s.codePointCount(0, s.length) <= n) s
+      else s.substring(0, s.offsetByCodePoints(0, n))
+    paths.toSeq.sorted.foreach { rel =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(s"$root/$rel"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val fm = r.getFooter
+          val schema = fm.getFileMetaData.getSchema
+          val blocks = fm.getBlocks.asScala.toSeq
+          val n = blocks.map(_.getRowCount).sum
+          // a 0-row file emits nothing — the scan path's groupBy yields
+          // no row for it either
+          if (n > 0) statCols.foreach { c =>
+            val fieldIdx = schema.getFields.asScala
+              .indexWhere(_.getName == c)
+            if (fieldIdx < 0) {
+              // additive evolution: declared column absent from this
+              // file — every row null-fills it on read
+              out += ((rel, c) -> statLine(rel, c, n, n, None, None))
+            } else {
+              val field = schema.getFields.get(fieldIdx)
+              if (!field.isPrimitive)
+                throw new IllegalStateException("group column")
+              val prim = field.asPrimitiveType()
+              val isStr = prim.getPrimitiveTypeName == BINARY &&
+                prim.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation
+                    .StringLogicalTypeAnnotation]
+              val plainNumeric = prim.getLogicalTypeAnnotation == null ||
+                prim.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation
+                    .IntLogicalTypeAnnotation]
+              val ok = isStr || (plainNumeric &&
+                Set(INT32, INT64, FLOAT, DOUBLE)
+                  .contains(prim.getPrimitiveTypeName))
+              if (!ok) throw new IllegalStateException(
+                s"footer-unsupported type for '$c'")
+              val chunks = blocks.map { b =>
+                b.getColumns.asScala
+                  .find(_.getPath.toDotString == c)
+                  .getOrElse(throw new IllegalStateException(
+                    s"no chunk for '$c'"))
+              }
+              val stats = chunks.map(_.getStatistics)
+              if (stats.exists(s => s == null || !s.isNumNullsSet))
+                throw new IllegalStateException(s"stats unset for '$c'")
+              val nulls = stats.map(_.getNumNulls).sum
+              val nonNull = stats.filter(_.hasNonNullValue)
+              if (nonNull.isEmpty) {
+                out += ((rel, c) -> statLine(rel, c, n, nulls, None, None))
+              } else if (isStr) {
+                val mins = nonNull.map(s =>
+                  s.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8)
+                val maxs = nonNull.map(s =>
+                  s.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8)
+                def byBytes(a: String, b: String): Boolean =
+                  cmpBytes(a.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8),
+                    b.getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8)) < 0
+                val mnFull = mins.reduce((a, b) => if (byBytes(a, b)) a else b)
+                val mxFull = maxs.reduce((a, b) => if (byBytes(a, b)) b else a)
+                val mn = Some(canonString(truncCp(mnFull, StringStatChars)))
+                val mxT = truncCp(mxFull, StringStatChars)
+                val mx =
+                  if (mxT == mxFull) Some(canonString(mxFull))
+                  else incBytes(mxT.getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8))
+                    .map(b => StringCanonPrefix + java.util.Base64
+                      .getEncoder.encodeToString(b))
+                out += ((rel, c) -> statLine(rel, c, n, nulls, mn, mx))
+              } else {
+                // native-typed comparison — a double widening would
+                // collide 60-bit hash longs (fp/doc hash columns) and
+                // pick a wrong envelope
+                def cmpV(a: AnyRef, b: AnyRef): Int = (a, b) match {
+                  case (x: java.lang.Integer, y: java.lang.Integer) =>
+                    x.compareTo(y)
+                  case (x: java.lang.Long, y: java.lang.Long) =>
+                    x.compareTo(y)
+                  case (x: java.lang.Float, y: java.lang.Float) =>
+                    x.compareTo(y)
+                  case (x: java.lang.Double, y: java.lang.Double) =>
+                    x.compareTo(y)
+                  case _ => throw new IllegalStateException(
+                    s"footer value class mix for '$c'")
+                }
+                def isNaN(v: AnyRef): Boolean = v match {
+                  case x: java.lang.Float => x.isNaN
+                  case x: java.lang.Double => x.isNaN
+                  case _ => false
+                }
+                val minVs = nonNull.map(_.genericGetMin.asInstanceOf[AnyRef])
+                val maxVs = nonNull.map(_.genericGetMax.asInstanceOf[AnyRef])
+                if ((minVs ++ maxVs).exists(isNaN))
+                  throw new IllegalStateException(s"NaN bound for '$c'")
+                val mnV = minVs.reduce((a, b) => if (cmpV(a, b) <= 0) a else b)
+                val mxV = maxVs.reduce((a, b) => if (cmpV(a, b) >= 0) a else b)
+                val mn = canon(mnV)
+                val mx = canon(mxV)
+                if (mn.isEmpty || mx.isEmpty)
+                  throw new IllegalStateException(
+                    s"uncanonicalizable bound for '$c'")
+                out += ((rel, c) -> statLine(rel, c, n, nulls, mn, mx))
+              }
+            }
+          }
+        } finally r.close()
+      } catch { case _: Throwable => failed += rel }
+    }
+    // all-or-nothing per file: a file that failed on ANY column re-scans
+    // wholly (the scan emits every declared column's line for it)
+    val failedSet = failed.result()
+    (out.result().filterNot { case ((p, _), _) => failedSet.contains(p) },
+      failedSet)
   }
 
   // ---- per-file Bloom membership filters (point-lookup skipping) ----

@@ -725,11 +725,15 @@ object DedupQueries extends QueryPack {
       val prior = docs.filter(!arrived)
       val batch = docs.filter(arrived)
       // persisted state a production pipeline carries between batches:
-      // v1 labels + the rep fingerprint table
-      graft.operators.DupClusters
-        .writeLabels(clusterAssignmentsOf(prior), root)
+      // v1 labels + the rep fingerprint table. The prints compute FIRST
+      // and the labels derive from them (clusterDocsFromPrints ≡
+      // clusterDocs, spec-pinned) — one signature pipeline over the
+      // prior corpus instead of two
       val prints = graft.operators.DupClusters.repPrints(prior)
-        .localCheckpoint(eager = false) // hash probe + signature probe
+        .localCheckpoint(eager = false) // labels + both batch probes
+      graft.operators.DupClusters.writeLabels(
+        graft.operators.DupClusters.clusterDocsFromPrints(prior, prints),
+        root)
       // --- the batch arrives: probe the fingerprints, fold the
       // evidence into the stored labels (the shared operator kernel —
       // exact hits to stored reps, new-hash canonicals paired among
@@ -768,11 +772,15 @@ object DedupQueries extends QueryPack {
       val arrived = col("doc_id") % 20 === 7
       val prior = docs.filter(!arrived)
       val batch = docs.filter(arrived)
+      // prints first, labels derived from them (one signature pipeline
+      // over the prior corpus — the d24 discipline)
+      val prints = graft.operators.DupClusters.repPrints(prior)
+        .localCheckpoint(eager = false)
       graft.operators.DupClusters.writeLabels(
-        graft.operators.DupClusters.clusterDocs(prior), root)
-      val (edges, _) = graft.operators.DupClusters.batchEvidence(batch,
-        graft.operators.DupClusters.repPrints(prior)
-          .localCheckpoint(eager = false))
+        graft.operators.DupClusters.clusterDocsFromPrints(prior, prints),
+        root)
+      val (edges, _) =
+        graft.operators.DupClusters.batchEvidence(batch, prints)
       graft.operators.DupClusters.writeLabels(
         graft.operators.DupClusters.mergeLabels(
           graft.operators.DupClusters.readLabels(s, root),

@@ -398,4 +398,19 @@ class DedupSpec extends SparkTestBase {
       === Winnowing.fingerprints(prior.unionByName(reparsed))
         .as[(Long, Long)].collect().sorted.toSeq)
   }
+
+  test("clusterDocsFromPrints reproduces clusterDocs bit-exactly " +
+      "(the shared-signature bootstrap path)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val prints = graft.operators.DupClusters.repPrints(docs)
+    val viaPrints = graft.operators.DupClusters
+      .clusterDocsFromPrints(docs, prints)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val direct = graft.operators.DupClusters.clusterDocs(docs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaPrints === direct)
+    assert(viaPrints.nonEmpty)
+  }
 }

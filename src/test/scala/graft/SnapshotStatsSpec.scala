@@ -703,4 +703,54 @@ class SnapshotStatsSpec extends SparkTestBase {
     }
     assert(e4.getMessage.contains("at least one bound"))
   }
+
+  test("footer fast-path stat lines equal the scan path's, per " +
+      "(bucket, column) — longs at 60-bit hash precision, nulls, " +
+      "short and truncated strings") {
+    val rootA = "target/snapstats-footer"
+    val rootB = "target/snapstats-scan"
+    cleanup(rootA); cleanup(rootB)
+    val sp = spark
+    import sp.implicits._
+    // hash-precision longs (doubles would collide them), nullable
+    // doubles, and strings where every >32-cp value sorts ABOVE every
+    // short one (so per-file maxima are unambiguous across both paths)
+    val df = (0L until 600L).map { i =>
+      (i,
+        graft.functions.CrossHash.md5Hash60(s"k$i"),
+        if (i % 5 == 0) None else Some(i / 3.0),
+        if (i % 4 == 0) "z-long-" + ("x" * 40) + i.toString
+        else s"a-short-$i")
+    }.toDF("doc_id", "h", "score", "label")
+    // A: stats only → footer path computes the lines
+    SnapshotStore.commit(df, rootA, buckets = 4,
+      meta = Seq(SnapshotStore.statsDeclaration(
+        Seq("doc_id", "h", "score", "label"))))
+    // B: same stats + a bloom on the same files → the combined DATA SCAN
+    // computes the lines (the pre-round-13 path)
+    SnapshotStore.commit(df, rootB, buckets = 4,
+      meta = Seq(SnapshotStore.statsDeclaration(
+          Seq("doc_id", "h", "score", "label")),
+        SnapshotStore.bloomDeclaration(Seq("doc_id"))))
+    def statKey(root: String): Seq[(String, String, String)] =
+      SnapshotStore.storedMetaLines(spark, root, "#stat\t",
+          SnapshotStore.currentVersion(spark, root).get)
+        .map { l =>
+          val a = l.split("\t", 7)
+          // normalize the attempt-unique relpath to its bucket dir
+          val bucket = a(1).split("/").find(_.startsWith("bucket="))
+            .getOrElse(a(1))
+          (bucket, a(2), s"${a(3)}|${a(4)}|${a(5)}|${a(6)}")
+        }.sorted
+    assert(statKey(rootA).nonEmpty)
+    assert(statKey(rootA) === statKey(rootB))
+    // and the pruned read built on footer lines stays exact
+    val got = SnapshotStore.readWhere(spark, rootA, "label",
+        "a-short-2", "a-short-3")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = df.filter(col("label") >= "a-short-2" &&
+        col("label") <= "a-short-3")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+  }
 }
