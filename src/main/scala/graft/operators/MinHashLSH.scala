@@ -33,15 +33,24 @@ object MinHashLSH {
   def aCoef(j: Int): Long = CrossHash.md5Hash60(s"mh_a#$j") % (P - 1) + 1
   def bCoef(j: Int): Long = CrossHash.md5Hash60(s"mh_b#$j") % P
 
-  /** (doc_id, m0…m{k−1}) MinHash signature columns via flat aggregation. */
+  /** (doc_id, m0…m{k−1}) MinHash signature columns — computed by the
+    * fused per-row expression [[graft.plans.MinHashSigExpr]]
+    * (value-identical to the exploded shingle → hash → k-min-aggregate
+    * pipeline this replaces, spec-pinned): map-only, no explode rows,
+    * no aggregation, no exchange. The two-step projection keeps the
+    * fused signature evaluated ONCE per row (CollapseProject does not
+    * inline a non-trivial alias referenced k times); `isNotNull`
+    * reproduces the exploded form's dropped-document behavior. */
   def signatures(docs: DataFrame, k: Int): DataFrame = {
-    val flat = SkewTools.fanOut(docs)
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), (CrossHash.hash60(col("s")) % P).as("h"))
-    val mins = (0 until k).map(j =>
-      min((col("h") * aCoef(j) + bCoef(j)) % P).as(s"m$j"))
-    flat.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sig = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.MinHashSigExpr(
+        org.apache.spark.sql.graft.ColumnBridge
+          .expression(col("text")), k))
+    SkewTools.fanOut(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), sig.as("__mh"))
+      .select(col("doc_id") +:
+        (0 until k).map(j => element_at(col("__mh"), j + 1).as(s"m$j")): _*)
   }
 
   /** (doc_id, band, key) LSH bucket assignments: k = bands·rowsPerBand. */

@@ -17,21 +17,21 @@ object SimHash {
 
   val Bits = 32
 
-  /** (doc_id, simhash): majority-vote signature over token hashes. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val flat = SkewTools.fanOut(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), CrossHash.hash60(col("tok")).as("h"))
-    val votes = (0 until Bits).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1))
-        .as(s"v$b"))
-    flat.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+  /** (doc_id, simhash): majority-vote signature over token hashes —
+    * computed by the fused per-row expression
+    * [[graft.plans.SimHashSigExpr]] (value-identical to the exploded
+    * token → hash → 32-vote-sum pipeline this replaces, spec-pinned):
+    * map-only, no explode rows, no aggregation, no exchange. The
+    * `isNotNull` filter reproduces the exploded form's behavior exactly
+    * (explode of a null token array dropped the document). */
+  def signatures(docs: DataFrame): DataFrame =
+    SkewTools.fanOut(docs)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        (0 until Bits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.SimHashSigExpr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")))).as("simhash"))
 
   /** Near-dup candidate pairs via 8-bit band bucketing + exact Hamming
     * filter; recall is exact for radius ≤ bands−1 by pigeonhole. Buckets

@@ -56,8 +56,15 @@ object Md5Hash60Expr {
     }
 
   /** 60-bit value of MD5-hex digits 2..16 (1-based), from digest bytes. */
-  def hash(bytes: Array[Byte]): Long = {
-    val d = mds.get().digest(bytes)
+  def hash(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
+
+  /** [[hash]] over a byte range — the per-token form the fused sketch
+    * expressions loop with (no per-token array slicing). */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = mds.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
     ((d(0) & 0x0fL) << 56) |
       ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) |

@@ -59,10 +59,9 @@ class PlanAuditSpec extends SparkTestBase {
   //    columns (SimHash bit-vote columns, multi-metric stat rows) — wide
   //    in column COUNT, a few bytes each, not a payload smell.
   private val allow: Map[String, Set[String]] = Map(
-    // SimHash signatures shuffle 32 per-bit vote counters (+ id)
-    "d03_simhash" -> Set("wide-shuffle"),
-    "d04_simhash_pairs" -> Set("wide-shuffle"),
-    "d06_dedup_summary" -> Set("wide-shuffle"),
+    // (round 13: the SimHash family's 32-vote-counter wide shuffles are
+    // GONE — the fused per-row SimHashSigExpr computes the signature
+    // map-side, so d03/d04/d06 no longer shuffle vote buffers at all)
     // multi-sketch accuracy rows: many small agg columns
     "q22_approx_distinct" -> Set("wide-shuffle"),
     "t17_table_stats" -> Set("wide-shuffle"),
