@@ -57,8 +57,14 @@ object NgramJaccard {
   private def byShingle(docs: DataFrame, n: Int): DataFrame =
     SkewTools.fanOut(docs)
       .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), CrossHash.hash60(col("s")).as("h"))
+        // fused per-row shingle hashing (graft.plans.ShingleHashesExpr):
+        // hash60 per shingle straight off the document bytes, replacing
+        // the interpreted HOF shingle construction + per-row concat_ws
+        // allocations; value parity spec-pinned (WinnowExprSpec)
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.ShingleHashesExpr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), n))).as("h"))
       .groupBy("h")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
 

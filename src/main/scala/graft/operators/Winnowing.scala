@@ -36,20 +36,16 @@ object Winnowing {
     * document. Documents shorter than one full window keep their global
     * minimum (one fingerprint), so every document has ≥ 1 row. */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
-    val text = col("text")
-    val n = greatest(length(text) - (k - 1), lit(1))
-    val hs = transform(
-      sequence(lit(1), n),
-      i => CrossHash.hash60(text.substr(i, lit(k))))
-    val wins = TextFunctions.bound(hs) { h =>
-      array_distinct(transform(
-        // full windows start at 1..nh−w+1; a doc shorter than one window
-        // keeps index 1. Indices clamp to the array end (ANSI-safe), so a
-        // truncated window re-reads its last element — min unaffected.
-        sequence(lit(1), greatest(size(h) - (w - 1), lit(1))),
-        j => least((0 until w).map(o =>
-          element_at(h, least(j + o, size(h)))): _*)))
-    }
+    // fused per-row selection (graft.plans.WinnowPrintsExpr — one native
+    // pass over the document bytes), replacing the array-HOF form whose
+    // per-element lambdas (hash per k-gram, least() per window) evaluate
+    // INTERPRETED under Spark's CodegenFallback HOFs. Value parity with
+    // the HOF pipeline is spec-pinned (WinnowExprSpec); explode of the
+    // null array drops null-text docs exactly as before.
+    val wins = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WinnowPrintsExpr(
+        org.apache.spark.sql.graft.ColumnBridge
+          .expression(col("text")), k, w))
     docs.select(col("doc_id"), explode(wins).as("fp"))
   }
 
