@@ -36,7 +36,14 @@ object BfsHops {
   def run(edges: DataFrame, dist0: DataFrame, maxRounds: Int,
       earlyExit: Boolean = false): (DataFrame, Int) = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    var dist = dist0.localCheckpoint(eager = true)
+    // Per-round checkpoints exist for ITERATIVE-LINEAGE replay — which
+    // only happens when something acts per round (the earlyExit probe).
+    // A bounded fixed-round run with one terminal action evaluates each
+    // round exactly once either way, so the lazy chain skips maxRounds
+    // materializations (the PageRank.ranks discipline); past a small
+    // bound the checkpoints return as a plan-depth fence.
+    val lazyChain = !earlyExit && maxRounds <= 8
+    var dist = if (lazyChain) dist0 else dist0.localCheckpoint(eager = true)
     var rounds = 0
     var done = false
     while (rounds < maxRounds && !done) {
@@ -44,11 +51,12 @@ object BfsHops {
         .select(col("v").as("fv"), col("dist").as("fd"))
       val nd = edges.join(frontier, col("src") === col("fv"))
         .groupBy("dst").agg((min("fd") + 1).as("nd"))
-      val next = dist.join(nd, dist("v") === nd("dst"), "left")
+      val step = dist.join(nd, dist("v") === nd("dst"), "left")
         .select(col("v"),
           least(col("dist"), coalesce(col("nd"), lit(Inf)))
             .as("dist"))
-        .localCheckpoint(eager = true)
+      val next =
+        if (lazyChain) step else step.localCheckpoint(eager = true)
       if (earlyExit) {
         // distances only ever DECREASE, so "no row improved" is exactly
         // the fixpoint; one bounded count over the node table

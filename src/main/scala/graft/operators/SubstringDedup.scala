@@ -36,10 +36,15 @@ object SubstringDedup {
     * distinct-document frequency. */
   def profile(docs: DataFrame, blockTokens: Int = 10,
       minDf: Int = 2): DataFrame = {
+    // fused per-row block digests (graft.plans.BlockMd5Expr): same md5
+    // per block, shuffled as 16 digest bytes instead of 32-char hex,
+    // with no interpreted HOF block construction (spec-pinned parity)
     val flat = SkewTools.fanOut(docs)
       .select(col("doc_id"),
-        explode(TextFunctions.blocks(col("text"), blockTokens)).as("blk"))
-      .select(col("doc_id"), md5(col("blk")).as("h"))
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.BlockMd5Expr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), blockTokens))).as("h"))
     val freq = flat.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
     flat.join(freq, "h")

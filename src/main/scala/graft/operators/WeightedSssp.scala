@@ -79,8 +79,12 @@ object WeightedSssp {
     // superstep's codegen; the catch below re-surfaces it by name)
     val checkedW = when(col("w").cast("long") >= 0, col("w").cast("long"))
       .otherwise(raise_error(lit(NegMsg)))
-    var dist = dist0.select(col("v"), col("dist").cast("long").as("dist"))
-      .localCheckpoint(eager = true)
+    // lazy fixed-round chain when nothing acts per round — see
+    // [[BfsHops.run]]'s rationale; the probe-driven form keeps the
+    // per-round checkpoints
+    val lazyChain = !earlyExit && maxRounds <= 8
+    val d0 = dist0.select(col("v"), col("dist").cast("long").as("dist"))
+    var dist = if (lazyChain) d0 else d0.localCheckpoint(eager = true)
     var rounds = 0
     var done = false
     while (rounds < maxRounds && !done) {
@@ -90,12 +94,13 @@ object WeightedSssp {
         .groupBy("dst")
         .agg(min(col("fd") + checkedW).as("nd"))
       val next =
-        try dist.join(nd, dist("v") === nd("dst"), "left")
-          .select(col("v"),
-            least(col("dist"), coalesce(col("nd"), lit(Inf)))
-              .as("dist"))
-          .localCheckpoint(eager = true)
-        catch {
+        try {
+          val step = dist.join(nd, dist("v") === nd("dst"), "left")
+            .select(col("v"),
+              least(col("dist"), coalesce(col("nd"), lit(Inf)))
+                .as("dist"))
+          if (lazyChain) step else step.localCheckpoint(eager = true)
+        } catch {
           // the raise_error surfaces as a SparkException chain; rethrow
           // as the operator's own named contract violation
           case e: Exception if isNegWeightGuard(e) =>
@@ -112,6 +117,19 @@ object WeightedSssp {
       dist = next
       rounds += 1
     }
-    (dist, rounds)
+    // the lazy chain ran no action inside the loop — ONE guarded
+    // materialization here keeps the operator's named-error contract
+    // (the weight guard must surface from run(), not from whatever
+    // terminal action a caller happens to run later) while still
+    // skipping the other maxRounds−1 round materializations
+    val out =
+      if (!lazyChain) dist
+      else
+        try dist.localCheckpoint(eager = true)
+        catch {
+          case e: Exception if isNegWeightGuard(e) =>
+            throw new IllegalArgumentException(NegMsg, e)
+        }
+    (out, rounds)
   }
 }

@@ -84,6 +84,77 @@ object ShingleHashesExpr {
   }
 }
 
+/** MD5 digests of every non-overlapping `n`-token block (the
+  * [[graft.functions.TextFunctions.blocks]] span unit, trailing partial
+  * block kept) as one fused array per document — digest BYTES, not the
+  * 32-char hex strings the `md5(blk)` column form shuffled: same md5,
+  * same grouping, half the shuffle payload, and no interpreted HOF
+  * block construction. See [[ShingleHashesExpr]]'s scaladoc. */
+case class BlockMd5Expr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
+  override def prettyName: String = "block_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string child and n > 0")
+
+  override protected def nullSafeEval(input: Any): Any =
+    BlockMd5Expr.digests(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.BlockMd5Expr.digests($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlockMd5Expr = copy(child = newChild)
+}
+
+object BlockMd5Expr {
+  private val mds =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def digests(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        starts(t) = start; ends(t) = i; t += 1; start = i + 1
+      }
+      i += 1
+    }
+    val nBlocks = (nTok - 1) / n + 1
+    val out = new Array[AnyRef](nBlocks)
+    val md = mds.get()
+    var b = 0
+    while (b < nBlocks) {
+      // block b = tokens [b·n, min(b·n + n, nTok)) joined by single
+      // spaces — the contiguous original byte range between them
+      val from = starts(b * n)
+      val to = ends(math.min(b * n + n, nTok) - 1)
+      md.reset()
+      md.update(bytes, from, to - from)
+      out(b) = md.digest()
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** See [[ShingleHashesExpr]]'s scaladoc. */
 case class WinnowPrintsExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

@@ -68,4 +68,25 @@ class WinnowExprSpec extends SparkTestBase {
       assert(got === want && got.nonEmpty)
     }
   }
+
+  test("fused block digests hex-encode to md5 over the HOF blocks") {
+    val sp = spark
+    import sp.implicits._
+    def hofBlocks(docs: org.apache.spark.sql.DataFrame, n: Int) =
+      docs.select(col("doc_id"),
+        explode(TextFunctions.blocks(col("text"), n)).as("blk"))
+        .select(col("doc_id"), md5(col("blk")).as("h"))
+    def fused(docs: org.apache.spark.sql.DataFrame, n: Int) =
+      docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.BlockMd5Expr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), n))).as("d"))
+        .select(col("doc_id"), lower(hex(col("d"))).as("h"))
+    Seq(weird, fixture).foreach { docs =>
+      val got = fused(docs, 10).as[(Long, String)].collect().sorted.toSeq
+      val want = hofBlocks(docs, 10).as[(Long, String)].collect().sorted.toSeq
+      assert(got === want && got.nonEmpty)
+    }
+  }
 }
