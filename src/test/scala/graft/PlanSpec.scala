@@ -61,13 +61,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("flat minhash signature uses map-side partial aggregation") {
+  test("fused minhash signature is map-only: no aggregate, no " +
+      "doc_id exchange (round 13 — the flat explode+partial-agg " +
+      "pipeline was replaced by the per-row MinHashSigExpr)") {
     val p = graft.operators.MinHashLSH
       .signatures(Tables.documents(spark, sf0001), 12)
       .queryExecution.executedPlan.toString
-    assert(p.contains("partial_min"), "no map-side combine before shuffle")
-    assert(p.contains("Exchange hashpartitioning(doc_id"),
-      "signature agg not partitioned by doc_id")
+    assert(p.contains("minhash_sig"),
+      s"fused signature expression missing from the plan:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"signature plan re-grew an aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"signature plan re-grew the doc_id exchange:\n$p")
+    // the fused expression must be evaluated ONCE, not inlined into
+    // each of the 12 element_at projections by CollapseProject
+    assert("minhash_sig".r.findAllIn(p).size <= 2,
+      s"fused signature inlined per column:\n$p")
   }
 
   test("d07 jaccard counts aggregate partially and never cross-join") {
